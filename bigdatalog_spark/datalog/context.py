@@ -1,0 +1,394 @@
+"""BigDatalogContext — the user-facing API.
+
+Mirrors the reference's BigDatalogContext
+(/root/reference/datalog/src/main/scala/.../BigDatalogContext.scala:89-173):
+``load_program`` (schema + rules), ``register*`` (attach data), ``query``
+(goal → DataFrame). The generated DataFrame composes with the whole
+PySpark API, like the reference's BigDatalogProgram.toDF()
+(BigDatalogProgram.scala:30-41).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .ast import AggTerm, AnonVar, Atom, Const, Goal, Program, Rule, Var
+from .compiler import RuleCompiler, canon_cols, union_all
+from .fixpoint import FixpointConfig, fixpoint_monotonic, fixpoint_seminaive
+from .parser import parse_goal, parse_program
+from .semantics import AnalyzedProgram, Clique, DatalogSemanticError, analyze
+
+_DEAL_TO_SPARK = {
+    "byte": T.ByteType(),
+    "short": T.ShortType(),
+    "integer": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "datetime": T.DateType(),
+}
+
+
+def spark_schema_for(decl) -> T.StructType:
+    """DeAL declared schema → Spark StructType (Utilities.scala:63-83 mapping)."""
+    return T.StructType(
+        [T.StructField(c, _DEAL_TO_SPARK[t], True) for c, t in decl.columns]
+    )
+
+
+@dataclass
+class EngineConfig:
+    """Engine knobs, mirroring the reference's spark.datalog.* configs
+    (README.md:28-36)."""
+
+    # broadcast the non-recursive side of joins inside recursive rules
+    # (spark.datalog.jointype=broadcast default, LogicalPlanGenerator.scala:235-241)
+    broadcast_static_side: bool = True
+    # re-add .distinct() on unions (spark.datalog.uniondistinct.enabled)
+    union_distinct: bool = True
+    fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
+
+
+class BigDatalogContext:
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+        self.spark = spark
+        self.config = config or EngineConfig()
+        self.program = Program()
+        self._relations: dict[str, DataFrame] = {}
+        self._cache: dict[str, DataFrame] = {}
+        self._analyzed: AnalyzedProgram | None = None
+
+    # ------------------------------------------------------------- loading
+    def load_program(self, text: str) -> "BigDatalogContext":
+        """Parse a DeAL program (database({...}). + rules)."""
+        prog = parse_program(text)
+        self.program.schemas.update(prog.schemas)
+        self.program.rules.extend(prog.rules)
+        self._analyzed = None
+        self._cache.clear()
+        return self
+
+    def load_file(self, path: str) -> "BigDatalogContext":
+        """Load a .deal program file (BigDatalogContext.loadDatalogFile,
+        BigDatalogContext.scala:89-97)."""
+        with open(path) as fh:
+            return self.load_program(fh.read())
+
+    def register(self, name: str, df: DataFrame) -> None:
+        """Attach an existing DataFrame as a base relation."""
+        if name in self.program.schemas:
+            decl = self.program.schemas[name]
+            if len(df.columns) != len(decl.columns):
+                raise DatalogSemanticError(
+                    f"DataFrame width {len(df.columns)} != declared arity "
+                    f"{len(decl.columns)} for {name!r}"
+                )
+        self._relations[name] = df
+
+    def register_data(self, name: str, lines, num_partitions: int | None = None) -> None:
+        """Load inline CSV lines per the declared schema
+        (registerAndLoadTable(name, Seq[String], n), Utilities.scala:116-137)."""
+        from ..sources.csv import dataframe_from_lines
+
+        decl = self.program.schemas.get(name)
+        if decl is None:
+            raise DatalogSemanticError(f"relation {name!r} not declared")
+        df = dataframe_from_lines(self.spark, lines, spark_schema_for(decl))
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        self.register(name, df)
+
+    def register_file(self, name: str, path: str, num_partitions: int | None = None) -> None:
+        """Load a CSV/TSV file per the declared schema
+        (registerAndLoadTable(name, path, n), Utilities.scala:85-114)."""
+        from ..sources.csv import read_deal_table
+
+        decl = self.program.schemas.get(name)
+        if decl is None:
+            raise DatalogSemanticError(f"relation {name!r} not declared")
+        df = read_deal_table(self.spark, path, spark_schema_for(decl))
+        if num_partitions:
+            df = df.repartition(num_partitions)
+        self.register(name, df)
+
+    def reset(self) -> None:
+        self.program = Program()
+        self._relations.clear()
+        self._cache.clear()
+        self._analyzed = None
+
+    # ------------------------------------------------------------- querying
+    def query(self, goal_text: str) -> DataFrame:
+        """Compile a query form (e.g. ``tc(A,B).``) to a DataFrame."""
+        goal = parse_goal(goal_text)
+        if self._analyzed is None:
+            self._analyzed = analyze(self.program)
+        df = self._pred_df(goal.pred)
+        return self._apply_goal(goal, df)
+
+    def _apply_goal(self, goal: Goal, df: DataFrame) -> DataFrame:
+        cols = df.columns
+        if len(cols) != len(goal.args):
+            raise DatalogSemanticError(
+                f"goal arity {len(goal.args)} != predicate arity {len(cols)}"
+            )
+        # bound arguments → filters (the compiler-side equivalent of DeALS
+        # adorned query forms, RecursiveQuerySuites 'bf' tests); Catalyst
+        # pushes them into the non-recursive parts of the plan
+        out_names: list[str] = []
+        seen: dict[str, int] = {}
+        used_vars: dict[str, str] = {}
+        for i, term in enumerate(goal.args):
+            if isinstance(term, Const):
+                df = df.filter(F.col(cols[i]) == F.lit(term.value))
+                out_names.append(f"c{i}")
+            elif isinstance(term, Var):
+                if term.name in used_vars:  # repeated goal var: equality
+                    df = df.filter(F.col(used_vars[term.name]) == F.col(cols[i]))
+                    n = seen.get(term.name, 0) + 1
+                    seen[term.name] = n
+                    out_names.append(f"{term.name}_{n}")
+                else:
+                    used_vars[term.name] = cols[i]
+                    out_names.append(term.name)
+            else:
+                out_names.append(f"c{i}")
+        return df.select(
+            *[F.col(c).alias(n) for c, n in zip(cols, out_names)]
+        )
+
+    # ------------------------------------------------------------- resolution
+    def _base_df(self, name: str) -> DataFrame:
+        if name not in self._relations:
+            raise DatalogSemanticError(f"base relation {name!r} has no data registered")
+        return self._relations[name]
+
+    def _pred_df(self, pred: str) -> DataFrame:
+        """Memoized bottom-up resolution of a predicate's DataFrame."""
+        if pred in self._cache:
+            return self._cache[pred]
+        if pred in self.program.schemas and not self.program.rules_for(pred):
+            return self._base_df(pred)
+        clique = self._analyzed.clique_of.get(pred)
+        if clique is not None:
+            self._compute_clique(clique)
+        else:
+            self._cache[pred] = self._compile_nonrecursive(pred)
+        return self._cache[pred]
+
+    def _static_resolve(self, pred: str, _occ=None) -> DataFrame:
+        return self._pred_df(pred)
+
+    # ------------------------------------------------------------- non-recursive
+    def _compile_nonrecursive(self, pred: str) -> DataFrame:
+        rules = self.program.rules_for(pred)
+        if not rules:
+            return self._base_df(pred)
+        agg_rules = [r for r in rules if r.agg_terms]
+        if agg_rules:
+            if len(agg_rules) != len(rules):
+                raise DatalogSemanticError(
+                    f"predicate {pred!r} mixes aggregate and plain rules"
+                )
+            return self._compile_aggregate_pred(pred, rules)
+        dfs = []
+        for rule in rules:
+            rc = RuleCompiler(self.spark)
+            body = rc.compile_body(rule, self._static_resolve)
+            dfs.append(rc.project_head(rule, body, distinct=False))
+        out = union_all(dfs)
+        if self.config.union_distinct:
+            # set semantics (spark.datalog.uniondistinct.enabled default true,
+            # "Datalog uses set-semantics!" README.md:36)
+            out = out.distinct()
+        return out
+
+    def _compile_aggregate_pred(self, pred: str, rules: list) -> DataFrame:
+        """Stratified aggregates (§2.4): aggregate over the bag of body
+        derivations, unioned across rules."""
+        shape = self._agg_shape(pred, rules)
+        pre = []
+        for rule in rules:
+            rc = RuleCompiler(self.spark)
+            body = rc.compile_body(rule, self._static_resolve)
+            pre.append(rc.pre_aggregate_projection(rule, body))
+        bag = union_all(pre)
+        return self._final_aggregate(bag, shape)
+
+    def _agg_shape(self, pred: str, rules: list):
+        """(key positions, [(pos, func)]) — consistent across rules."""
+        shapes = set()
+        for rule in rules:
+            shapes.add(
+                tuple(
+                    (i, t.func) if isinstance(t, AggTerm) else (i, None)
+                    for i, t in enumerate(rule.head.args)
+                )
+            )
+        if len(shapes) != 1:
+            raise DatalogSemanticError(
+                f"rules of aggregate predicate {pred!r} disagree on aggregate "
+                f"positions: {shapes}"
+            )
+        return next(iter(shapes))
+
+    def _final_aggregate(self, bag: DataFrame, shape) -> DataFrame:
+        names = [f"c{i}" for i, _ in shape]
+        keys = [names[i] for i, (pos, func) in enumerate(shape) if func is None]
+        aggs = []
+        for i, (pos, func) in enumerate(shape):
+            if func is None:
+                continue
+            col = F.col(names[i])
+            fn = {
+                "count": F.count,
+                "countd": F.count_distinct,
+                "sum": F.sum,
+                "avg": F.avg,
+                "min": F.min,
+                "max": F.max,
+                "mmin": F.min,  # monotonic agg outside recursion = plain min/max
+                "mmax": F.max,
+            }[func]
+            aggs.append(fn(col).alias(names[i]))
+        if keys:
+            return bag.groupBy(*keys).agg(*aggs).select(*names)
+        return bag.agg(*aggs).select(*names)
+
+    # ------------------------------------------------------------- recursion
+    def _rule_clique_occurrences(self, rule: Rule, clique: Clique) -> list[int]:
+        occs = []
+        for i, atom in enumerate(rule.body_atoms):
+            if atom.pred in clique.preds:
+                occs.append(i)
+        return occs
+
+    def _maybe_broadcast(self, df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if self.config.broadcast_static_side else df
+
+    def _compute_clique(self, clique: Clique) -> None:
+        if clique.monotonic:
+            self._compute_monotonic_clique(clique)
+        else:
+            self._compute_seminaive_clique(clique)
+
+    def _compute_seminaive_clique(self, clique: Clique) -> None:
+        """Recursion / MutualRecursion via PSN
+        (Recursion.scala:120-178 loop algebra)."""
+        clique_set = set(clique.preds)
+
+        # resolve static (non-clique) dependencies first, outside the loop
+        statics: dict[str, DataFrame] = {}
+
+        def static_df(p: str) -> DataFrame:
+            if p not in statics:
+                df = self._pred_df(p)
+                statics[p] = df
+            return statics[p]
+
+        exit_dfs: dict[str, DataFrame] = {}
+        for pred in clique.preds:
+            dfs = []
+            for rule in clique.exit_rules[pred]:
+                rc = RuleCompiler(self.spark)
+                body = rc.compile_body(rule, lambda p, occ: static_df(p))
+                dfs.append(rc.project_head(rule, body, distinct=False))
+            if dfs:
+                exit_dfs[pred] = union_all(dfs)
+            else:
+                # mutual cliques may have exit rules on only some predicates
+                # (MutualRecursion.scala:28-131); seed others empty using the
+                # first recursive rule's head arity
+                arity = self.program.rules_for(pred)[0].head.arity
+                schema = T.StructType(
+                    [T.StructField(c, T.IntegerType(), True) for c in canon_cols(arity)]
+                )
+                exit_dfs[pred] = self.spark.createDataFrame([], schema)
+
+        def step(all_dfs: dict, delta_dfs: dict) -> dict:
+            cands: dict[str, DataFrame] = {}
+            for pred in clique.preds:
+                variants: list[DataFrame] = []
+                for rule in clique.recursive_rules[pred]:
+                    occs = self._rule_clique_occurrences(rule, clique)
+                    # semi-naive variants: one clique occurrence reads the
+                    # delta, the others read the accumulated set — covers
+                    # linear (1 variant) and non-linear (k variants) rules
+                    # (Linear/NonLinearRecursiveRelation, relations.scala:28-57)
+                    for j in occs:
+                        def rel(p: str, occ, j=j):
+                            if p in clique_set:
+                                if occ == j:
+                                    return delta_dfs[p]
+                                return all_dfs[p]
+                            return self._maybe_broadcast(static_df(p))
+
+                        rc = RuleCompiler(self.spark)
+                        body = rc.compile_body(rule, rel)
+                        variants.append(rc.project_head(rule, body, distinct=False))
+                cands[pred] = union_all(variants) if variants else None
+            return cands
+
+        results = fixpoint_seminaive(exit_dfs, step, self.config.fixpoint)
+        for pred, df in results.items():
+            self._cache[pred] = df
+
+    def _compute_monotonic_clique(self, clique: Clique) -> None:
+        """AggregateRecursion for mmin/mmax (AggregateRecursion.scala:26-178)."""
+        pred = clique.preds[0]
+        rules = self.program.rules_for(pred)
+        shape = self._agg_shape(pred, rules)
+        agg_positions = [(i, f) for i, f in shape if f is not None]
+        if len(agg_positions) != 1:
+            raise DatalogSemanticError(
+                f"monotonic predicate {pred!r} must have exactly one mmin/mmax"
+            )
+        agg_pos, func = agg_positions[0]
+        names = canon_cols(len(shape))
+        key_cols = [names[i] for i, f in shape if f is None]
+        value_col = names[agg_pos]
+
+        statics: dict[str, DataFrame] = {}
+
+        def static_df(p: str) -> DataFrame:
+            if p not in statics:
+                statics[p] = self._pred_df(p)
+            return statics[p]
+
+        exit_pre = []
+        for rule in clique.exit_rules[pred]:
+            rc = RuleCompiler(self.spark)
+            body = rc.compile_body(rule, lambda p, occ: static_df(p))
+            exit_pre.append(rc.pre_aggregate_projection(rule, body))
+        if not exit_pre:
+            raise DatalogSemanticError(
+                f"monotonic clique {pred!r} has no exit rules"
+            )
+        exit_df = union_all(exit_pre)
+
+        def step(all_df: DataFrame, delta_df: DataFrame) -> DataFrame:
+            variants = []
+            for rule in clique.recursive_rules[pred]:
+                occs = self._rule_clique_occurrences(rule, clique)
+                for j in occs:
+                    def rel(p: str, occ, j=j):
+                        if p == pred:
+                            return delta_df if occ == j else all_df
+                        return self._maybe_broadcast(static_df(p))
+
+                    rc = RuleCompiler(self.spark)
+                    body = rc.compile_body(rule, rel)
+                    variants.append(rc.pre_aggregate_projection(rule, body))
+            return union_all(variants) if variants else None
+
+        result = fixpoint_monotonic(
+            exit_df, step, key_cols, value_col, func, self.config.fixpoint
+        )
+        # present in declared argument order
+        self._cache[pred] = result.select(*names)

@@ -1,0 +1,226 @@
+"""Semi-naive fixpoint executors — the engine's core.
+
+Re-creates the reference's recursion physical operators as idiomatic
+driver-side DataFrame loops (SURVEY.md §7.3/§7.4):
+
+* Recursion / MutualRecursion (execution/recursion/Recursion.scala:30-228,
+  MutualRecursion.scala:28-131): PSN loop `Δ' = T_R(Δ) − S; S = S ∪ Δ'`.
+* AggregateRecursion (AggregateRecursion.scala:26-178 +
+  AggregateSetRDDMinMaxPartition.scala:42-57): keyed mmin/mmax table;
+  per iteration aggregate the delta's contributions and keep only improved
+  groups as the next delta.
+
+The reference's SetRDD diff and single-job fixpoint scheduler exist to make
+2016-Spark iteration fast; on modern Spark the equivalents are LEFT ANTI
+join + localCheckpoint (lineage truncation == RDD.memoryCheckpoint,
+core/.../rdd/RDD.scala:1580) + per-iteration persist/unpersist
+(CachedRDDManager.scala:26-107 policy).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+@dataclass
+class FixpointConfig:
+    max_iterations: int = 100_000
+    # unpersist cached frames this many generations back
+    # (CachedRDDManager "iterationsBackToRemove=2", CachedRDDManager.scala:44)
+    generations_to_keep: int = 2
+    storage_level: StorageLevel = field(
+        default_factory=lambda: StorageLevel.MEMORY_AND_DISK
+    )
+    # localCheckpoint every iteration truncates lineage; without it plans
+    # grow unboundedly (reference README.md:32)
+    checkpoint: bool = True
+
+
+class _GenerationCache:
+    """persist + unpersist-N-generations-back bookkeeping."""
+
+    def __init__(self, cfg: FixpointConfig):
+        self.cfg = cfg
+        self.generations: list[list[DataFrame]] = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist(self.cfg.storage_level)
+        if not self.generations:
+            self.generations.append([])
+        self.generations[-1].append(df)
+        return df
+
+    def next_generation(self) -> None:
+        self.generations.append([])
+        if len(self.generations) > self.cfg.generations_to_keep + 1:
+            for df in self.generations.pop(0):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+
+    def close(self) -> None:
+        for gen in self.generations:
+            for df in gen:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+        self.generations = []
+
+
+def _materialize(df: DataFrame, cfg: FixpointConfig) -> tuple[DataFrame, int]:
+    """Truncate lineage and return (df, row_count) forcing evaluation once."""
+    if cfg.checkpoint:
+        df = df.localCheckpoint(eager=True)
+        return df, df.count()
+    return df, df.count()
+
+
+def fixpoint_seminaive(
+    exit_dfs: dict,
+    step,
+    cfg: FixpointConfig | None = None,
+) -> dict:
+    """Parallel semi-naive fixpoint over one or more mutually-recursive
+    predicates.
+
+    exit_dfs: pred -> seed DataFrame (already distinct / canonical columns).
+    step(all_dfs, delta_dfs) -> pred -> candidate DataFrame of newly
+        derivable tuples (may contain already-known rows; this function
+        anti-joins them away — SetRDD.diff semantics, SetRDD.scala:111-126).
+
+    Returns pred -> fixpoint DataFrame.
+    """
+    cfg = cfg or FixpointConfig()
+    cache = _GenerationCache(cfg)
+
+    all_dfs: dict[str, DataFrame] = {}
+    delta_dfs: dict[str, DataFrame] = {}
+    live = set()
+    for pred, df in exit_dfs.items():
+        df, n = _materialize(df.distinct(), cfg)
+        df = cache.persist(df)
+        all_dfs[pred] = df
+        delta_dfs[pred] = df
+        if n:
+            live.add(pred)
+
+    iteration = 0
+    while live:
+        iteration += 1
+        if iteration > cfg.max_iterations:
+            raise RuntimeError(
+                f"fixpoint did not converge within {cfg.max_iterations} iterations"
+            )
+        cache.next_generation()
+        candidates = step(all_dfs, delta_dfs)
+        live = set()
+        new_all: dict[str, DataFrame] = dict(all_dfs)
+        new_delta: dict[str, DataFrame] = {}
+        for pred, cand in candidates.items():
+            if cand is None:
+                new_delta[pred] = _empty_like(all_dfs[pred])
+                continue
+            # Δ' = T_R(Δ) − S  (partition-local hash diff in the reference;
+            # LEFT ANTI join lets Catalyst/AQE pick the physical strategy)
+            delta = cand.distinct().join(
+                all_dfs[pred], on=list(cand.columns), how="left_anti"
+            )
+            delta, n = _materialize(delta, cfg)
+            delta = cache.persist(delta)
+            new_delta[pred] = delta
+            if n:
+                live.add(pred)
+                grown = all_dfs[pred].union(delta)
+                grown, _ = _materialize(grown, cfg)
+                new_all[pred] = cache.persist(grown)
+        for pred in all_dfs:
+            new_delta.setdefault(pred, _empty_like(all_dfs[pred]))
+        all_dfs = new_all
+        delta_dfs = new_delta
+
+    # results stay persisted for downstream strata; caller may unpersist
+    return all_dfs
+
+
+def _empty_like(df: DataFrame) -> DataFrame:
+    return df.filter(F.lit(False))
+
+
+def fixpoint_monotonic(
+    exit_pre_agg: DataFrame,
+    step,
+    key_cols: list,
+    value_col: str,
+    func: str,
+    cfg: FixpointConfig | None = None,
+) -> DataFrame:
+    """Monotonic-aggregate (mmin/mmax) fixpoint.
+
+    exit_pre_agg: DataFrame of (keys..., value) contributions from exit rules.
+    step(all_df, delta_df) -> DataFrame of new (keys..., value) contributions
+        derived from the changed groups; ``all_df`` is the full running
+        aggregate table for non-linear rules (the AggregateRelation read,
+        execution/relations.scala:50-57).
+    func: 'mmin' | 'mmax'.
+
+    Semantics match AggregateSetRDDMinMaxPartition.update
+    (AggregateSetRDDMinMaxPartition.scala:42-57): merge candidate values into
+    the running table, emit only improved/new groups as the next delta.
+    """
+    cfg = cfg or FixpointConfig()
+    cache = _GenerationCache(cfg)
+    better = (lambda new, old: new < old) if func == "mmin" else (lambda new, old: new > old)
+    agg_fn = F.min if func == "mmin" else F.max
+
+    def aggregate(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(agg_fn(F.col(value_col)).alias(value_col))
+
+    all_df = aggregate(exit_pre_agg)
+    all_df, n = _materialize(all_df, cfg)
+    all_df = cache.persist(all_df)
+    delta = all_df
+
+    iteration = 0
+    while n:
+        iteration += 1
+        if iteration > cfg.max_iterations:
+            raise RuntimeError(
+                f"monotonic fixpoint did not converge within {cfg.max_iterations}"
+            )
+        cache.next_generation()
+        cand = step(all_df, delta)
+        if cand is None:
+            break
+        cand = aggregate(cand)
+        # improved = groups where the candidate beats the current table
+        # (delta detection, TungstenMonotonicAggregationIterator.scala:512-555)
+        old = all_df.select(
+            *[F.col(k).alias(f"__old_{k}") for k in key_cols],
+            F.col(value_col).alias("__old_v"),
+        )
+        joined = cand.join(
+            old,
+            on=[F.col(k) == F.col(f"__old_{k}") for k in key_cols],
+            how="left_outer",
+        )
+        improved = joined.filter(
+            F.col("__old_v").isNull() | better(F.col(value_col), F.col("__old_v"))
+        ).select(*key_cols, value_col)
+        improved, n = _materialize(improved, cfg)
+        improved = cache.persist(improved)
+        if not n:
+            break
+        # merge: replace improved groups in the running table
+        kept = all_df.join(improved, on=key_cols, how="left_anti")
+        all_df = kept.unionByName(improved)
+        all_df, _ = _materialize(all_df, cfg)
+        all_df = cache.persist(all_df)
+        delta = improved
+
+    return all_df

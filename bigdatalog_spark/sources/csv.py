@@ -1,0 +1,71 @@
+"""DeAL-style text sources.
+
+Re-creates Utilities.loadRowRDDFromFile / loadRowRDDFromDataset semantics
+(/root/reference/datalog/src/main/scala/.../Utilities.scala:85-137):
+`,`-separated for .csv, `\t` for any other extension; blank lines and
+`%`-comment lines skipped; fields trimmed and converted per declared schema.
+
+Spark-first: file loads go through spark.read.csv (distributed, pushdown-
+friendly) instead of a hand-rolled RDD loop.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_deal_table(
+    spark: SparkSession, path: str, schema: T.StructType, sep: str | None = None
+) -> DataFrame:
+    """Distributed CSV/TSV load honoring the reference's conventions."""
+    if sep is None:
+        sep = "," if path.endswith(".csv") else "\t"
+    df = (
+        spark.read
+        .schema(schema)
+        .option("sep", sep)
+        .option("comment", "%")
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+        .option("mode", "PERMISSIVE")
+        .csv(path)
+    )
+    # blank lines produce all-null rows under PERMISSIVE; drop them
+    return df.dropna(how="all")
+
+
+def _coerce(value: str, dtype: T.DataType):
+    value = value.strip()
+    if value == "":
+        return None
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return int(value)
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return float(value)
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(value)
+    return value
+
+
+def dataframe_from_lines(
+    spark: SparkSession, lines, schema: T.StructType, sep: str = ","
+) -> DataFrame:
+    """In-memory dataset load (Utilities.loadRowRDDFromDataset,
+    Utilities.scala:116-137). ``lines`` is an iterable of CSV strings."""
+    rows = []
+    fields = schema.fields
+    for line in lines:
+        line = line.strip()
+        if not line or line.startswith("%"):
+            continue
+        parts = line.split(sep)
+        if len(parts) != len(fields):
+            raise ValueError(
+                f"row {line!r} has {len(parts)} fields, schema expects {len(fields)}"
+            )
+        rows.append(tuple(_coerce(p, f.dataType) for p, f in zip(parts, fields)))
+    return spark.createDataFrame(rows, schema)

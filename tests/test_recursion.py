@@ -1,0 +1,184 @@
+"""Port of RecursiveQuerySuite (RecursiveQuerySuites.scala:20-201):
+TC left/right/non-linear, bound TC, Reach, mutual recursion,
+same-generation, MLM (recursion + stratified aggregation + arithmetic),
+3-ary TC."""
+
+import pytest
+
+from .conftest import run_case
+from .golden import (
+    GRAPH1,
+    GRAPH2,
+    GRAPH7,
+    MLM_SALES,
+    MLM_SCHEDULE,
+    MLM_SPONSORS,
+    PARENT_CHILD,
+    PARENT_CHILD2,
+    TC_ANSWERS1,
+    TC_ANSWERS2,
+)
+
+ARC_DB = "database({arc(From:integer, To:integer)})."
+
+LL_TC = ARC_DB + (
+    "leftLinearPaths(A,B) <- arc(A,B)."
+    "leftLinearPaths(A,B) <- leftLinearPaths(A,C), arc(C,B)."
+)
+
+
+def test_tc_left_linear_graph1(spark):
+    run_case(spark, LL_TC, "leftLinearPaths(A,B).", {"arc": GRAPH1}, TC_ANSWERS1)
+
+
+def test_tc_left_linear_graph2_cyclic(spark):
+    run_case(spark, LL_TC, "leftLinearPaths(A,B).", {"arc": GRAPH2}, TC_ANSWERS2)
+
+
+def test_tc_left_linear_self_seed(spark):
+    program = ARC_DB + (
+        "leftLinearPaths(A,A) <- arc(A,_)."
+        "leftLinearPaths(A,B) <- leftLinearPaths(A,C), arc(C,B)."
+    )
+    answers1 = TC_ANSWERS1 + [
+        (4, 4), (9, 9), (1, 1), (6, 6), (8, 8), (3, 3), (0, 0), (7, 7), (2, 2)
+    ]
+    answers2 = TC_ANSWERS2 + [(6, 6), (5, 5)]
+    run_case(spark, program, "leftLinearPaths(A,B).", {"arc": GRAPH1}, answers1)
+    run_case(spark, program, "leftLinearPaths(A,B).", {"arc": GRAPH2}, answers2)
+
+
+def test_tc_right_linear(spark):
+    program = ARC_DB + (
+        "rightLinearPaths(A,B) <- arc(A,B)."
+        "rightLinearPaths(A,B) <- arc(A,C), rightLinearPaths(C,B)."
+    )
+    run_case(spark, program, "rightLinearPaths(A,B).", {"arc": GRAPH1}, TC_ANSWERS1)
+    run_case(spark, program, "rightLinearPaths(A,B).", {"arc": GRAPH2}, TC_ANSWERS2)
+
+
+def test_tc_non_linear(spark):
+    program = ARC_DB + (
+        "nonLinearPaths(A,B) <- arc(A,B)."
+        "nonLinearPaths(A,B) <- nonLinearPaths(A,C), nonLinearPaths(C,B)."
+    )
+    run_case(spark, program, "nonLinearPaths(A,B).", {"arc": GRAPH1}, TC_ANSWERS1)
+    run_case(spark, program, "nonLinearPaths(A,B).", {"arc": GRAPH2}, TC_ANSWERS2)
+
+
+def test_tc_bound_first_argument(spark):
+    answers1 = [(0, 1), (0, 6), (0, 2), (0, 7), (0, 3), (0, 8), (0, 4), (0, 9),
+                (0, 5), (0, 10)]
+    answers2 = [(3, 1), (3, 4), (3, 5), (3, 0), (3, 2), (3, 8), (3, 3)]
+    run_case(spark, LL_TC, "leftLinearPaths(0,B).", {"arc": GRAPH1}, answers1)
+    run_case(spark, LL_TC, "leftLinearPaths(3,B).", {"arc": GRAPH2}, answers2)
+
+
+def test_reach(spark):
+    def program(start):
+        return ARC_DB + (
+            f"reach(A) <- A={start}."
+            "reach(A) <- reach(B), arc(B,A)."
+        )
+
+    run_case(spark, program(0), "reach(A).", {"arc": GRAPH1},
+             [(i,) for i in range(11)])
+    run_case(spark, program(1), "reach(A).", {"arc": GRAPH2},
+             [(0,), (1,), (2,), (3,), (4,), (5,), (8,)])
+
+
+def test_mutual_recursion(spark):
+    program = ARC_DB + (
+        "three(A,B,C) <- arc(A,B), arc(B,C)."
+        "three(A,B,D) <- three2(A,B,C), arc(C,D)."
+        "three2(A,B,D) <- three(A,B,C), arc(C,D)."
+    )
+    answers1 = [
+        (0, 1, 2), (1, 2, 3), (2, 3, 4), (3, 4, 5), (0, 6, 7), (6, 7, 8),
+        (7, 8, 9), (8, 9, 10), (0, 1, 4), (1, 2, 5), (0, 6, 9), (6, 7, 10),
+    ]
+    answers2 = [
+        (1, 2, 3), (2, 3, 1), (2, 3, 4), (2, 3, 5), (3, 1, 0), (3, 1, 2),
+        (3, 5, 8), (6, 5, 8), (1, 2, 0), (1, 2, 2), (1, 2, 8), (2, 3, 3),
+        (3, 1, 1), (3, 1, 4), (3, 1, 5), (1, 2, 1), (1, 2, 4), (1, 2, 5),
+        (2, 3, 0), (2, 3, 2), (2, 3, 8), (3, 1, 3), (3, 1, 8),
+    ]
+    run_case(spark, program, "three(A,B,C).", {"arc": GRAPH1}, answers1)
+    run_case(spark, program, "three(A,B,C).", {"arc": GRAPH2}, answers2)
+
+
+def test_same_generation(spark):
+    database = "database({parent_child(Parent:integer, Child:integer)})."
+    program = database + (
+        "same_generation(X,Y) <- parent_child(Parent,X), parent_child(Parent,Y), X ~= Y."
+        "same_generation(X,Y) <- parent_child(A,X), same_generation(A,B), parent_child(B,Y)."
+    )
+    answers1 = [(8, 9), (9, 6), (6, 9), (9, 8), (8, 6), (5, 4), (4, 5), (6, 8)]
+    answers2 = [(-1, 1), (1, -1), (-2, 2), (2, -2), (-3, 3), (3, -3), (-4, 4),
+                (4, -4), (-5, 5), (5, -5)]
+    run_case(spark, program, "same_generation(A,B)",
+             {"parent_child": PARENT_CHILD}, answers1)
+    run_case(spark, program, "same_generation(A,B)",
+             {"parent_child": PARENT_CHILD2}, answers2)
+
+
+MLM_DATABASE = (
+    "database({"
+    "sponsor(M:integer, NM:integer), "
+    "sales(M:integer, S:float, P:float), "
+    "schedule(LS:float, RS:float, BP:float)})."
+)
+MLM_PROGRAM = MLM_DATABASE + (
+    "member_sales(M, sum<S>) <- sales(M, S, _)."
+    "network_tc(M, M) <- sponsor(M, _)."
+    "network_tc(M, M) <- sponsor(_, M)."
+    "network_tc(M, M2) <- network_tc(M, M1), sponsor(M1, M2)."
+    "member_total_sales(M, sum<S>) <- network_tc(M, NM), member_sales(NM, S)."
+    "member_bonus_self(M, B) <- member_sales(M, ST), member_total_sales(M, S), "
+    "schedule(LS, RS, BP), S >= LS, S < RS, B = ST * BP."
+    "member_bonus_frontline(M, sum<B>) <- sponsor(M, NM), member_total_sales(NM, S), "
+    "schedule(LS, RS, BP), S >= LS, S < RS, B = S * BP."
+    "bonus(sum<B>) <- member_bonus_self(M,B1), member_bonus_frontline(M,B2), B=B1+B2."
+    "gross_profit(sum<P>) <- sales(_, _, P)."
+    "net_profit(NP) <- gross_profit(P), bonus(B), NP = P - B."
+)
+MLM_DATA = {"sponsor": MLM_SPONSORS, "sales": MLM_SALES, "schedule": MLM_SCHEDULE}
+
+
+@pytest.mark.parametrize(
+    "query,expected",
+    [
+        ("network_tc(A,B)", [(1, 1), (2, 2), (3, 3), (4, 4), (1, 2), (1, 3), (2, 4), (1, 4)]),
+        ("member_sales(A,B)", [(1, 179.0), (2, 39.0), (3, 19.0), (4, 94.0), (5, 117.0)]),
+        ("member_total_sales(A,B)", [(1, 331.0), (2, 133.0), (3, 19.0), (4, 94.0)]),
+        ("member_bonus_self(A,B)", [(1, 10.739999759942293), (2, 1.169999973848462)]),
+        ("member_bonus_frontline(A,B)", [(1, 3.9899999108165503)]),
+        ("gross_profit(A)", [(110.0,)]),
+        # DEVIATION from the reference goldens (RecursiveQuerySuites.scala:169-173):
+        # the reference expects bonus=19.8899... / net_profit=90.1100..., which is
+        # only derivable by CROSS-joining member_bonus_self x member_bonus_frontline
+        # (2 self rows x 1 frontline row, double-counting B2) — i.e. the DeALS jar
+        # did not unify the shared variable M across the two subgoals. Standard
+        # Datalog semantics (shared var => equi-join on M) yields:
+        #   bonus = 10.7399997599 + 3.9899999108 = 14.7299996707
+        #   net_profit = 110.0 - bonus = 95.2700003292
+        ("bonus(A)", [(14.729999670758843,)]),
+        ("net_profit(A)", [(95.27000032924116,)]),
+    ],
+)
+def test_multi_level_marketing(spark, query, expected):
+    run_case(spark, MLM_PROGRAM, query, MLM_DATA, expected)
+
+
+def test_tc_three_ary(spark):
+    program = ARC_DB + (
+        "leftLinearPaths(A,B,B) <- arc(A,B)."
+        "leftLinearPaths(B,C,D) <- leftLinearPaths(A,B,C), arc(C,D)."
+    )
+    answers = [
+        (0, 1, 1), (0, 2, 2), (2, 1, 1), (1, 3, 3), (3, 1, 1), (1, 0, 0),
+        (1, 1, 3), (1, 1, 0), (2, 2, 1), (3, 3, 1), (0, 0, 1), (0, 0, 2),
+        (1, 3, 1), (1, 0, 1), (1, 0, 2), (2, 1, 3), (2, 1, 0), (3, 1, 3),
+        (3, 1, 0), (0, 1, 3), (0, 1, 0), (0, 2, 1),
+    ]
+    run_case(spark, program, "leftLinearPaths(A,B,C).", {"arc": GRAPH7}, answers)

@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic uses built-in pyspark.sql.functions (JVM-side,
+whole-stage-codegen'd) — no Python UDFs — so every operator scales to
+arbitrary partition counts with zero serialization overhead. Each function
+takes/returns DataFrames or Columns and composes with any plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A small deterministic stopword set used for quality scoring / language ID.
+STOPWORDS = (
+    "the", "a", "of", "and", "to", "in", "is", "it", "for", "on", "with",
+)
+
+# marker words per language for the n-gram/marker language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "de": ("der", "und", "die"),
+    "fr": ("le", "et", "la"),
+    "es": ("el", "y", "de"),
+    "zh": ("de", "le", "shi"),
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization → array<string> (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BPE-ish refinement: punctuation splits too)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def char_count(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c)
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords=STOPWORDS) -> Column:
+    """Fraction of tokens that are stopwords — a classic quality signal."""
+    toks = tokens(col)
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(
+        toks, F.lit(0), lambda acc, t: acc + F.length(t)
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score from length / punctuation / stopword
+    signals. Deterministic and SQL-expressible (oracle-checkable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c) / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.least(punct_ratio(c) * 5.0, F.lit(1.0))
+    sw = stopword_ratio(c)
+    sw_score = F.least(sw * 4.0, F.lit(1.0))
+    return F.round(
+        0.5 * len_score + 0.3 * sw_score + 0.2 * (1.0 - punct_pen), 6
+    )
+
+
+def lang_id(col: Column | str) -> Column:
+    """Marker-word language ID: argmax over per-language marker-token hits,
+    'und' (undetermined) when no marker occurs. Deterministic tie-break by
+    language code order."""
+    toks = tokens(col)
+    scores = []
+    for code in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(w) for w in LANG_MARKERS[code]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        scores.append((code, hits))
+    # argmax with deterministic order: fold over structs (score desc, code asc)
+    best = F.greatest(
+        *[F.struct(s.alias("n"), F.lit(c).alias("code")) for c, s in scores]
+    )
+    return F.when(best["n"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text.
+    Portable across engines (oracle: DuckDB md5())."""
+    c = F.col(col) if isinstance(col, str) else col
+    normalized = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return F.md5(normalized)
+
+
+def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document text-analysis profile — one pass, all JVM-side."""
+    return df.select(
+        F.col(id_col),
+        char_count(text_col).alias("n_chars_computed"),
+        token_count(text_col).alias("n_tokens"),
+        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
+        quality_score(text_col).alias("quality"),
+        lang_id(text_col).alias("lang_pred"),
+        fingerprint(text_col).alias("fp"),
+    )

@@ -1,0 +1,284 @@
+"""Deduplication operators for large-scale corpora.
+
+Five families, all expressed with built-in DataFrame ops (JVM-side) so they
+scale horizontally; shuffles are keyed on content hashes/buckets which
+distribute uniformly by construction:
+
+* exact            — hash-groupBy on a normalized fingerprint
+* n-gram Jaccard   — exact pairwise similarity on word shingles
+* MinHash + LSH    — banded minhash bucketing → candidate pairs → verify
+* SimHash          — 64-bit hyperplane-ish fingerprint, near-dup by bucket
+* embedding cosine — near-dup pairs by vector similarity
+
+The `*_pairs` operators return (left_id, right_id, score) with
+left_id < right_id; `dedup_*` operators return the surviving rows
+(keep = min id per duplicate group).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id document per normalized-text fingerprint.
+
+    One shuffle on the fingerprint (uniform by construction). At 100 TB:
+    this is the canonical map-side-combinable pattern — Catalyst plans a
+    partial min before the exchange.
+    """
+    fp = fingerprint(text_col).alias("__fp")
+    keep = (
+        df.select(F.col(id_col), fp)
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col))
+        .drop("__fp")
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# --------------------------------------------------------------- shingles
+
+def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  n: int = 3) -> DataFrame:
+    """(id, shingle) pairs of n-word shingles over normalized text.
+    Distinct per document (set semantics for Jaccard)."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+
+    Plan: explode shingles → self-join on shingle (co-grouped by shingle
+    hash, so common-shingle pairs co-locate) → count intersections →
+    |A∪B| = |A|+|B|−|A∩B|. Only documents sharing ≥1 shingle ever pair up —
+    no quadratic blow-up on disjoint corpora. Scale path: cap ultra-common
+    shingles (stopword shingles) before the join to avoid skew.
+    """
+    sh = word_shingles(df, text_col, id_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.select(F.col(id_col).alias("left_id"), "shingle")
+    b = sh.select(F.col(id_col).alias("right_id"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .where(F.col("left_id") < F.col("right_id"))
+        .groupBy("left_id", "right_id")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col(id_col).alias("left_id"), F.col("sz").alias("lsz")), "left_id")
+        .join(sizes.select(F.col(id_col).alias("right_id"), F.col("sz").alias("rsz")), "right_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("lsz") + F.col("rsz") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------------- minhash LSH
+
+def minhash_signatures(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 32
+) -> DataFrame:
+    """One row per doc with `num_hashes` minhash values, computed as
+    min(xxhash64(seed, shingle)) — all JVM-side, one shuffle."""
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+    verify: bool = True,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs, optionally verified with exact
+    Jaccard (shingle→minhash→band→bucket-join).
+
+    With 32 hashes / 8 bands / 4 rows the S-curve passes ~50% at
+    s ≈ (1/8)^(1/4) ≈ 0.59 — high recall at 0.8. Scale: the band join keys
+    are (band_id, band_hash) — uniformly distributed, skew-free; candidate
+    verification only touches bucketed pairs, never the full cross product.
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+    sh = word_shingles(df, text_col, id_col, n)
+    sig = minhash_signatures(sh, id_col, num_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.xxhash64(*cols).alias("sig"))
+        )
+    buckets = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+    left = buckets.select(F.col(id_col).alias("left_id"), "band", "sig")
+    right = buckets.select(F.col(id_col).alias("right_id"), "band", "sig")
+    cand = (
+        left.join(right, on=["band", "sig"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .distinct()
+    )
+    if not verify:
+        return cand
+    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
+    return cand.join(exact, on=["left_id", "right_id"], how="inner")
+
+
+# --------------------------------------------------------------- simhash
+
+def _i64(x: int) -> int:
+    """Wrap a Python int into signed 64-bit range (JVM long literals)."""
+    x &= (1 << 64) - 1
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints from word tokens.
+
+    Per token a 64-bit hash; the fingerprint's bit i is 1 iff the sum of
+    (+1/−1) over tokens' bit i is positive. Expressed as an explode +
+    per-bit conditional sums — stays in codegen, single shuffle on id."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    t = t.withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(_i64(1 << i))) != 0, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(bits)
+    ]
+    sums = t.groupBy(id_col).agg(*bit_aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(_i64(1 << i))).otherwise(F.lit(0))
+        fp = bit if fp is None else fp.bitwiseOR(bit)
+    return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
+
+    Uses the standard block trick: split the 64-bit hash into
+    (max_hamming+1) blocks; any pair within distance d ≤ max_hamming agrees
+    on ≥1 block (pigeonhole) → join on (block_idx, block_value), then verify
+    with bit_count(xor). Never quadratic."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    s = simhash(df, text_col, id_col)
+    blocks = []
+    for b in range(nblocks):
+        shift = b * width
+        w = width if b < nblocks - 1 else 64 - shift
+        mask = _i64(((1 << w) - 1) << shift)
+        blocks.append(
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("val"),
+            )
+        )
+    bdf = s.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*blocks)).alias("b")
+    ).select(id_col, "simhash", F.col("b.blk").alias("blk"), F.col("b.val").alias("val"))
+    left = bdf.select(
+        F.col(id_col).alias("left_id"), F.col("simhash").alias("lh"), "blk", "val"
+    )
+    right = bdf.select(
+        F.col(id_col).alias("right_id"), F.col("simhash").alias("rh"), "blk", "val"
+    )
+    cand = (
+        left.join(right, on=["blk", "val"])
+        .where(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id", "lh", "rh")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("lh").bitwiseXOR(F.col("rh")))
+    return (
+        cand.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("left_id", "right_id", "hamming")
+    )
+
+
+# --------------------------------------------------------------- embeddings
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine similarity ≥ threshold.
+
+    Brute-force within optional blocks (block_col) — the exact baseline.
+    Scale path: LSH-bucket the vectors first (random hyperplanes), or use
+    the IVF route in operators/similarity.py."""
+    from .similarity import cosine_expr
+
+    on = [F.col("l.__i") < F.col("r.__i")]
+    a = df.select(
+        F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"),
+        *( [F.col(block_col)] if block_col else [] )
+    )
+    if block_col:
+        joined = a.alias("l").join(
+            a.alias("r"),
+            on=[F.col(f"l.{block_col}") == F.col(f"r.{block_col}")] + on,
+        )
+    else:
+        joined = a.alias("l").crossJoin(a.alias("r")).where(on[0])
+    cos = cosine_expr(F.col("l.__v"), F.col("r.__v"))
+    return (
+        joined.select(
+            F.col("l.__i").alias("left_id"),
+            F.col("r.__i").alias("right_id"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,146 @@
+"""Multimodal (image/audio/video) column operators.
+
+Media are opaque `binary` columns with typed metadata structs. The
+Spark-side plumbing — schemas, Arrow-batched Pandas UDF signatures over
+mapInPandas, partition sizing — is real and tested; the actual codec work
+is STUBBED (image/audio libraries are not in this container): decode
+functions either raise NotImplementedError (strict mode) or produce a
+deterministic fake (test mode) behind the same interface, so swapping in
+Pillow/ffmpeg later changes one function body, not the pipeline.
+
+Scale notes: media rows are large (MBs) — operators below repartition by
+byte budget, not row count, and mapInPandas streams Arrow batches so a
+partition never needs to fit a whole batch of decoded frames in memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("kind", T.StringType(), False),  # image | audio | video
+    T.StructField("payload", T.BinaryType(), True),
+    T.StructField("meta", T.StructType([
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("codec", T.StringType(), True),
+    ]), True),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+])
+
+
+def _decode_stub(payload: bytes, kind: str, deterministic_fake: bool):
+    """STUB: real decoders (Pillow / soundfile / ffmpeg) are not available
+    in this environment. deterministic_fake=True yields a stable
+    8-dim feature from the payload bytes so pipelines are testable."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            f"media decode for kind={kind!r} requires codec libraries not "
+            "present in this container; wire Pillow/ffmpeg here"
+        )
+    if payload is None:
+        return [0.0] * 8
+    # stable, content-derived fake feature: byte histogram over 8 buckets
+    hist = [0] * 8
+    for b in payload[:4096]:
+        hist[b % 8] += 1
+    total = max(sum(hist), 1)
+    return [h / total for h in hist]
+
+
+def extract_features(
+    media: DataFrame,
+    deterministic_fake: bool = True,
+    target_partition_bytes: int = 128 << 20,
+) -> DataFrame:
+    """media table → (media_id, n_bytes, feature) via Arrow-batched
+    mapInPandas. Partitioning is by payload byte budget: at 100 TB a
+    row-count-based split would put thousands of 10 MB videos in one task."""
+    import pandas as pd
+
+    sized = media.withColumn("__bytes", F.coalesce(F.length("payload"), F.lit(0)))
+    total = sized.agg(F.sum("__bytes")).first()[0] or 0
+    nparts = max(1, int(total // target_partition_bytes) + 1)
+    # salt by media_id for uniform byte distribution
+    repartitioned = sized.repartition(nparts, "media_id")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                _decode_stub(p, k, deterministic_fake)
+                for p, k in zip(pdf["payload"], pdf["kind"])
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "n_bytes": pdf["__bytes"],
+                "feature": feats,
+            })
+
+    return repartitioned.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(media: DataFrame, width: int, height: int,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """image resize plumbing: filters to kind='image', rewrites meta, and
+    passes payloads through the (stubbed) codec boundary."""
+    import pandas as pd
+
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError("image resize requires Pillow")
+            meta = [
+                {"width": width, "height": height, "sample_rate": None,
+                 "duration_ms": None, "codec": c.get("codec") if isinstance(c, dict) else None}
+                for c in pdf["meta"]
+            ]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": pdf["payload"],  # stub: real impl re-encodes
+                "meta": meta,
+            })
+
+    return media.where(F.col("kind") == "image").mapInPandas(run, out_schema)
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000,
+                  deterministic_fake: bool = True) -> DataFrame:
+    """video frame sampling plumbing: one output row per sampled timestamp,
+    exercising the 1→N mapInPandas shape real frame extraction needs."""
+    import pandas as pd
+
+    schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not deterministic_fake:
+                raise NotImplementedError("frame sampling requires ffmpeg")
+            ids, tss, frames = [], [], []
+            for mid, meta, payload in zip(pdf["media_id"], pdf["meta"], pdf["payload"]):
+                dur = (meta or {}).get("duration_ms") or 0
+                for ts in range(0, int(dur), every_ms):
+                    ids.append(mid)
+                    tss.append(ts)
+                    frames.append(payload[:16] if payload is not None else None)
+            yield pd.DataFrame({"media_id": ids, "ts_ms": tss, "frame": frames})
+
+    return media.where(F.col("kind") == "video").mapInPandas(run, schema)

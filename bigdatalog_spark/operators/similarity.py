@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the LSH (random-hyperplane)
+and IVF (coarse-quantizer) variants are the 100 TB scale paths — both turn
+the all-pairs problem into bucket-local joins with uniform keys.
+
+All vector math uses built-in higher-order functions (zip_with/aggregate),
+which run in the JVM — no Python serialization in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Σ aᵢ·bᵢ in double precision (JVM-side fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    (large) vector corpus, rank per query.
+
+    Scale: the corpus side is never shuffled until the final per-query
+    top-k aggregation, whose cardinality is |queries| × corpus-partitions —
+    tiny. Ties broken by id for determinism.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    v = vectors.select(F.col(id_col).alias("__vid"), F.col(vec_col).alias("__vv"))
+    scored = v.crossJoin(F.broadcast(q)).select(
+        F.col("__qid").alias("query_id"),
+        F.col("__vid").alias("neighbor_id"),
+        F.round(cosine_expr(F.col("__qv"), F.col("__vv")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    planes: list,
+    vec_col: str = "embedding",
+) -> Column:
+    """Random-hyperplane LSH signature: bit i = sign(v · planeᵢ).
+    `planes` is a Python list of lists (broadcast as literals)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot_expr(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bits.append(bit)
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig + b
+    return sig
+
+
+def lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    planes: list,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket.
+    Recall < 1 by design; the exact brute-force path is the oracle."""
+    v = vectors.withColumn("__bucket", hyperplane_lsh_buckets(vectors, planes, vec_col))
+    q = queries.withColumn("__bucket", hyperplane_lsh_buckets(queries, planes, vec_col))
+    joined = v.alias("v").join(F.broadcast(q.alias("q")), on="__bucket")
+    scored = joined.select(
+        F.col(f"q.{query_id_col}").alias("query_id"),
+        F.col(f"v.{id_col}").alias("neighbor_id"),
+        F.round(
+            cosine_expr(F.col(f"q.{vec_col}"), F.col(f"v.{vec_col}")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    centroids: list,
+    k: int = 5,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: assign corpus vectors to their nearest centroid
+    (coarse quantizer); probe the nprobe nearest cells per query.
+
+    At scale the corpus is written bucketed by cell id, so a query touches
+    only nprobe partitions — the classic inverted-file layout on parquet.
+    """
+    def cell_scores(col: Column) -> Column:
+        return F.array(*[
+            F.struct(
+                (-dot_expr(col, F.array(*[F.lit(float(x)) for x in c]))).alias("negdot"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ])
+
+    v = vectors.withColumn(
+        "__cell", F.array_min(cell_scores(F.col(vec_col)))["cell"]
+    )
+    q = queries.withColumn(
+        "__cells",
+        F.slice(F.array_sort(cell_scores(F.col(vec_col))), 1, nprobe),
+    ).withColumn("__cell", F.explode(F.col("__cells.cell")))
+    joined = v.alias("v").join(F.broadcast(q.alias("q")), on="__cell")
+    scored = joined.select(
+        F.col(f"q.{query_id_col}").alias("query_id"),
+        F.col(f"v.{id_col}").alias("neighbor_id"),
+        F.round(
+            cosine_expr(F.col(f"q.{vec_col}"), F.col(f"v.{vec_col}")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

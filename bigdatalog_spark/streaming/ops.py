@@ -1,0 +1,93 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface (SURVEY.md §2.9); these extend the
+engine for the events-stream shape in the driver testdata: watermarked
+tumbling/sliding window aggregation and stateful sessionization, expressed
+with the standard readStream → transform → writeStream contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + value sums per event
+    type. Works on both batch and streaming DataFrames (same code path —
+    the Structured Streaming contract)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    win = (
+        F.window(F.col(ts_col), window_duration, slide)
+        if slide
+        else F.window(F.col(ts_col), window_duration)
+    )
+    return (
+        df.groupBy(win.alias("win"), F.col(type_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            F.col(type_col),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows per user (gap-based), via the built-in session_window
+    — Spark's native stateful operator, no custom state store needed."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sess"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col(user_col),
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_events_from_files(spark, path: str, schema) -> DataFrame:
+    """File-source stream over a directory of parquet/json drops."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def write_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Run a streaming query into an in-memory table (testing sink)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,85 @@
+"""Deduplication operator tests: exact, n-gram Jaccard, MinHash LSH,
+SimHash, embedding cosine."""
+
+from pyspark.sql import functions as F
+
+from bigdatalog_spark.operators.dedup import (
+    embedding_dup_pairs,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    word_shingles,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _dupdocs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    near = "the quick brown fox jumps over the lazy dog again and again now"
+    other = "completely different content about spark query engines at scale"
+    return spark.createDataFrame(
+        [(1, base), (2, base.upper()), (3, near), (4, other)],
+        ["doc_id", "text"],
+    )
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = exact_dedup(_dupdocs(spark)).select("doc_id").collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [1, 3, 4]  # 2 is a case-variant of 1
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([(1, "a b c d")], ["doc_id", "text"])
+    out = {r["shingle"] for r in word_shingles(df, n=3).collect()}
+    assert out == {"a b c", "b c d"}
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = ngram_jaccard_pairs(_dupdocs(spark), threshold=0.5).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    # 1-2 identical after normalization (jaccard 1.0); 1-3 and 2-3 near
+    assert (1, 2) in got
+    assert (1, 3) in got
+    assert all(p[1] != 4 and p[0] != 4 for p in got)
+
+
+def test_minhash_lsh_recall_on_near_dups(spark):
+    exact = {
+        (r["left_id"], r["right_id"])
+        for r in ngram_jaccard_pairs(_dupdocs(spark), threshold=0.8).collect()
+    }
+    lsh = {
+        (r["left_id"], r["right_id"])
+        for r in minhash_lsh_pairs(_dupdocs(spark), threshold=0.8).collect()
+    }
+    # verified LSH output must equal the exact pairs at this tiny scale
+    assert lsh == exact
+    assert (1, 2) in lsh
+
+
+def test_simhash_identical_distance_zero(spark):
+    pairs = simhash_pairs(_dupdocs(spark), max_hamming=3).collect()
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0  # identical after lowercase normalization
+
+
+def test_embedding_dup_pairs_on_testdata(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pairs = embedding_dup_pairs(emb, threshold=0.9, block_col="label")
+    rows = pairs.collect()
+    for r in rows:
+        assert r["left_id"] < r["right_id"]
+        assert r["cosine"] >= 0.9
+
+
+def test_embedding_self_similarity(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(5)
+    dup = emb.union(emb.select((F.col("vec_id") + 1000).alias("vec_id"),
+                               "embedding", "label"))
+    pairs = embedding_dup_pairs(dup, threshold=0.999).collect()
+    got = {(r["left_id"], r["right_id"]) for r in pairs}
+    for i in range(5):
+        assert (i, i + 1000) in got

@@ -1,0 +1,65 @@
+"""Structured Streaming operator tests: windowed aggregation and
+sessionization, batch/stream parity via file source + memory sink."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from bigdatalog_spark.sources.tables import load_table
+from bigdatalog_spark.streaming.ops import (
+    sessionize,
+    stream_events_from_files,
+    windowed_event_counts,
+    write_memory_sink,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _events(spark):
+    return load_table(spark, SF, "events")
+
+
+def test_windowed_counts_batch(spark):
+    ev = _events(spark)
+    out = windowed_event_counts(ev, "1 hour")
+    total = out.agg(F.sum("n_events")).first()[0]
+    assert total == ev.count()
+    # window boundaries are hour-aligned
+    row = out.first()
+    assert row["window_start"].minute == 0 and row["window_start"].second == 0
+
+
+def test_sessionize_batch(spark):
+    ev = _events(spark)
+    out = sessionize(ev, gap="30 minutes")
+    assert out.agg(F.sum("n_events")).first()[0] == ev.count()
+    # sessions per user never overlap
+    rows = out.orderBy("user_id", "session_start").collect()
+    last_end = {}
+    for r in rows:
+        u = r["user_id"]
+        if u in last_end:
+            assert r["session_start"] >= last_end[u]
+        last_end[u] = r["session_end"]
+
+
+def test_stream_matches_batch(spark):
+    ev = _events(spark)
+    batch = windowed_event_counts(ev, "1 hour")
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/in")
+        stream = stream_events_from_files(spark, f"{d}/in", ev.schema)
+        assert stream.isStreaming
+        # complete mode: append would withhold windows the watermark hasn't
+        # passed at end-of-stream
+        q = write_memory_sink(
+            windowed_event_counts(stream, "1 hour"), "win_test", "complete"
+        )
+        q.awaitTermination(120)
+        got = {
+            tuple(r)
+            for r in spark.table("win_test").collect()
+        }
+        want = {tuple(r) for r in batch.collect()}
+        assert got == want

@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship query (Datalog transitive closure) on sf0.001.
+queries()      — one entry per implemented operator family (SURVEY.md §2 +
+                 the pipeline operators): each callable (spark, sf_dir) → DF.
+oracle_sql()   — DuckDB-equivalent SQL per query (column names/aliases match
+                 the Spark output exactly). MinHash/SimHash are rows-only
+                 (seeded-hash outputs aren't portable SQL).
+
+Derived graph convention (used identically in Spark and SQL): a binary tree
+over part keys — edges src=k → dst=2k and 2k+1 for k ≥ 1, dst ≤ max key;
+weights w = 1 + dst % 3; "forest" drops edges whose dst % 97 == 0.
 """
 
 from __future__ import annotations
@@ -12,27 +17,757 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from bigdatalog_spark import BigDatalogContext
+from bigdatalog_spark.functions.text import text_profile
+from bigdatalog_spark.operators.dedup import (
+    embedding_dup_pairs,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from bigdatalog_spark.operators.similarity import brute_force_topk
+from bigdatalog_spark.sources.tables import load_table
+from bigdatalog_spark.streaming.ops import sessionize, windowed_event_counts
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+# ----------------------------------------------------------- derived graphs
+
+def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    mx = part.agg(F.max("p_partkey")).first()[0]
+    base = part.where(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("src")
+    )
+    left = base.select("src", (F.col("src") * 2).alias("dst"))
+    right = base.select("src", (F.col("src") * 2 + 1).alias("dst"))
+    return left.union(right).where(F.col("dst") <= mx)
+
+
+_EDGES_SQL = """
+  SELECT p_partkey AS src, p_partkey*2 AS dst FROM part
+  WHERE p_partkey >= 1 AND p_partkey*2 <= (SELECT max(p_partkey) FROM part)
+  UNION ALL
+  SELECT p_partkey, p_partkey*2+1 FROM part
+  WHERE p_partkey >= 1 AND p_partkey*2+1 <= (SELECT max(p_partkey) FROM part)
+"""
+
+
+def _datalog(spark: SparkSession, program: str, data: dict, goal: str) -> DataFrame:
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(program)
+    for name, df in data.items():
+        ctx.register(name, df)
+    return ctx.query(goal)
+
+
+# ----------------------------------------------------------- datalog: relational
+
+def dl_filter_project(spark, sf_dir):
+    """Scan + comparison filter + projection (RelationalQuerySuite shapes)."""
+    orders = load_table(spark, sf_dir, "orders")
+    df = _datalog(
+        spark,
+        "database({orders(OK:long, CK:long, St:string, TP:double, OD:datetime, OP:string)})."
+        "big_orders(OK, CK, TP) <- orders(OK, CK, _, TP, _, _), TP > 450000.",
+        {"orders": orders},
+        "big_orders(OK, CK, TP).",
+    )
+    return df.select(
+        F.col("OK").alias("o_orderkey"),
+        F.col("CK").alias("o_custkey"),
+        F.col("TP").alias("o_totalprice"),
+    )
+
+
+def dl_join_3way(spark, sf_dir):
+    """3-way join with a constant filter pushed through (BASE_RELATION +
+    JOIN + constant, LogicalPlanGenerator.scala:172-248)."""
+    df = _datalog(
+        spark,
+        "database({customer(CK:long, CN:string, NK:integer, AB:double, MS:string),"
+        "nation(NK:integer, NN:string, RK:integer),"
+        "region(RK:integer, RN:string)})."
+        "cust_nation(CN, NN) <- customer(_, CN, NK, _, _), nation(NK, NN, RK), "
+        "region(RK, 'ASIA').",
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "nation": load_table(spark, sf_dir, "nation"),
+            "region": load_table(spark, sf_dir, "region"),
+        },
+        "cust_nation(CN, NN).",
+    )
+    return df.select(F.col("CN").alias("c_name"), F.col("NN").alias("n_name"))
+
+
+def dl_negation(spark, sf_dir):
+    """Anti-join negation (NegationQuerySuite semantics)."""
+    df = _datalog(
+        spark,
+        "database({customer(CK:long, CN:string, NK:integer, AB:double, MS:string),"
+        "orders(OK:long, CK:long, St:string, TP:double, OD:datetime, OP:string)})."
+        "no_orders(CK) <- customer(CK, _, _, _, _), ~orders(_, CK, 'P', _, _, _).",
+        {
+            "customer": load_table(spark, sf_dir, "customer"),
+            "orders": load_table(spark, sf_dir, "orders"),
+        },
+        "no_orders(CK).",
+    )
+    return df.select(F.col("CK").alias("c_custkey"))
+
+
+def dl_union_distinct(spark, sf_dir):
+    """Multi-rule union with set semantics (UNION, §2.6)."""
+    df = _datalog(
+        spark,
+        "database({customer(CK:long, CN:string, NK:integer, AB:double, MS:string)})."
+        "interesting(CK) <- customer(CK, _, _, AB, _), AB > 7000."
+        "interesting(CK) <- customer(CK, _, _, _, 'MACHINERY').",
+        {"customer": load_table(spark, sf_dir, "customer")},
+        "interesting(CK).",
+    )
+    return df.select(F.col("CK").alias("c_custkey"))
+
+
+def dl_agg_multi(spark, sf_dir):
+    """Grouped multi-aggregate head (count + sum + avg, §2.4)."""
+    df = _datalog(
+        spark,
+        "database({customer(CK:long, CN:string, NK:integer, AB:double, MS:string)})."
+        "seg_stats(MS, count<CK>, avg<AB>) <- customer(CK, _, _, AB, MS).",
+        {"customer": load_table(spark, sf_dir, "customer")},
+        "seg_stats(MS, N, A).",
+    )
+    return df.select(
+        F.col("MS").alias("c_mktsegment"),
+        F.col("N").alias("n_customers"),
+        F.round(F.col("A"), 4).alias("avg_balance"),
+    )
+
+
+def dl_countd(spark, sf_dir):
+    """count-distinct aggregate (countd, §2.4)."""
+    df = _datalog(
+        spark,
+        "database({lineitem(OK:long, PK:long, SK:long, LN:integer, Q:double,"
+        "EP:double, D:double, T:double, RF:string, LS:string, SD:datetime)})."
+        "supp_parts(SK, countd<PK>) <- lineitem(_, PK, SK, _, _, _, _, _, _, _, _).",
+        {"lineitem": load_table(spark, sf_dir, "lineitem")},
+        "supp_parts(SK, NP).",
+    )
+    return df.select(F.col("SK").alias("l_suppkey"), F.col("NP").alias("n_parts"))
+
+
+def dl_sort_limit(spark, sf_dir):
+    """sort((RP,desc)) + limit(10) pseudo-predicates (§2.5)."""
+    df = _datalog(
+        spark,
+        "database({part(PK:long, PN:string, PB:string, PT:string, PS:integer, RP:double)})."
+        "top_parts(PK, RP) <- part(PK, _, _, _, _, RP), sort((RP, desc)), limit(10).",
+        {"part": load_table(spark, sf_dir, "part")},
+        "top_parts(PK, RP).",
+    )
+    return df.select(F.col("PK").alias("p_partkey"), F.col("RP").alias("p_retailprice"))
+
+
+def dl_arith(spark, sf_dir):
+    """Arithmetic binding in rule body (D = E*(1-d), §2.2)."""
+    df = _datalog(
+        spark,
+        "database({lineitem(OK:long, PK:long, SK:long, LN:integer, Q:double,"
+        "EP:double, D:double, T:double, RF:string, LS:string, SD:datetime)})."
+        "revenue(OK, LN, R) <- lineitem(OK, _, _, LN, _, EP, D, _, _, _, _), "
+        "R = EP * (1 - D).",
+        {"lineitem": load_table(spark, sf_dir, "lineitem")},
+        "revenue(OK, LN, R).",
+    )
+    return df.select(
+        F.col("OK").alias("l_orderkey"),
+        F.col("LN").alias("l_linenumber"),
+        F.col("R").alias("revenue"),
+    )
+
+
+def dl_date_filter(spark, sf_dir):
+    """Datetime comparison filters (RelationalQuerySuite date test shape)."""
+    df = _datalog(
+        spark,
+        "database({orders(OK:long, CK:long, St:string, TP:double, OD:datetime, OP:string)})."
+        "o99(OK, OD) <- orders(OK, _, _, _, OD, _), OD >= '1999-01-01', OD < '2000-01-01'.",
+        {"orders": load_table(spark, sf_dir, "orders")},
+        "o99(OK, OD).",
+    )
+    return df.select(F.col("OK").alias("o_orderkey"), F.col("OD").alias("o_orderdate"))
+
+
+# ----------------------------------------------------------- datalog: recursion
+
+def dl_tc(spark, sf_dir):
+    """Transitive closure — the reference's flagship recursion
+    (RecursiveQuerySuites TC-LL) on the derived binary-tree graph."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "tc(A,B).",
+    )
+    return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
+
+
+def dl_reach(spark, sf_dir):
+    """Reachability from a literal seed (Reach program)."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "reach(A) <- A = 1."
+        "reach(B) <- reach(A), arc(A,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "reach(A).",
+    )
+    return df.select(F.col("A").alias("vertex"))
+
+
+def dl_sssp(spark, sf_dir):
+    """SSSP via monotonic mmin aggregate in recursion
+    (AggregatesInRecursionQuerySuite SSSP)."""
+    edges = _tree_edges(spark, sf_dir).withColumn(
+        "w", F.lit(1) + F.col("dst") % 3
+    )
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long, W:long)})."
+        "mminpath(X, mmin<D>) <- X = 1, D = 0."
+        "mminpath(Z, mmin<D>) <- mminpath(X, D1), arc(X, Z, W), D = D1 + W."
+        "sssp(X, min<D>) <- mminpath(X, D).",
+        {"arc": edges},
+        "sssp(V, D).",
+    )
+    return df.select(F.col("V").alias("vertex"), F.col("D").alias("distance"))
+
+
+def dl_cc(spark, sf_dir):
+    """Connected components (mmin fixpoint → min → countd) on the forest."""
+    forest = _tree_edges(spark, sf_dir).where(F.col("dst") % 97 != 0)
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "cc3(X, mmin<X>) <- arc(X, _)."
+        "cc3(Y, mmin<V>) <- cc3(X, V), arc(X, Y)."
+        "cc2(X, min<Y>) <- cc3(X, Y)."
+        "cc(countd<X>) <- cc2(_, X).",
+        {"arc": forest},
+        "cc(N).",
+    )
+    return df.select(F.col("N").alias("n_components"))
+
+
+def dl_same_generation(spark, sf_dir):
+    """Same-generation (non-linear variable flow) on the tree top levels."""
+    pc = _tree_edges(spark, sf_dir).where(F.col("dst") <= 255)
+    df = _datalog(
+        spark,
+        "database({pc(P:long, C:long)})."
+        "sg(X,Y) <- pc(P,X), pc(P,Y), X ~= Y."
+        "sg(X,Y) <- pc(A,X), sg(A,B), pc(B,Y).",
+        {"pc": pc},
+        "sg(X,Y).",
+    )
+    return df.select(F.col("X").alias("x"), F.col("Y").alias("y"))
+
+
+def dl_triangle_count(spark, sf_dir):
+    """Triangle counting with inequality filters + count<_>
+    (TriangleQuerySuite program) on tree ∪ sibling ∪ up edges."""
+    tree = _tree_edges(spark, sf_dir)
+    mx_df = load_table(spark, sf_dir, "part").agg(F.max("p_partkey"))
+    mx = mx_df.first()[0]
+    base = load_table(spark, sf_dir, "part").where(
+        (F.col("p_partkey") >= 1) & (F.col("p_partkey") * 2 + 1 <= mx)
+    ).select(F.col("p_partkey").alias("k"))
+    sib = base.select(
+        (F.col("k") * 2).alias("src"), (F.col("k") * 2 + 1).alias("dst")
+    )
+    up = base.select((F.col("k") * 2 + 1).alias("src"), F.col("k").alias("dst"))
+    arcs = tree.union(sib).union(up)
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "triangles(X,Y,Z) <- arc(X,Y), X < Y, arc(Y,Z), Y < Z, arc(Z,X)."
+        "tcount(count<_>) <- triangles(X,Y,Z).",
+        {"arc": arcs},
+        "tcount(N).",
+    )
+    return df.select(F.col("N").alias("n_triangles"))
+
+
+# ----------------------------------------------------------- DataFrame analytics
+
+def q1_pricing_summary(spark, sf_dir):
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.col("l_shipdate") <= "2000-12-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q3_order_revenue(spark, sf_dir):
+    c = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+def q5_region_revenue(spark, sf_dir):
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def q_exists_semijoin(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+def q_topk_users_window(spark, sf_dir):
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    totals = e.groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total_value"))
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("user_id", "total_value", "rank")
+    )
+
+
+def q_hourly_events(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(e, "1 hour")
+
+
+def q_sessionize(spark, sf_dir):
+    e = load_table(spark, sf_dir, "events")
+    sess = sessionize(e, gap="30 minutes")
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+
+
+# ----------------------------------------------------------- pipeline operators
+
+def q_dedup_exact(spark, sf_dir):
+    from bigdatalog_spark.functions.text import fingerprint
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5)
+
+
+def q_dedup_minhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, max_hamming=3)
+
+
+def q_dedup_embedding(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs(e, threshold=0.4, block_col="label")
+
+
+def q_ann_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(e, q, k=5)
+
+
+def q_text_profile(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return text_profile(d).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "quality",
+        "lang_pred", "fp",
+    )
+
+
+# ----------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: Datalog transitive closure on the sf0.001 derived graph."""
+    return dl_tc(spark, SF_SMALL)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "dl_filter_project": dl_filter_project,
+        "dl_join_3way": dl_join_3way,
+        "dl_negation": dl_negation,
+        "dl_union_distinct": dl_union_distinct,
+        "dl_agg_multi": dl_agg_multi,
+        "dl_countd": dl_countd,
+        "dl_sort_limit": dl_sort_limit,
+        "dl_arith": dl_arith,
+        "dl_date_filter": dl_date_filter,
+        "dl_tc": dl_tc,
+        "dl_reach": dl_reach,
+        "dl_sssp": dl_sssp,
+        "dl_cc": dl_cc,
+        "dl_same_generation": dl_same_generation,
+        "dl_triangle_count": dl_triangle_count,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_order_revenue": q3_order_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "q_exists_semijoin": q_exists_semijoin,
+        "q_topk_users_window": q_topk_users_window,
+        "q_hourly_events": q_hourly_events,
+        "q_sessionize": q_sessionize,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_ann_topk": q_ann_topk,
+        "q_text_profile": q_text_profile,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+_PROFILE_SCORES = """
+  toks AS (SELECT doc_id, {toks} AS ws, text FROM documents),
+  scores AS (
+    SELECT doc_id, 'en' AS code,
+           len(list_filter(ws, t -> t IN ('the','and','of'))) AS n FROM toks
+    UNION ALL SELECT doc_id, 'de', len(list_filter(ws, t -> t IN ('der','und','die'))) FROM toks
+    UNION ALL SELECT doc_id, 'es', len(list_filter(ws, t -> t IN ('el','y','de'))) FROM toks
+    UNION ALL SELECT doc_id, 'fr', len(list_filter(ws, t -> t IN ('le','et','la'))) FROM toks
+    UNION ALL SELECT doc_id, 'zh', len(list_filter(ws, t -> t IN ('de','le','shi'))) FROM toks),
+  lang AS (
+    SELECT doc_id, CASE WHEN n > 0 THEN code ELSE 'und' END AS lang_pred
+    FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, code DESC) rk
+          FROM scores) WHERE rk = 1)
+""".format(toks=_TOKS)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "dl_filter_project": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_totalprice > 450000
+        """,
+        "dl_join_3way": """
+            SELECT DISTINCT c_name, n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+        """,
+        "dl_negation": """
+            SELECT c_custkey FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        """,
+        "dl_union_distinct": """
+            SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+            UNION
+            SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+        """,
+        "dl_agg_multi": """
+            SELECT c_mktsegment, CAST(count(c_custkey) AS BIGINT) AS n_customers,
+                   round(avg(c_acctbal), 4) AS avg_balance
+            FROM customer GROUP BY c_mktsegment
+        """,
+        "dl_countd": """
+            SELECT l_suppkey, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+            FROM lineitem GROUP BY l_suppkey
+        """,
+        "dl_sort_limit": """
+            SELECT p_partkey, p_retailprice FROM part
+            ORDER BY p_retailprice DESC LIMIT 10
+        """,
+        "dl_arith": """
+            SELECT DISTINCT l_orderkey, l_linenumber,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem
+        """,
+        "dl_date_filter": """
+            SELECT o_orderkey, o_orderdate FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+              AND o_orderdate < TIMESTAMP '2000-01-01'
+        """,
+        "dl_tc": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            tc(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+            SELECT src, dst FROM tc
+        """,
+        "dl_reach": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            reach(vertex) AS (
+              SELECT CAST(1 AS BIGINT)
+              UNION
+              SELECT e.dst FROM reach JOIN edges e ON e.src = reach.vertex)
+            SELECT vertex FROM reach
+        """,
+        "dl_sssp": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})),
+            paths(vertex, d) AS (
+              SELECT CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT e.dst, paths.d + e.w FROM paths JOIN edges e ON e.src = paths.vertex)
+            SELECT vertex, CAST(min(d) AS BIGINT) AS distance
+            FROM paths GROUP BY vertex
+        """,
+        "dl_cc": f"""
+            WITH RECURSIVE edges AS (
+              SELECT * FROM ({_EDGES_SQL}) WHERE dst % 97 <> 0),
+            -- label(X) = min source S (with outgoing edges) reaching X,
+            -- matching the cc3 exit rule arc(X,_) seeding
+            r(s, x) AS (
+              SELECT DISTINCT src, src FROM edges
+              UNION
+              SELECT r.s, e.dst FROM r JOIN edges e ON e.src = r.x),
+            labels AS (SELECT x, min(s) AS comp FROM r GROUP BY x)
+            SELECT CAST(count(DISTINCT comp) AS BIGINT) AS n_components FROM labels
+        """,
+        "dl_same_generation": f"""
+            WITH RECURSIVE pc AS (
+              SELECT * FROM ({_EDGES_SQL}) WHERE dst <= 255),
+            sg(x, y) AS (
+              SELECT a.dst, b.dst FROM pc a JOIN pc b ON a.src = b.src
+              WHERE a.dst <> b.dst
+              UNION
+              SELECT px.dst, py.dst FROM sg
+              JOIN pc px ON px.src = sg.x
+              JOIN pc py ON py.src = sg.y)
+            SELECT x, y FROM sg
+        """,
+        "dl_triangle_count": f"""
+            WITH tree AS ({_EDGES_SQL}),
+            mx AS (SELECT max(p_partkey) AS m FROM part),
+            ks AS (SELECT p_partkey AS k FROM part, mx
+                   WHERE p_partkey >= 1 AND p_partkey*2+1 <= m),
+            arcs AS (
+              SELECT src, dst FROM tree
+              UNION ALL SELECT k*2, k*2+1 FROM ks
+              UNION ALL SELECT k*2+1, k FROM ks),
+            tri AS (
+              SELECT 1 FROM arcs a1 JOIN arcs a2 ON a1.dst = a2.src
+              JOIN arcs a3 ON a2.dst = a3.src AND a3.dst = a1.src
+              WHERE a1.src < a1.dst AND a2.src < a2.dst)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
+        """,
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_extendedprice), 4) AS avg_price,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "q3_order_revenue": """
+            SELECT o_orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "q5_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "q_exists_semijoin": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        "q_topk_users_window": """
+            SELECT user_id, total_value, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT user_id, round(sum(value), 4) AS total_value,
+                     row_number() OVER (ORDER BY round(sum(value), 4) DESC, user_id ASC) AS rank
+              FROM events GROUP BY user_id)
+            WHERE rank <= 10
+        """,
+        "q_hourly_events": """
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+                   CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2, 3
+        """,
+        "q_sessionize": """
+            WITH o AS (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "q_dedup_exact": """
+            SELECT min(doc_id) AS doc_id FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        """,
+        "q_dedup_ngram_jaccard": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                      FROM w WHERE len(ws) >= 3))),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT left_id, right_id,
+                   round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes ls ON ls.doc_id = left_id
+            JOIN sizes rs ON rs.doc_id = right_id
+            WHERE round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) >= 0.5
+        """,
+        # q_dedup_minhash / q_dedup_simhash: rows-only (seeded xxhash64 not
+        # portable to DuckDB SQL)
+        "q_dedup_embedding": """
+            WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+            pairs AS (
+              SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+                     l.embedding AS le, r.embedding AS re
+              FROM v l JOIN v r ON l.label = r.label AND l.vec_id < r.vec_id),
+            scored AS (
+              SELECT left_id, right_id,
+                round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+                  (sqrt(SUM(CAST(x AS DOUBLE)**2)) * sqrt(SUM(CAST(y AS DOUBLE)**2))), 6) AS cosine
+              FROM (SELECT left_id, right_id, unnest(le) AS x, unnest(re) AS y FROM pairs)
+              GROUP BY left_id, right_id)
+            SELECT left_id, right_id, cosine FROM scored WHERE cosine >= 0.4
+        """,
+        "q_ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       WHERE vec_id < 8),
+            scored AS (
+              SELECT query_id, v.vec_id AS neighbor_id,
+                round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+                  (sqrt(SUM(CAST(x AS DOUBLE)**2)) * sqrt(SUM(CAST(y AS DOUBLE)**2))), 6) AS cosine
+              FROM (SELECT query_id, vec_id, unnest(qe) AS x, unnest(v2.embedding) AS y
+                    FROM q, embeddings v2) AS z(query_id, vec_id, x, y)
+              JOIN embeddings v ON v.vec_id = z.vec_id
+              GROUP BY query_id, v.vec_id)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        "q_text_profile": f"""
+            WITH {_PROFILE_SCORES},
+            base AS (
+              SELECT d.doc_id,
+                len(t.ws) AS n_tokens,
+                CAST(length(regexp_replace(d.text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(length(d.text), 1) AS praw,
+                CAST(len(list_filter(t.ws, x -> x IN
+                  ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                  / greatest(len(t.ws), 1) AS sraw,
+                least(length(d.text) / 500.0, 1.0) AS len_score,
+                md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents d JOIN toks t ON d.doc_id = t.doc_id)
+            SELECT b.doc_id,
+                   CAST(b.n_tokens AS INTEGER) AS n_tokens,
+                   round(b.praw, 6) AS punct_ratio,
+                   round(b.sraw, 6) AS stopword_ratio,
+                   round(0.5 * b.len_score + 0.3 * least(b.sraw * 4.0, 1.0)
+                         + 0.2 * (1.0 - least(b.praw * 5.0, 1.0)), 6) AS quality,
+                   l.lang_pred, b.fp
+            FROM base b JOIN lang l ON b.doc_id = l.doc_id
+        """,
+    }

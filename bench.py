@@ -1,0 +1,64 @@
+"""Benchmark driver contract: run the headline queries and print ONE JSON line.
+
+Runs every `__spark_entry__.queries()` entry against `$SPARK_GRAFT_SF_DIR`
+(default /root/testdata/sf0.1) on `local[$SPARK_GRAFT_CPUS]` (default 32),
+timing each query end-to-end (plan + execute, materialized via a noop write
+so results never funnel through the driver).
+
+Output: {"metric": "total_wall_sec", "value": N, "unit": "sec",
+         "queries": {name: sec, ...}, "sf": 0.1}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    tail = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tail.removeprefix("sf"))
+    except ValueError:
+        return -1.0
+
+
+def _materialize(df) -> None:
+    # noop sink: full execution, no driver-side result transfer.
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    import __spark_entry__ as entry
+    from bigdatalog_spark import build_session
+
+    spark = build_session(master=f"local[{cpus}]", shuffle_partitions=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup so q1 doesn't pay session startup.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in entry.queries().items():
+        t0 = time.perf_counter()
+        _materialize(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,52 @@ def _materialize(df: DataFrame, cfg: FixpointConfig) -> tuple[DataFrame, int]:
     return df, df.count()
 
 
+_NUM_RANK = {
+    "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5,
+}
+
+
+def _widen(t1: str, t2: str) -> str:
+    if t1 == t2:
+        return t1
+    if t1 in _NUM_RANK and t2 in _NUM_RANK:
+        return t1 if _NUM_RANK[t1] >= _NUM_RANK[t2] else t2
+    return "string"
+
+
+def _widen_seed(seed: DataFrame, probe: DataFrame | None) -> DataFrame:
+    """Cast the fixpoint seed so exit-rule literal types (e.g. `X=1, D=0` →
+    int) don't conflict with recursive-step result types (e.g. bigint ids).
+    ``probe`` is a lazily-built candidate plan used only for its schema."""
+    if probe is None:
+        return seed
+    casts = []
+    changed = False
+    for f_seed, f_probe in zip(seed.schema.fields, probe.schema.fields):
+        t1 = f_seed.dataType.simpleString()
+        t2 = f_probe.dataType.simpleString()
+        target = _widen(t1, t2)
+        c = F.col(f_seed.name)
+        if target != t1:
+            changed = True
+            c = c.cast(target)
+        casts.append(c.alias(f_seed.name))
+    return seed.select(*casts) if changed else seed
+
+
+def _cast_like(df: DataFrame, target: DataFrame) -> DataFrame:
+    """Cast df's columns to target's (already-widened) schema."""
+    casts = []
+    changed = False
+    for f_df, f_t in zip(df.schema.fields, target.schema.fields):
+        c = F.col(f_df.name)
+        if f_df.dataType != f_t.dataType:
+            changed = True
+            c = c.cast(f_t.dataType)
+        casts.append(c.alias(f_t.name))
+    return df.select(*casts) if changed else df
+
+
 def fixpoint_seminaive(
     exit_dfs: dict,
     step,
@@ -99,10 +145,15 @@ def fixpoint_seminaive(
     cfg = cfg or FixpointConfig()
     cache = _GenerationCache(cfg)
 
+    # schema probe: run step over the (lazy) seeds to learn the candidate
+    # types, then widen seeds so unions/anti-joins are type-stable
+    probe = step(exit_dfs, exit_dfs)
+
     all_dfs: dict[str, DataFrame] = {}
     delta_dfs: dict[str, DataFrame] = {}
     live = set()
     for pred, df in exit_dfs.items():
+        df = _widen_seed(df, probe.get(pred))
         df, n = _materialize(df.distinct(), cfg)
         df = cache.persist(df)
         all_dfs[pred] = df
@@ -128,6 +179,7 @@ def fixpoint_seminaive(
                 continue
             # Δ' = T_R(Δ) − S  (partition-local hash diff in the reference;
             # LEFT ANTI join lets Catalyst/AQE pick the physical strategy)
+            cand = _cast_like(cand, all_dfs[pred])
             delta = cand.distinct().join(
                 all_dfs[pred], on=list(cand.columns), how="left_anti"
             )
@@ -181,6 +233,11 @@ def fixpoint_monotonic(
     def aggregate(df: DataFrame) -> DataFrame:
         return df.groupBy(*key_cols).agg(agg_fn(F.col(value_col)).alias(value_col))
 
+    # schema probe (see fixpoint_seminaive): widen exit literal types to the
+    # recursive-step types before seeding the aggregate table
+    probe = step(exit_pre_agg, exit_pre_agg)
+    exit_pre_agg = _widen_seed(exit_pre_agg, probe)
+
     all_df = aggregate(exit_pre_agg)
     all_df, n = _materialize(all_df, cfg)
     all_df = cache.persist(all_df)
@@ -197,7 +254,7 @@ def fixpoint_monotonic(
         cand = step(all_df, delta)
         if cand is None:
             break
-        cand = aggregate(cand)
+        cand = aggregate(_cast_like(cand, all_df))
         # improved = groups where the candidate beats the current table
         # (delta detection, TungstenMonotonicAggregationIterator.scala:512-555)
         old = all_df.select(

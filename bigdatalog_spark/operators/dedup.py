@@ -158,8 +158,21 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand
-    exact = ngram_jaccard_pairs(df, text_col, id_col, n, threshold)
-    return cand.join(exact, on=["left_id", "right_id"], how="inner")
+    # candidate-local verification: jaccard from per-doc shingle sets via
+    # array_intersect — O(|candidates|), never recomputes the full exact
+    # pair join (which would defeat LSH at scale)
+    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
+    lsets = sets.select(F.col(id_col).alias("left_id"), F.col("ss").alias("ls"))
+    rsets = sets.select(F.col(id_col).alias("right_id"), F.col("ss").alias("rs"))
+    inter = F.size(F.array_intersect(F.col("ls"), F.col("rs")))
+    union = F.size(F.col("ls")) + F.size(F.col("rs")) - inter
+    return (
+        cand.join(lsets, "left_id")
+        .join(rsets, "right_id")
+        .withColumn("jaccard", F.round(inter / union, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "jaccard")
+    )
 
 
 # --------------------------------------------------------------- simhash

@@ -219,6 +219,38 @@ def dl_tc(spark, sf_dir):
     return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
 
 
+def dl_tc_nonlinear(spark, sf_dir):
+    """Non-linear transitive closure tc(X,Y) <- tc(X,Z), tc(Z,Y)
+    (RecursiveQuerySuites TC-NL): both body occurrences read the
+    accumulated set, so the fixpoint converges in O(log diameter)
+    iterations instead of O(diameter)."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "tc(A,B).",
+    )
+    return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
+
+
+def dl_mutual_even_odd(spark, sf_dir):
+    """Mutual recursion (MutualRecursion.scala:28-131 semantics): vertices
+    at even/odd hop distance from the root, two mutually-recursive
+    predicates advanced in one combined fixpoint."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "even(X) <- X = 1."
+        "odd(Y) <- even(X), arc(X,Y)."
+        "even(Y) <- odd(X), arc(X,Y).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "even(X).",
+    )
+    return df.select(F.col("X").alias("vertex"))
+
+
 def dl_reach(spark, sf_dir):
     """Reachability from a literal seed (Reach program)."""
     df = _datalog(
@@ -264,6 +296,27 @@ def dl_cc(spark, sf_dir):
         "cc(N).",
     )
     return df.select(F.col("N").alias("n_components"))
+
+
+def dl_apsp(spark, sf_dir):
+    """All-pairs shortest paths via mmin over (source, dest) keys
+    (Experiments.scala program 31) on the weighted tree, capped at the
+    top levels to keep the pair space bounded."""
+    edges = _tree_edges(spark, sf_dir).where(F.col("dst") <= 511).withColumn(
+        "w", F.lit(1) + F.col("dst") % 3
+    )
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long, W:long)})."
+        "apsp(X, Y, mmin<D>) <- arc(X, Y, D)."
+        "apsp(X, Y, mmin<D>) <- apsp(X, Z, D1), arc(Z, Y, W), D = D1 + W.",
+        {"arc": edges},
+        "apsp(X, Y, D).",
+    )
+    return df.select(
+        F.col("X").alias("src"), F.col("Y").alias("dst"),
+        F.col("D").alias("distance"),
+    )
 
 
 def dl_same_generation(spark, sf_dir):
@@ -475,9 +528,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_arith": dl_arith,
         "dl_date_filter": dl_date_filter,
         "dl_tc": dl_tc,
+        "dl_tc_nonlinear": dl_tc_nonlinear,
+        "dl_mutual_even_odd": dl_mutual_even_odd,
         "dl_reach": dl_reach,
         "dl_sssp": dl_sssp,
         "dl_cc": dl_cc,
+        "dl_apsp": dl_apsp,
         "dl_same_generation": dl_same_generation,
         "dl_triangle_count": dl_triangle_count,
         "q1_pricing_summary": q1_pricing_summary,
@@ -568,6 +624,23 @@ def oracle_sql() -> dict[str, str]:
               SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
             SELECT src, dst FROM tc
         """,
+        "dl_tc_nonlinear": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            tc(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+            SELECT src, dst FROM tc
+        """,
+        "dl_mutual_even_odd": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            hop(vertex, parity) AS (
+              SELECT CAST(1 AS BIGINT), 0
+              UNION
+              SELECT e.dst, 1 - hop.parity
+              FROM hop JOIN edges e ON e.src = hop.vertex)
+            SELECT DISTINCT vertex FROM hop WHERE parity = 0
+        """,
         "dl_reach": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),
             reach(vertex) AS (
@@ -597,6 +670,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.s, e.dst FROM r JOIN edges e ON e.src = r.x),
             labels AS (SELECT x, min(s) AS comp FROM r GROUP BY x)
             SELECT CAST(count(DISTINCT comp) AS BIGINT) AS n_components FROM labels
+        """,
+        "dl_apsp": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})
+              WHERE dst <= 511),
+            paths(src, dst, d) AS (
+              SELECT src, dst, CAST(w AS BIGINT) FROM edges
+              UNION
+              SELECT p.src, e.dst, p.d + e.w
+              FROM paths p JOIN edges e ON e.src = p.dst)
+            SELECT src, dst, CAST(min(d) AS BIGINT) AS distance
+            FROM paths GROUP BY src, dst
         """,
         "dl_same_generation": f"""
             WITH RECURSIVE pc AS (

@@ -38,6 +38,14 @@ class FixpointConfig:
     # localCheckpoint every iteration truncates lineage; without it plans
     # grow unboundedly (reference README.md:32)
     checkpoint: bool = True
+    # deltas below this row count are narrowed to `small_partitions` so each
+    # per-iteration job schedules a handful of tasks instead of one per
+    # shuffle partition — the dominant cost of late, tiny iterations. The
+    # exact count is free: the loop already computes it to test convergence.
+    # conservative: only convergence-tail deltas, where per-task scheduling
+    # dominates; larger deltas keep full parallelism for the heavy step join
+    small_delta_rows: int = 1_024
+    small_partitions: int = 4
 
 
 class _GenerationCache:
@@ -79,6 +87,36 @@ def _materialize(df: DataFrame, cfg: FixpointConfig) -> tuple[DataFrame, int]:
         df = df.localCheckpoint(eager=True)
         return df, df.count()
     return df, df.count()
+
+
+def _truncate(df: DataFrame, cfg: FixpointConfig) -> DataFrame:
+    """Lineage truncation only — no count job (for the accumulated set,
+    whose cardinality the loop never branches on)."""
+    if cfg.checkpoint:
+        return df.localCheckpoint(eager=True)
+    return df
+
+
+def _narrow_small(df: DataFrame, n: int, cfg: FixpointConfig) -> DataFrame:
+    """coalesce (narrow, no shuffle) a known-small delta so downstream
+    iteration jobs don't launch one task per shuffle partition."""
+    if 0 < n <= cfg.small_delta_rows:
+        return df.coalesce(cfg.small_partitions)
+    return df
+
+
+def _retain(df: DataFrame, cfg: FixpointConfig, cache: "_GenerationCache") -> DataFrame:
+    """Keep an iteration frame hot for reuse.
+
+    When checkpointing, localCheckpoint has ALREADY stored the blocks — a
+    further persist() would register a second InMemoryRelation copy of the
+    same data (2× memory + an extra copy pass per iteration). Old checkpoint
+    blocks are freed by the ContextCleaner once the loop drops its
+    references. Without checkpointing, fall back to explicit
+    persist/unpersist generations (CachedRDDManager.scala:26-107)."""
+    if cfg.checkpoint:
+        return df
+    return cache.persist(df)
 
 
 _NUM_RANK = {
@@ -155,7 +193,7 @@ def fixpoint_seminaive(
     for pred, df in exit_dfs.items():
         df = _widen_seed(df, probe.get(pred))
         df, n = _materialize(df.distinct(), cfg)
-        df = cache.persist(df)
+        df = _retain(df, cfg, cache)
         all_dfs[pred] = df
         delta_dfs[pred] = df
         if n:
@@ -184,13 +222,12 @@ def fixpoint_seminaive(
                 all_dfs[pred], on=list(cand.columns), how="left_anti"
             )
             delta, n = _materialize(delta, cfg)
-            delta = cache.persist(delta)
+            delta = _narrow_small(_retain(delta, cfg, cache), n, cfg)
             new_delta[pred] = delta
             if n:
                 live.add(pred)
-                grown = all_dfs[pred].union(delta)
-                grown, _ = _materialize(grown, cfg)
-                new_all[pred] = cache.persist(grown)
+                grown = _truncate(all_dfs[pred].union(delta), cfg)
+                new_all[pred] = _retain(grown, cfg, cache)
         for pred in all_dfs:
             new_delta.setdefault(pred, _empty_like(all_dfs[pred]))
         all_dfs = new_all
@@ -240,7 +277,7 @@ def fixpoint_monotonic(
 
     all_df = aggregate(exit_pre_agg)
     all_df, n = _materialize(all_df, cfg)
-    all_df = cache.persist(all_df)
+    all_df = _retain(all_df, cfg, cache)
     delta = all_df
 
     iteration = 0
@@ -270,14 +307,13 @@ def fixpoint_monotonic(
             F.col("__old_v").isNull() | better(F.col(value_col), F.col("__old_v"))
         ).select(*key_cols, value_col)
         improved, n = _materialize(improved, cfg)
-        improved = cache.persist(improved)
+        improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
         if not n:
             break
         # merge: replace improved groups in the running table
         kept = all_df.join(improved, on=key_cols, how="left_anti")
-        all_df = kept.unionByName(improved)
-        all_df, _ = _materialize(all_df, cfg)
-        all_df = cache.persist(all_df)
+        all_df = _truncate(kept.unionByName(improved), cfg)
+        all_df = _retain(all_df, cfg, cache)
         delta = improved
 
     return all_df

@@ -76,8 +76,15 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|−|A∩B|. Only documents sharing ≥1 shingle ever pair up —
     no quadratic blow-up on disjoint corpora. Scale path: cap ultra-common
     shingles (stopword shingles) before the join to avoid skew.
+
+    Shingle strings are collapsed to 64-bit xxhash keys before the
+    self-join: the shuffled join key is 8 bytes instead of ~8·n chars,
+    and set sizes/intersections are unchanged (collisions at 2⁻⁶⁴ are
+    noise next to shingling itself).
     """
-    sh = word_shingles(df, text_col, id_col, n)
+    sh = word_shingles(df, text_col, id_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("left_id"), "shingle")
     b = sh.select(F.col(id_col).alias("right_id"), "shingle")
@@ -137,7 +144,11 @@ def minhash_lsh_pairs(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
         )
     rows_per_band = num_hashes // bands
-    sh = word_shingles(df, text_col, id_col, n)
+    # hash shingle strings once; the 32 seeded minhashes then mix an 8-byte
+    # long instead of re-hashing the full string per seed
+    sh = word_shingles(df, text_col, id_col, n).select(
+        id_col, F.xxhash64("shingle").alias("shingle")
+    )
     sig = minhash_signatures(sh, id_col, num_hashes)
     band_cols = []
     for b in range(bands):
@@ -271,12 +282,17 @@ def embedding_dup_pairs(
 
     Brute-force within optional blocks (block_col) — the exact baseline.
     Scale path: LSH-bucket the vectors first (random hyperplanes), or use
-    the IVF route in operators/similarity.py."""
-    from .similarity import cosine_expr
+    the IVF route in operators/similarity.py.
+
+    Norms are computed once per row BEFORE the pair join (cosine per pair is
+    then one dot product + one divide), not per pair — at n² pairs that's
+    the difference between O(n·d) and O(n²·d) norm work."""
+    from .similarity import dot_expr, norm_expr
 
     on = [F.col("l.__i") < F.col("r.__i")]
     a = df.select(
         F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"),
+        norm_expr(F.col(vec_col)).alias("__n"),
         *( [F.col(block_col)] if block_col else [] )
     )
     if block_col:
@@ -286,7 +302,9 @@ def embedding_dup_pairs(
         )
     else:
         joined = a.alias("l").crossJoin(a.alias("r")).where(on[0])
-    cos = cosine_expr(F.col("l.__v"), F.col("r.__v"))
+    cos = dot_expr(F.col("l.__v"), F.col("r.__v")) / (
+        F.col("l.__n") * F.col("r.__n")
+    )
     return (
         joined.select(
             F.col("l.__i").alias("left_id"),

@@ -501,6 +501,49 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(e, q, k=5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-style ANN (coarse quantizer cells + nprobe probing) — the scale
+    path next to q_ann_topk's exact baseline. Deterministic axis-aligned
+    centroids; rows-only check (approximate by design)."""
+    from bigdatalog_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    centroids = []
+    for c in range(4):
+        v = [0.0] * dim
+        v[c % dim] = 1.0
+        centroids.append(v)
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(e, q, centroids, k=5, nprobe=2)
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: documents → opaque binary payloads → Arrow-
+    batched mapInPandas feature extraction (deterministic stub decode)."""
+    from bigdatalog_spark.operators.multimodal import extract_features
+
+    d = load_table(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.length("text") * 10).cast("long").alias("duration_ms"),
+            F.lit("stub").alias("codec"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select("media_id", "n_bytes")
+
+
 def q_text_profile(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return text_profile(d).select(
@@ -549,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_media_features": q_media_features,
         "q_text_profile": q_text_profile,
     }
 
@@ -832,6 +877,12 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
               FROM scored)
             WHERE rank <= 5
+        """,
+        # q_ann_ivf: rows-only (approximate by design)
+        "q_media_features": """
+            SELECT doc_id AS media_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "q_text_profile": f"""
             WITH {_PROFILE_SCORES},

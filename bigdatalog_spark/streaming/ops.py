@@ -77,6 +77,48 @@ def sessionize(
     )
 
 
+def running_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    (event count, value total) maintained across micro-batches.
+
+    This is the escape hatch for stateful logic the built-in windowed/session
+    aggregations can't express (e.g. decaying counters, per-key ML state).
+    State is one fixed-width row per user — at scale the state store
+    shards by the groupBy key, so state volume is O(distinct users), not
+    O(events)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ])
+    state_schema = T.StructType([
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ])
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf[value_col].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_events_from_files(spark, path: str, schema) -> DataFrame:
     """File-source stream over a directory of parquet/json drops."""
     return spark.readStream.schema(schema).parquet(path)

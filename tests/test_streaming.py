@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from bigdatalog_spark.sources.tables import load_table
 from bigdatalog_spark.streaming.ops import (
+    running_user_totals,
     sessionize,
     stream_events_from_files,
     windowed_event_counts,
@@ -62,4 +63,30 @@ def test_stream_matches_batch(spark):
             for r in spark.table("win_test").collect()
         }
         want = {tuple(r) for r in batch.collect()}
+        assert got == want
+
+
+def test_stateful_running_totals(spark):
+    """applyInPandasWithState custom stateful op: final per-user state after
+    the whole stream equals the batch groupBy totals."""
+    ev = _events(spark)
+    want = {
+        (r["user_id"], r["n"], round(r["t"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/in")
+        stream = stream_events_from_files(spark, f"{d}/in", ev.schema)
+        q = write_memory_sink(running_user_totals(stream), "state_test", "update")
+        q.awaitTermination(120)
+        # update mode may emit a row per micro-batch; keep the last per user
+        rows = spark.table("state_test").collect()
+        final = {}
+        for r in rows:
+            prev = final.get(r["user_id"])
+            if prev is None or r["n_events"] > prev[0]:
+                final[r["user_id"]] = (r["n_events"], r["total_value"])
+        got = {(u, n, round(t, 6)) for u, (n, t) in final.items()}
         assert got == want

@@ -82,18 +82,24 @@ class _GenerationCache:
 
 
 def _materialize(df: DataFrame, cfg: FixpointConfig) -> tuple[DataFrame, int]:
-    """Truncate lineage and return (df, row_count) forcing evaluation once."""
+    """Truncate lineage and return (df, row_count) forcing evaluation once.
+
+    The checkpoint is LAZY: the convergence-test count() is the action that
+    materializes the checkpoint blocks, so each delta costs one Spark job,
+    not checkpoint-job + count-job."""
     if cfg.checkpoint:
-        df = df.localCheckpoint(eager=True)
+        df = df.localCheckpoint(eager=False)
         return df, df.count()
     return df, df.count()
 
 
 def _truncate(df: DataFrame, cfg: FixpointConfig) -> DataFrame:
     """Lineage truncation only — no count job (for the accumulated set,
-    whose cardinality the loop never branches on)."""
+    whose cardinality the loop never branches on). Lazy: materializes at
+    its first downstream use; a final-iteration set that is returned
+    untouched defers to the caller's first action."""
     if cfg.checkpoint:
-        return df.localCheckpoint(eager=True)
+        return df.localCheckpoint(eager=False)
     return df
 
 

@@ -52,6 +52,8 @@ class EngineConfig:
     broadcast_static_side: bool = True
     # re-add .distinct() on unions (spark.datalog.uniondistinct.enabled)
     union_distinct: bool = True
+    # static sides estimated above this are persisted, not broadcast
+    broadcast_max_bytes: int = 512 << 20
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 
@@ -62,6 +64,7 @@ class BigDatalogContext:
         self.program = Program()
         self._relations: dict[str, DataFrame] = {}
         self._cache: dict[str, DataFrame] = {}
+        self._persisted_statics: dict[int, DataFrame] = {}
         self._analyzed: AnalyzedProgram | None = None
 
     # ------------------------------------------------------------- loading
@@ -270,7 +273,28 @@ class BigDatalogContext:
         return occs
 
     def _maybe_broadcast(self, df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if self.config.broadcast_static_side else df
+        """Join-side strategy for the static (non-recursive) side of joins
+        inside a fixpoint (spark.datalog.jointype=broadcast default,
+        LogicalPlanGenerator.scala:224-241 — never the recursive side).
+
+        Unlike the reference we gate the hint on Catalyst's size estimate:
+        a forced broadcast of a 100 TB edge relation would OOM the driver.
+        Oversized static sides are persisted instead, so each fixpoint
+        iteration re-shuffles but never re-reads/re-decodes the source."""
+        if not self.config.broadcast_static_side:
+            return df
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = -1
+        if 0 <= size <= self.config.broadcast_max_bytes:
+            return F.broadcast(df)
+        key = id(df._jdf)
+        if key not in self._persisted_statics:
+            self._persisted_statics[key] = df.persist()
+        return self._persisted_statics[key]
 
     def _compute_clique(self, clique: Clique) -> None:
         if clique.monotonic:

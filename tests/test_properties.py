@@ -1,0 +1,145 @@
+"""Property-based correctness: the Datalog engine vs pure-Python oracles on
+random inputs (hypothesis). Golden tests pin known answers; these pin the
+*algebra* — fixpoint semantics must match a naive driver-side closure for
+any graph, and stratified aggregates must match Python's.
+
+Each property runs a reduced number of examples (Spark round-trips are
+~100 ms each) with a fixed seed for determinism.
+"""
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from bigdatalog_spark.datalog.context import BigDatalogContext
+
+EDGE = st.tuples(st.integers(0, 7), st.integers(0, 7))
+EDGES = st.lists(EDGE, min_size=1, max_size=25, unique=True)
+
+PROP = settings(
+    max_examples=12,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def py_closure(edges):
+    tc = set(edges)
+    while True:
+        new = {(a, d) for (a, b) in tc for (c, d) in edges if b == c} - tc
+        if not new:
+            return tc
+        tc |= new
+
+
+def py_reachable(edges, src):
+    seen, frontier = {src}, {src}
+    while frontier:
+        frontier = {d for (s, d) in edges if s in frontier} - seen
+        seen |= frontier
+    return seen
+
+
+def py_sssp(edges, src):
+    """weights: w = 1 + dst % 3 (same convention as the engine query)"""
+    import heapq
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append((d, 1 + d % 3))
+    dist = {src: 0}
+    heap = [(0, src)]
+    while heap:
+        dv, v = heapq.heappop(heap)
+        if dv > dist.get(v, float("inf")):
+            continue
+        for d, w in adj.get(v, []):
+            nd = dv + w
+            if nd < dist.get(d, float("inf")):
+                dist[d] = nd
+                heapq.heappush(heap, (nd, d))
+    return dist
+
+
+def _tc_ctx(spark, edges):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    ctx.register_data("arc", [f"{s},{d}" for s, d in edges])
+    return ctx
+
+
+@PROP
+@given(edges=EDGES)
+def test_tc_matches_python_closure(spark, edges):
+    got = {(r[0], r[1]) for r in _tc_ctx(spark, edges).query("tc(A,B).").collect()}
+    assert got == py_closure(edges)
+
+
+@PROP
+@given(edges=EDGES)
+def test_nonlinear_tc_equals_linear_tc(spark, edges):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B)."
+    )
+    ctx.register_data("arc", [f"{s},{d}" for s, d in edges])
+    got = {(r[0], r[1]) for r in ctx.query("tc(A,B).").collect()}
+    assert got == py_closure(edges)
+
+
+@PROP
+@given(edges=EDGES)
+def test_reach_matches_python_bfs(spark, edges):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "reach(X) <- X = 0."
+        "reach(Y) <- reach(X), arc(X,Y)."
+    )
+    ctx.register_data("arc", [f"{s},{d}" for s, d in edges])
+    got = {r[0] for r in ctx.query("reach(X).").collect()}
+    assert got == py_reachable(edges, 0)
+
+
+@PROP
+@given(edges=EDGES)
+def test_mmin_sssp_matches_dijkstra(spark, edges):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer, W:integer)})."
+        "sp(X, mmin<C>) <- X = 0, C = 0."
+        "sp(Y, mmin<C>) <- sp(X, C1), arc(X, Y, W), C = C1 + W."
+    )
+    ctx.register_data("arc", [f"{s},{d},{1 + d % 3}" for s, d in edges])
+    got = {(r[0], r[1]) for r in ctx.query("sp(X,C).").collect()}
+    assert got == set(py_sssp(edges, 0).items())
+
+
+@PROP
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-50, 50)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_grouped_aggregates_match_python(spark, rows):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({t(K:integer, V:integer)})."
+        "s(K, sum<V>) <- t(K, V)."
+    )
+    ctx.register_data("t", [f"{k},{v}" for k, v in rows])
+    got = {(r[0], r[1]) for r in ctx.query("s(K,S).").collect()}
+    # base relations are BAGS, as loaded (reference: loadRowRDDFromFile
+    # performs no dedup, Utilities.scala:85-114) — duplicate facts count
+    want = {}
+    for k, v in rows:
+        want[k] = want.get(k, 0) + v
+    assert got == set(want.items())

@@ -182,3 +182,20 @@ def test_tc_three_ary(spark):
         (3, 1, 0), (0, 1, 3), (0, 1, 0), (0, 2, 1),
     ]
     run_case(spark, program, "leftLinearPaths(A,B,C).", {"arc": GRAPH7}, answers)
+
+
+def test_oversized_static_side_falls_back_to_persist(spark):
+    """A static join side above broadcast_max_bytes must not be broadcast
+    (at 100 TB a forced hint would OOM); the persist fallback keeps the
+    fixpoint correct."""
+    from bigdatalog_spark.datalog.context import BigDatalogContext, EngineConfig
+
+    ctx = BigDatalogContext(spark, EngineConfig(broadcast_max_bytes=1))
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    ctx.register_data("arc", ["0,1", "1,2", "2,3"])
+    got = sorted((r[0], r[1]) for r in ctx.query("tc(A,B).").collect())
+    assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]

@@ -459,6 +459,50 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_rollup_revenue(spark, sf_dir):
+    """Hierarchical rollup (region → nation) — grouping-analytics surface
+    beyond the reference's flat aggregates."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per event type (continuous quantile)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99"),
+    )
+
+
+def q_running_avg(spark, sf_dir):
+    """Per-user running mean over the last 10 events (window frame)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-9, 0)
+    )
+    return e.where(F.col("user_id") < 100).select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("running_avg"),
+    )
+
+
 # ----------------------------------------------------------- pipeline operators
 
 def q_dedup_exact(spark, sf_dir):
@@ -586,6 +630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_users_window": q_topk_users_window,
         "q_hourly_events": q_hourly_events,
         "q_sessionize": q_sessionize,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_value_percentiles": q_value_percentiles,
+        "q_running_avg": q_running_avg,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
@@ -818,6 +865,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM o GROUP BY user_id
+        """,
+        "q_rollup_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(c_acctbal), 2) AS total_balance,
+                   CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY ROLLUP (r_name, n_name)
+        """,
+        "q_value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.95), 6) AS p95,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "q_running_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (
+                     PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS running_avg
+            FROM events WHERE user_id < 100
         """,
         "q_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents

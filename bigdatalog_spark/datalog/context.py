@@ -128,12 +128,67 @@ class BigDatalogContext:
 
     # ------------------------------------------------------------- querying
     def query(self, goal_text: str) -> DataFrame:
-        """Compile a query form (e.g. ``tc(A,B).``) to a DataFrame."""
+        """Compile a query form (e.g. ``tc(A,B).``) to a DataFrame.
+
+        Bound-argument goals on recursive predicates (``tc(0,B).``) push the
+        constants into the fixpoint *seed* when sound — the engine-side
+        equivalent of DeALS adorned/magic rewriting for bound query forms
+        (SURVEY.md §3 step 3; tests RecursiveQuerySuites.scala:81-94). The
+        fixpoint then explores only the bound slice instead of computing the
+        full closure and filtering."""
         goal = parse_goal(goal_text)
         if self._analyzed is None:
             self._analyzed = analyze(self.program)
-        df = self._pred_df(goal.pred)
+        df = self._bound_recursive_df(goal)
+        if df is None:
+            df = self._pred_df(goal.pred)
         return self._apply_goal(goal, df)
+
+    def _bound_recursive_df(self, goal: Goal) -> DataFrame | None:
+        """Goal-specific fixpoint for bound goals over a recursive predicate,
+        when every bound position provably flows unchanged from the exit
+        rules through all recursive occurrences. Returns None when the
+        rewrite doesn't apply (fall back to full fixpoint + filter)."""
+        bound = [
+            (i, t.value) for i, t in enumerate(goal.args) if isinstance(t, Const)
+        ]
+        if not bound or goal.pred in self._cache:
+            return None
+        clique = self._analyzed.clique_of.get(goal.pred)
+        if clique is None or clique.monotonic or len(clique.preds) != 1:
+            return None
+        stable = self._stable_positions(clique, goal.pred)
+        if not all(i in stable for i, _ in bound):
+            return None
+        results = self._compute_seminaive_clique(
+            clique, seed_filter={goal.pred: bound}
+        )
+        return results[goal.pred]
+
+    @staticmethod
+    def _stable_positions(clique: Clique, pred: str) -> set[int]:
+        """Argument positions whose value is copied verbatim from every
+        recursive-occurrence argument to the head in every recursive rule —
+        for these, filtering the exit rules equals filtering the fixpoint."""
+        rules = clique.recursive_rules[pred]
+        if not rules:
+            return set()
+        arity = rules[0].head.arity
+        stable = set(range(arity))
+        for rule in rules:
+            for i in list(stable):
+                h = rule.head.args[i]
+                if not isinstance(h, Var):
+                    stable.discard(i)
+                    continue
+                for atom in rule.body_atoms:
+                    if atom.pred != pred:
+                        continue
+                    a = atom.args[i]
+                    if not (isinstance(a, Var) and a.name == h.name):
+                        stable.discard(i)
+                        break
+        return stable
 
     def _apply_goal(self, goal: Goal, df: DataFrame) -> DataFrame:
         cols = df.columns
@@ -302,9 +357,15 @@ class BigDatalogContext:
         else:
             self._compute_seminaive_clique(clique)
 
-    def _compute_seminaive_clique(self, clique: Clique) -> None:
+    def _compute_seminaive_clique(
+        self, clique: Clique, seed_filter: dict | None = None
+    ) -> dict:
         """Recursion / MutualRecursion via PSN
-        (Recursion.scala:120-178 loop algebra)."""
+        (Recursion.scala:120-178 loop algebra).
+
+        seed_filter (pred -> [(position, value)]): restrict the exit-rule
+        seeds for a bound goal form; the results are goal-specific and are
+        NOT cached on the context."""
         clique_set = set(clique.preds)
 
         # resolve static (non-clique) dependencies first, outside the loop
@@ -324,7 +385,12 @@ class BigDatalogContext:
                 body = rc.compile_body(rule, lambda p, occ: static_df(p))
                 dfs.append(rc.project_head(rule, body, distinct=False))
             if dfs:
-                exit_dfs[pred] = union_all(dfs)
+                exit_df = union_all(dfs)
+                for pos, value in (seed_filter or {}).get(pred, []):
+                    exit_df = exit_df.filter(
+                        F.col(exit_df.columns[pos]) == F.lit(value)
+                    )
+                exit_dfs[pred] = exit_df
             else:
                 # mutual cliques may have exit rules on only some predicates
                 # (MutualRecursion.scala:28-131); seed others empty using the
@@ -360,8 +426,10 @@ class BigDatalogContext:
             return cands
 
         results = fixpoint_seminaive(exit_dfs, step, self.config.fixpoint)
-        for pred, df in results.items():
-            self._cache[pred] = df
+        if seed_filter is None:
+            for pred, df in results.items():
+                self._cache[pred] = df
+        return results
 
     def _compute_monotonic_clique(self, clique: Clique) -> None:
         """AggregateRecursion for mmin/mmax (AggregateRecursion.scala:26-178)."""

@@ -199,3 +199,52 @@ def test_oversized_static_side_falls_back_to_persist(spark):
     ctx.register_data("arc", ["0,1", "1,2", "2,3"])
     got = sorted((r[0], r[1]) for r in ctx.query("tc(A,B).").collect())
     assert got == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+
+
+def test_bound_goal_pushes_into_fixpoint_seed(spark):
+    """tc(0,B) on left-linear TC must equal full-closure-then-filter, and the
+    bound rewrite must not pollute the unbound query's cache."""
+    from bigdatalog_spark.datalog.context import BigDatalogContext
+
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    ctx.register_data("arc", ["0,1", "1,2", "2,3", "4,5", "5,0"])
+    bound = sorted(r[1] for r in ctx.query("tc(0,B).").collect())
+    assert bound == [1, 2, 3]
+    # unbound afterwards: full closure, unaffected by the bound run
+    full = ctx.query("tc(A,B).").count()
+    assert full == 5 + 4 + 3 + 2 + 1  # closure of the 6-node chain 4→5→0→1→2→3
+
+def test_bound_goal_right_linear_second_position(spark):
+    """Right-linear TC: only the second argument is stable; tc(A,3) bound."""
+    from bigdatalog_spark.datalog.context import BigDatalogContext
+
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- arc(A,C), tc(C,B)."
+    )
+    ctx.register_data("arc", ["0,1", "1,2", "2,3", "7,2"])
+    got = sorted(r[0] for r in ctx.query("tc(A,3).").collect())
+    assert got == [0, 1, 2, 7]
+
+def test_bound_goal_nonlinear_falls_back(spark):
+    """Non-linear TC has no stable positions (second occurrence's first arg
+    is existential) — the bound goal must fall back to full fixpoint +
+    filter and stay correct."""
+    from bigdatalog_spark.datalog.context import BigDatalogContext
+
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B)."
+    )
+    ctx.register_data("arc", ["0,1", "1,2", "2,3"])
+    got = sorted(r[1] for r in ctx.query("tc(0,B).").collect())
+    assert got == [1, 2, 3]

@@ -124,6 +124,12 @@ class BigDatalogContext:
         self.program = Program()
         self._relations.clear()
         self._cache.clear()
+        for df in self._persisted_statics.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._persisted_statics.clear()
         self._analyzed = None
 
     # ------------------------------------------------------------- querying
@@ -334,8 +340,16 @@ class BigDatalogContext:
 
         Unlike the reference we gate the hint on Catalyst's size estimate:
         a forced broadcast of a 100 TB edge relation would OOM the driver.
-        Oversized static sides are persisted instead, so each fixpoint
-        iteration re-shuffles but never re-reads/re-decodes the source."""
+
+        Every static side is persisted first: broadcast exchanges are NOT
+        reused across the separate actions a fixpoint loop issues, so an
+        unpersisted static side would be re-scanned (parquet decode, derived
+        joins and all) and re-broadcast every iteration. The persisted frame
+        makes the per-iteration rebroadcast a cache read."""
+        key = id(df._jdf)
+        if key not in self._persisted_statics:
+            self._persisted_statics[key] = df.persist()
+        df = self._persisted_statics[key]
         if not self.config.broadcast_static_side:
             return df
         try:
@@ -346,10 +360,7 @@ class BigDatalogContext:
             size = -1
         if 0 <= size <= self.config.broadcast_max_bytes:
             return F.broadcast(df)
-        key = id(df._jdf)
-        if key not in self._persisted_statics:
-            self._persisted_statics[key] = df.persist()
-        return self._persisted_statics[key]
+        return df
 
     def _compute_clique(self, clique: Clique) -> None:
         if clique.monotonic:

@@ -103,6 +103,21 @@ def _truncate(df: DataFrame, cfg: FixpointConfig) -> DataFrame:
     return df
 
 
+def _plan_is_empty(df: DataFrame) -> bool:
+    """True when Catalyst proves the frame empty (optimized plan folds to an
+    empty LocalRelation — PropagateEmptyRelation collapses joins/unions over
+    empty deltas). Driver-side analysis only; lets a fixpoint skip the
+    materialize+count jobs for variants fed solely by empty deltas, which in
+    mutual recursion is about half of all variants every iteration."""
+    try:
+        p = df._jdf.queryExecution().optimizedPlan()
+        if p.getClass().getSimpleName() == "LocalRelation":
+            return p.data().isEmpty()
+    except Exception:
+        pass
+    return False
+
+
 def _narrow_small(df: DataFrame, n: int, cfg: FixpointConfig) -> DataFrame:
     """coalesce (narrow, no shuffle) a known-small delta so downstream
     iteration jobs don't launch one task per shuffle partition."""
@@ -224,6 +239,9 @@ def fixpoint_seminaive(
             # Δ' = T_R(Δ) − S  (partition-local hash diff in the reference;
             # LEFT ANTI join lets Catalyst/AQE pick the physical strategy)
             cand = _cast_like(cand, all_dfs[pred])
+            if _plan_is_empty(cand):
+                new_delta[pred] = _empty_like(all_dfs[pred])
+                continue
             delta = cand.distinct().join(
                 all_dfs[pred], on=list(cand.columns), how="left_anti"
             )
@@ -297,7 +315,10 @@ def fixpoint_monotonic(
         cand = step(all_df, delta)
         if cand is None:
             break
-        cand = aggregate(_cast_like(cand, all_df))
+        cand = _cast_like(cand, all_df)
+        if _plan_is_empty(cand):
+            break
+        cand = aggregate(cand)
         # improved = groups where the candidate beats the current table
         # (delta detection, TungstenMonotonicAggregationIterator.scala:512-555)
         old = all_df.select(

@@ -219,6 +219,21 @@ def dl_tc(spark, sf_dir):
     return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
 
 
+def dl_tc_bound(spark, sf_dir):
+    """Bound query form tc(1,B) — the engine pushes the constant into the
+    fixpoint seed (adorned/magic-lite rewrite), exploring only vertex 1's
+    slice of the closure instead of computing the full TC and filtering."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "tc(1,B).",
+    )
+    return df.select(F.col("B").alias("dst"))
+
+
 def dl_tc_nonlinear(spark, sf_dir):
     """Non-linear transitive closure tc(X,Y) <- tc(X,Z), tc(Z,Y)
     (RecursiveQuerySuites TC-NL): both body occurrences read the
@@ -615,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_arith": dl_arith,
         "dl_date_filter": dl_date_filter,
         "dl_tc": dl_tc,
+        "dl_tc_bound": dl_tc_bound,
         "dl_tc_nonlinear": dl_tc_nonlinear,
         "dl_mutual_even_odd": dl_mutual_even_odd,
         "dl_reach": dl_reach,
@@ -715,6 +731,14 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
             SELECT src, dst FROM tc
+        """,
+        "dl_tc_bound": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            reach(dst) AS (
+              SELECT dst FROM edges WHERE src = 1
+              UNION
+              SELECT e.dst FROM reach JOIN edges e ON e.src = reach.dst)
+            SELECT dst FROM reach
         """,
         "dl_tc_nonlinear": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),

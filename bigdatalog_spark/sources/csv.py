@@ -24,18 +24,35 @@ def read_deal_table(
     """Distributed CSV/TSV load honoring the reference's conventions."""
     if sep is None:
         sep = "," if path.endswith(".csv") else "\t"
-    df = (
+    # Fail fast on arity mismatch — the reference's loader throws the same
+    # way (Utilities.scala:98-108 indexes every declared column). Spark's
+    # CSV reader pads missing trailing columns with nulls even under
+    # FAILFAST, and silent nulls poison downstream arithmetic (e.g. mmin
+    # distances of null never improve and the fixpoint runs forever), so
+    # probe the first data line explicitly.
+    first = (
+        spark.read.text(path)
+        .where((F.trim("value") != "") & ~F.col("value").startswith("%"))
+        .limit(1)
+        .collect()
+    )
+    if first:
+        nfields = len(first[0][0].split(sep))
+        if nfields != len(schema.fields):
+            raise ValueError(
+                f"{path}: rows have {nfields} fields, schema "
+                f"declares {len(schema.fields)}"
+            )
+    return (
         spark.read
         .schema(schema)
         .option("sep", sep)
         .option("comment", "%")
         .option("ignoreLeadingWhiteSpace", True)
         .option("ignoreTrailingWhiteSpace", True)
-        .option("mode", "PERMISSIVE")
+        .option("mode", "FAILFAST")
         .csv(path)
     )
-    # blank lines produce all-null rows under PERMISSIVE; drop them
-    return df.dropna(how="all")
 
 
 def _coerce(value: str, dtype: T.DataType):

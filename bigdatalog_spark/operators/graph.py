@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..datalog.fixpoint import FixpointConfig, fixpoint_monotonic, fixpoint_seminaive
+from .joins import hint_static
 
 
 def _edges(df: DataFrame, src: str, dst: str) -> DataFrame:
@@ -24,7 +25,7 @@ def transitive_closure(
 ) -> DataFrame:
     """Left-linear TC: tc(a,b) ← arc; tc(a,b) ← tc(a,c), arc(c,b)."""
     e = _edges(edges, src, dst)
-    arc = F.broadcast(e.select(F.col("c0").alias("j0"), F.col("c1").alias("j1")))
+    arc = hint_static(e.select(F.col("c0").alias("j0"), F.col("c1").alias("j1")))
 
     def step(all_dfs, delta_dfs):
         d = delta_dfs["tc"]
@@ -44,7 +45,7 @@ def reach(
 ) -> DataFrame:
     """Vertices reachable from `start`."""
     e = _edges(edges, src, dst)
-    arc = F.broadcast(e)
+    arc = hint_static(e)
     seed = e.sparkSession.createDataFrame([(start,)], "c0: long").select(
         F.col("c0").cast(e.schema[0].dataType)
     )
@@ -70,7 +71,7 @@ def sssp(
     e = edges.select(
         F.col(src).alias("j0"), F.col(dst).alias("j1"), F.col(weight).alias("w")
     )
-    arc = F.broadcast(e)
+    arc = hint_static(e)
     seed = e.sparkSession.createDataFrame([(start, 0)], "c0: long, c1: long").select(
         F.col("c0").cast(e.schema[0].dataType),
         F.col("c1").cast(e.schema[2].dataType),
@@ -95,7 +96,7 @@ def connected_components(
     e = _edges(edges, src, dst)
     if not directed:
         e = e.union(e.select(F.col("c1").alias("c0"), F.col("c0").alias("c1")))
-    arc = F.broadcast(e.select(F.col("c0").alias("j0"), F.col("c1").alias("j1")))
+    arc = hint_static(e.select(F.col("c0").alias("j0"), F.col("c1").alias("j1")))
     seed = e.select(F.col("c0"), F.col("c0").alias("c1")).union(
         e.select(F.col("c1").alias("c0"), F.col("c1"))
     )
@@ -126,7 +127,7 @@ def same_generation(
 ) -> DataFrame:
     """same_generation(x,y) — RecursiveQuerySuites.scala:131-145."""
     pc = parent_child.select(F.col(parent).alias("p"), F.col(child).alias("c"))
-    pcb = F.broadcast(pc)
+    pcb = hint_static(pc)
     seed = (
         pc.alias("l")
         .join(pcb.alias("r"), on=F.col("l.p") == F.col("r.p"))

@@ -23,6 +23,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def hint_static(df: DataFrame, max_bytes: int = 512 << 20) -> DataFrame:
+    """Prepare a static (loop-invariant) join side for iterative reuse:
+    persist it (broadcast exchanges are not reused across the separate
+    actions an iteration loop issues — without the persist the source is
+    re-scanned every iteration), then broadcast-hint it only when
+    Catalyst's size estimate fits; a forced hint on a 100 TB relation
+    would OOM the driver."""
+    df = df.persist()
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = -1
+    if 0 <= size <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

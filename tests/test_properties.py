@@ -143,3 +143,59 @@ def test_grouped_aggregates_match_python(spark, rows):
     for k, v in rows:
         want[k] = want.get(k, 0) + v
     assert got == set(want.items())
+
+
+@PROP
+@given(
+    people=st.lists(st.integers(0, 9), min_size=1, max_size=12, unique=True),
+    orders=st.lists(st.integers(0, 9), min_size=0, max_size=12, unique=True),
+)
+def test_negation_matches_set_difference(spark, people, orders):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({p(X:integer), o(X:integer)})."
+        "nop(X) <- p(X), ~o(X)."
+    )
+    ctx.register_data("p", [str(x) for x in people])
+    ctx.register_data("o", [str(x) for x in orders] or ["-99"])
+    got = {r[0] for r in ctx.query("nop(X).").collect()}
+    assert got == set(people) - set(orders)
+
+
+@PROP
+@given(
+    xs=st.lists(st.integers(-20, 20), min_size=1, max_size=15),
+    ys=st.lists(st.integers(-20, 20), min_size=1, max_size=15),
+)
+def test_multi_rule_union_has_set_semantics(spark, xs, ys):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({a(X:integer), b(X:integer)})."
+        "u(X) <- a(X)."
+        "u(X) <- b(X)."
+    )
+    ctx.register_data("a", [str(x) for x in xs])
+    ctx.register_data("b", [str(y) for y in ys])
+    rows = [r[0] for r in ctx.query("u(X).").collect()]
+    assert sorted(rows) == sorted(set(xs) | set(ys))  # distinct, complete
+
+
+@PROP
+@given(edges=EDGES)
+def test_min_over_recursion_stratum(spark, edges):
+    """Stratified min<> over a fixpoint result (AggregatesOverRecursion
+    shape): smallest reachable vertex per source."""
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+        "m(A, min<B>) <- tc(A,B)."
+    )
+    ctx.register_data("arc", [f"{s},{d}" for s, d in edges])
+    got = {(r[0], r[1]) for r in ctx.query("m(A,B).").collect()}
+    closure = py_closure(edges)
+    want = {}
+    for a, b in closure:
+        want[a] = min(want.get(a, b), b)
+    assert got == set(want.items())

@@ -46,6 +46,12 @@ class FixpointConfig:
     # dominates; larger deltas keep full parallelism for the heavy step join
     small_delta_rows: int = 1_024
     small_partitions: int = 4
+    # `S ∪ Δ` sums its parents' partition counts, so a 300-iteration
+    # recursion would leave the accumulated set with hundreds of partitions
+    # and every later anti-join scheduling that many tasks; repartition the
+    # set whenever it exceeds this cap (0 = 2× the session's shuffle
+    # partitions, resolved lazily)
+    max_set_partitions: int = 0
 
 
 class _GenerationCache:
@@ -250,7 +256,13 @@ def fixpoint_seminaive(
             new_delta[pred] = delta
             if n:
                 live.add(pred)
-                grown = _truncate(all_dfs[pred].union(delta), cfg)
+                grown = all_dfs[pred].union(delta)
+                cap = cfg.max_set_partitions or 2 * int(
+                    grown.sparkSession.conf.get("spark.sql.shuffle.partitions")
+                )
+                if grown.rdd.getNumPartitions() > cap:
+                    grown = grown.repartition(cap)
+                grown = _truncate(grown, cfg)
                 new_all[pred] = _retain(grown, cfg, cache)
         for pred in all_dfs:
             new_delta.setdefault(pred, _empty_like(all_dfs[pred]))

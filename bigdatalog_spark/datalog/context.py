@@ -17,9 +17,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .ast import AggTerm, AnonVar, Atom, Const, Goal, Program, Rule, Var
+from .ast import (
+    AggTerm,
+    AnonVar,
+    Atom,
+    Const,
+    Goal,
+    LimitSpec,
+    Program,
+    Rule,
+    SortSpec,
+    Var,
+)
 from .compiler import RuleCompiler, canon_cols, union_all
-from .fixpoint import FixpointConfig, fixpoint_monotonic, fixpoint_seminaive
+from .fixpoint import (
+    FixpointConfig,
+    _widen_seed,
+    fixpoint_monotonic,
+    fixpoint_seminaive,
+)
+from .local_eval import local_monotonic_fixpoint, local_seminaive_fixpoint
 from .parser import parse_goal, parse_program
 from .semantics import AnalyzedProgram, Clique, DatalogSemanticError, analyze
 
@@ -54,6 +71,10 @@ class EngineConfig:
     union_distinct: bool = True
     # static sides estimated above this are persisted, not broadcast
     broadcast_max_bytes: int = 512 << 20
+    # decomposable (GPS) cliques run the whole fixpoint partition-locally in
+    # one mapInPandas job when the statics pass the broadcast byte gate
+    # (GeneralizedPivotSetInfo.scala:30-170 planning, local_eval.py execution)
+    decomposable_local: bool = True
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 
@@ -362,6 +383,143 @@ class BigDatalogContext:
             return F.broadcast(df)
         return df
 
+    # ---------------------------------------------- decomposable (GPS) path
+    def _decomposable_info(self, clique: Clique):
+        """(pivot positions, static preds) when the clique admits
+        partition-local evaluation, else None.
+
+        Conditions (GeneralizedPivotSetInfo.scala:30-170 in spirit): a
+        single-predicate clique whose recursive rules are all linear, with a
+        non-empty stable pivot set (head copies those positions verbatim
+        from the recursive body atom — so derivations never change pivot
+        values), and no negation/sort/limit inside the recursion."""
+        if len(clique.preds) != 1:
+            return None
+        pred = clique.preds[0]
+        rules = clique.recursive_rules[pred]
+        if not rules:
+            return None
+        for rule in rules:
+            if len(self._rule_clique_occurrences(rule, clique)) != 1:
+                return None
+            for lit in rule.body:
+                if isinstance(lit, (SortSpec, LimitSpec)):
+                    return None
+                if isinstance(lit, Atom) and lit.negated:
+                    return None
+        stable = self._stable_positions(clique, pred)
+        if not stable:
+            return None
+        static_preds = sorted(
+            {
+                a.pred
+                for rule in rules
+                for a in rule.body_atoms
+                if a.pred not in clique.preds
+            }
+        )
+        return sorted(stable), static_preds
+
+    _TYPE_BYTES = {
+        "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+        "float": 4, "double": 8, "date": 4,
+    }
+
+    def _estimated_bytes(self, df: DataFrame, limit: int) -> int | None:
+        """Catalyst size estimate, or — when stats are unknown (RDD-backed
+        in-memory relations report defaultSizeInBytes = Long.MaxValue) — a
+        BOUNDED row probe: limit(k+1).count() where k is the row budget, so
+        deciding the strategy costs O(budget) rows even on a 100 TB input.
+        None = provably over budget."""
+        try:
+            size = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = -1
+        if 0 <= size < (1 << 62):
+            return size if size <= limit else None
+        row_bytes = 8 + sum(
+            self._TYPE_BYTES.get(f.dataType.simpleString(), 24)
+            for f in df.schema.fields
+        )
+        max_rows = limit // row_bytes
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            return None
+        return n * row_bytes
+
+    def _local_statics(self, static_preds: list) -> dict | None:
+        """Resolve the recursion's static relations and size-gate them for
+        driver collection + broadcast (same byte budget as broadcast joins);
+        None when any side is unknown-sized or too big — caller falls back
+        to the distributed loop."""
+        limit = self.config.broadcast_max_bytes
+        total = 0
+        statics: dict[str, DataFrame] = {}
+        for p in static_preds:
+            df = self._pred_df(p)
+            size = self._estimated_bytes(df, limit)
+            if size is None:
+                return None
+            total += size
+            if total > limit:
+                return None
+            statics[p] = df
+        return statics
+
+    def _try_local_seminaive(self, clique: Clique, exit_dfs: dict, step):
+        info = self._decomposable_info(clique)
+        if info is None:
+            return None
+        pivot_idx, static_preds = info
+        statics = self._local_statics(static_preds)
+        if statics is None:
+            return None
+        pred = clique.preds[0]
+        exit_df = exit_dfs[pred]
+        probe = step({pred: exit_df}, {pred: exit_df}).get(pred)
+        seed = _widen_seed(exit_df.distinct(), probe)
+        out = local_seminaive_fixpoint(
+            self.spark,
+            seed,
+            clique.recursive_rules[pred],
+            clique.preds,
+            statics,
+            [seed.columns[i] for i in pivot_idx],
+        )
+        if self.config.fixpoint.checkpoint:
+            out = out.localCheckpoint(eager=False)
+        return out
+
+    def _try_local_monotonic(
+        self, clique: Clique, exit_df: DataFrame, step, key_cols, value_col, func
+    ):
+        info = self._decomposable_info(clique)
+        if info is None:
+            return None
+        pivot_idx, static_preds = info
+        statics = self._local_statics(static_preds)
+        if statics is None:
+            return None
+        pred = clique.preds[0]
+        probe = step(exit_df, exit_df)
+        seed = _widen_seed(exit_df, probe)
+        out = local_monotonic_fixpoint(
+            self.spark,
+            seed,
+            clique.recursive_rules[pred],
+            clique.preds,
+            statics,
+            [seed.columns[i] for i in pivot_idx],
+            key_cols,
+            value_col,
+            func,
+        )
+        if self.config.fixpoint.checkpoint:
+            out = out.localCheckpoint(eager=False)
+        return out
+
     def _compute_clique(self, clique: Clique) -> None:
         if clique.monotonic:
             self._compute_monotonic_clique(clique)
@@ -436,6 +594,14 @@ class BigDatalogContext:
                 cands[pred] = union_all(variants) if variants else None
             return cands
 
+        if self.config.decomposable_local:
+            local = self._try_local_seminaive(clique, exit_dfs, step)
+            if local is not None:
+                results = {clique.preds[0]: local}
+                if seed_filter is None:
+                    self._cache[clique.preds[0]] = local
+                return results
+
         results = fixpoint_seminaive(exit_dfs, step, self.config.fixpoint)
         if seed_filter is None:
             for pred, df in results.items():
@@ -489,6 +655,14 @@ class BigDatalogContext:
                     body = rc.compile_body(rule, rel)
                     variants.append(rc.pre_aggregate_projection(rule, body))
             return union_all(variants) if variants else None
+
+        if self.config.decomposable_local:
+            local = self._try_local_monotonic(
+                clique, exit_df, step, key_cols, value_col, func
+            )
+            if local is not None:
+                self._cache[pred] = local.select(*names)
+                return
 
         result = fixpoint_monotonic(
             exit_df, step, key_cols, value_col, func, self.config.fixpoint

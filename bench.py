@@ -45,11 +45,24 @@ def main() -> None:
     # JVM/codegen warmup so q1 doesn't pay session startup.
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    def _release_blocks() -> None:
+        # Fixpoint queries leave persisted statics + localCheckpoint blocks
+        # behind; letting them pile up across 38 queries pushes the later
+        # shuffle-heavy ones into eviction churn and inflates their timings
+        # by up to ~10x. Isolate queries: drop every cached block between
+        # runs (the real engine frees these when contexts are GC'd, but the
+        # bench holds one session across all queries).
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
         t0 = time.perf_counter()
         _materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+        _release_blocks()
 
     print(json.dumps({
         "metric": "total_wall_sec",

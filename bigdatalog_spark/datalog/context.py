@@ -36,7 +36,12 @@ from .fixpoint import (
     fixpoint_monotonic,
     fixpoint_seminaive,
 )
-from .local_eval import local_monotonic_fixpoint, local_seminaive_fixpoint
+from .local_eval import (
+    local_monotonic_fixpoint,
+    local_seminaive_fixpoint,
+    seed_broadcast_monotonic,
+    seed_broadcast_seminaive,
+)
 from .parser import parse_goal, parse_program
 from .semantics import AnalyzedProgram, Clique, DatalogSemanticError, analyze
 
@@ -75,6 +80,12 @@ class EngineConfig:
     # one mapInPandas job when the statics pass the broadcast byte gate
     # (GeneralizedPivotSetInfo.scala:30-170 planning, local_eval.py execution)
     decomposable_local: bool = True
+    # linear cliques with NO stable pivot (single-source reach/sssp, mutual
+    # even/odd) still run locally when their seed is at most this many rows:
+    # seeds are sliced round-robin across tasks and each task runs the full
+    # fixpoint (closure(∪seeds) = ∪closure(seed_i) under linearity). Bounds
+    # cross-task duplicate derivation work; larger seeds go distributed.
+    local_seed_max_rows: int = 1024
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 
@@ -384,8 +395,37 @@ class BigDatalogContext:
         return df
 
     # ---------------------------------------------- decomposable (GPS) path
+    def _linear_clique_shape(self, clique: Clique) -> bool:
+        """True when every recursive rule in the clique has exactly one
+        clique atom (linear — every derivation chain traces to ONE seed
+        tuple) and no negation/sort/limit inside the recursion. The
+        precondition for any partition-local evaluation mode."""
+        any_rules = False
+        for pred in clique.preds:
+            for rule in clique.recursive_rules[pred]:
+                any_rules = True
+                if len(self._rule_clique_occurrences(rule, clique)) != 1:
+                    return False
+                for lit in rule.body:
+                    if isinstance(lit, (SortSpec, LimitSpec)):
+                        return False
+                    if isinstance(lit, Atom) and lit.negated:
+                        return False
+        return any_rules
+
+    def _clique_static_preds(self, clique: Clique) -> list:
+        return sorted(
+            {
+                a.pred
+                for pred in clique.preds
+                for rule in clique.recursive_rules[pred]
+                for a in rule.body_atoms
+                if a.pred not in clique.preds
+            }
+        )
+
     def _decomposable_info(self, clique: Clique):
-        """(pivot positions, static preds) when the clique admits
+        """(pivot positions, static preds) when the clique admits PIVOT
         partition-local evaluation, else None.
 
         Conditions (GeneralizedPivotSetInfo.scala:30-170 in spirit): a
@@ -393,32 +433,13 @@ class BigDatalogContext:
         non-empty stable pivot set (head copies those positions verbatim
         from the recursive body atom — so derivations never change pivot
         values), and no negation/sort/limit inside the recursion."""
-        if len(clique.preds) != 1:
+        if len(clique.preds) != 1 or not self._linear_clique_shape(clique):
             return None
         pred = clique.preds[0]
-        rules = clique.recursive_rules[pred]
-        if not rules:
-            return None
-        for rule in rules:
-            if len(self._rule_clique_occurrences(rule, clique)) != 1:
-                return None
-            for lit in rule.body:
-                if isinstance(lit, (SortSpec, LimitSpec)):
-                    return None
-                if isinstance(lit, Atom) and lit.negated:
-                    return None
         stable = self._stable_positions(clique, pred)
         if not stable:
             return None
-        static_preds = sorted(
-            {
-                a.pred
-                for rule in rules
-                for a in rule.body_atoms
-                if a.pred not in clique.preds
-            }
-        )
-        return sorted(stable), static_preds
+        return sorted(stable), self._clique_static_preds(clique)
 
     _TYPE_BYTES = {
         "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
@@ -468,57 +489,111 @@ class BigDatalogContext:
             statics[p] = df
         return statics
 
+    def _checkpointed(self, df: DataFrame) -> DataFrame:
+        if self.config.fixpoint.checkpoint:
+            return df.localCheckpoint(eager=False)
+        return df
+
     def _try_local_seminaive(self, clique: Clique, exit_dfs: dict, step):
-        info = self._decomposable_info(clique)
-        if info is None:
+        """pred -> DataFrame via a local evaluation mode, or None.
+
+        Mode 1 (pivot): single-pred clique with a stable pivot — partition
+        the seed by pivot, unbounded seed size. Mode 2 (seed-broadcast):
+        any linear clique whose TOTAL seed is small — slice seeds
+        round-robin, rerun per slice, re-distinct globally."""
+        if not self._linear_clique_shape(clique):
             return None
-        pivot_idx, static_preds = info
-        statics = self._local_statics(static_preds)
+        statics = self._local_statics(self._clique_static_preds(clique))
         if statics is None:
             return None
-        pred = clique.preds[0]
-        exit_df = exit_dfs[pred]
-        probe = step({pred: exit_df}, {pred: exit_df}).get(pred)
-        seed = _widen_seed(exit_df.distinct(), probe)
-        out = local_seminaive_fixpoint(
-            self.spark,
-            seed,
-            clique.recursive_rules[pred],
-            clique.preds,
-            statics,
-            [seed.columns[i] for i in pivot_idx],
-        )
-        if self.config.fixpoint.checkpoint:
-            out = out.localCheckpoint(eager=False)
-        return out
+
+        info = self._decomposable_info(clique)
+        if info is not None:
+            pivot_idx, _ = info
+            pred = clique.preds[0]
+            exit_df = exit_dfs[pred]
+            probe = step({pred: exit_df}, {pred: exit_df}).get(pred)
+            seed = _widen_seed(exit_df.distinct(), probe)
+            out = local_seminaive_fixpoint(
+                self.spark,
+                seed,
+                clique.recursive_rules[pred],
+                clique.preds,
+                statics,
+                [seed.columns[i] for i in pivot_idx],
+            )
+            return {pred: self._checkpointed(out)}
+
+        # seed-broadcast mode: bounded-probe the total seed size first
+        max_rows = self.config.local_seed_max_rows
+        probes = step(exit_dfs, exit_dfs)
+        seeds: dict[str, tuple] = {}
+        total = 0
+        for pred in clique.preds:
+            seed = _widen_seed(exit_dfs[pred].distinct(), probes.get(pred))
+            total += seed.limit(max_rows + 1 - total).count()
+            if total > max_rows:
+                return None
+            seeds[pred] = (seed.toPandas(), seed.schema)
+        rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
+        return {
+            pred: self._checkpointed(
+                seed_broadcast_seminaive(
+                    self.spark,
+                    seeds,
+                    pred,
+                    rules_by_pred,
+                    clique.preds,
+                    statics,
+                )
+            )
+            for pred in clique.preds
+        }
 
     def _try_local_monotonic(
         self, clique: Clique, exit_df: DataFrame, step, key_cols, value_col, func
     ):
-        info = self._decomposable_info(clique)
-        if info is None:
+        if not self._linear_clique_shape(clique):
             return None
-        pivot_idx, static_preds = info
-        statics = self._local_statics(static_preds)
+        statics = self._local_statics(self._clique_static_preds(clique))
         if statics is None:
             return None
         pred = clique.preds[0]
         probe = step(exit_df, exit_df)
         seed = _widen_seed(exit_df, probe)
-        out = local_monotonic_fixpoint(
+
+        info = self._decomposable_info(clique)
+        if info is not None:
+            pivot_idx, _ = info
+            out = local_monotonic_fixpoint(
+                self.spark,
+                seed,
+                clique.recursive_rules[pred],
+                clique.preds,
+                statics,
+                [seed.columns[i] for i in pivot_idx],
+                key_cols,
+                value_col,
+                func,
+            )
+            return self._checkpointed(out)
+
+        # seed-broadcast: the seed is the PRE-AGGREGATE contribution stream
+        max_rows = self.config.local_seed_max_rows
+        if seed.limit(max_rows + 1).count() > max_rows:
+            return None
+        out = seed_broadcast_monotonic(
             self.spark,
-            seed,
+            seed.toPandas(),
+            seed.schema,
             clique.recursive_rules[pred],
             clique.preds,
             statics,
-            [seed.columns[i] for i in pivot_idx],
             key_cols,
             value_col,
             func,
         )
-        if self.config.fixpoint.checkpoint:
-            out = out.localCheckpoint(eager=False)
-        return out
+        return self._checkpointed(out)
 
     def _compute_clique(self, clique: Clique) -> None:
         if clique.monotonic:
@@ -597,10 +672,9 @@ class BigDatalogContext:
         if self.config.decomposable_local:
             local = self._try_local_seminaive(clique, exit_dfs, step)
             if local is not None:
-                results = {clique.preds[0]: local}
                 if seed_filter is None:
-                    self._cache[clique.preds[0]] = local
-                return results
+                    self._cache.update(local)
+                return local
 
         results = fixpoint_seminaive(exit_dfs, step, self.config.fixpoint)
         if seed_filter is None:

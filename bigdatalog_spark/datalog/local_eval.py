@@ -145,10 +145,11 @@ def _apply_comparison_pd(lit: Comparison, acc, env: dict, counter):
 def _eval_rule_pd(rule, clique_preds, delta, statics, pre_aggregate: bool):
     """Evaluate one linear recursive rule over pandas frames.
 
-    The single clique-predicate occurrence reads ``delta``; every other atom
-    reads ``statics``. Returns a frame with canonical head columns c0..cn
-    (``pre_aggregate`` projects AggTerm args raw, for the monotonic loop —
-    compiler.pre_aggregate_projection semantics)."""
+    The single clique-predicate occurrence reads its entry in ``delta``
+    (pred -> frame); every other atom reads ``statics``. Returns a frame
+    with canonical head columns c0..cn (``pre_aggregate`` projects AggTerm
+    args raw, for the monotonic loop — compiler.pre_aggregate_projection
+    semantics)."""
     import pandas as pd
 
     occ = itertools.count()
@@ -157,7 +158,7 @@ def _eval_rule_pd(rule, clique_preds, delta, statics, pre_aggregate: bool):
     pending: list = []
     for lit in rule.body:
         if isinstance(lit, Atom) and not lit.negated:
-            src = delta if lit.pred in clique_preds else statics[lit.pred]
+            src = delta[lit.pred] if lit.pred in clique_preds else statics[lit.pred]
             adf, aenv = _load_atom_pd(lit, src, next(occ))
             if acc is None:
                 acc, env = adf, dict(aenv)
@@ -234,26 +235,50 @@ def _cast_like_pd(df, dtypes: dict):
 
 # ------------------------------------------------------------------ loops
 def _run_seminaive_pd(seed, rules, clique_preds, statics):
-    """In-task PSN loop: Δ' = T_R(Δ) − S; S = S ∪ Δ' — over pandas."""
+    """In-task PSN loop for a single-predicate clique."""
+    (pred,) = clique_preds if len(clique_preds) == 1 else (next(iter(clique_preds)),)
+    rules_by_pred = {pred: list(rules)}
+    return _run_seminaive_multi_pd(
+        {pred: seed}, rules_by_pred, clique_preds, statics
+    )[pred]
+
+
+def _run_seminaive_multi_pd(seeds, rules_by_pred, clique_preds, statics):
+    """In-task PSN loop over one or more mutually-recursive predicates:
+    Δ'_p = T_p(Δ) − S_p; S_p = S_p ∪ Δ'_p (MutualRecursion.scala:28-131
+    semantics, linear rules so each rule reads exactly one delta)."""
     import pandas as pd
 
-    cols = list(seed.columns)
-    dtypes = dict(seed.dtypes)
-    all_df = seed.drop_duplicates().reset_index(drop=True)
-    delta = all_df
-    while len(delta):
-        cands = [
-            _eval_rule_pd(r, clique_preds, delta, statics, False) for r in rules
-        ]
-        new = pd.concat(cands, ignore_index=True)
-        new = _cast_like_pd(new, dtypes).drop_duplicates()
-        merged = new.merge(all_df, on=cols, how="left", indicator=True)
-        delta = merged.loc[merged["_merge"] == "left_only", cols].reset_index(
-            drop=True
-        )
-        if len(delta):
-            all_df = pd.concat([all_df, delta], ignore_index=True)
-    return all_df
+    cols = {p: list(df.columns) for p, df in seeds.items()}
+    dtypes = {p: dict(df.dtypes) for p, df in seeds.items()}
+    all_ = {
+        p: df.drop_duplicates().reset_index(drop=True) for p, df in seeds.items()
+    }
+    delta = dict(all_)
+    while True:
+        new_delta = {}
+        for p in all_:
+            rules = rules_by_pred.get(p, [])
+            cands = [
+                _eval_rule_pd(r, clique_preds, delta, statics, False)
+                for r in rules
+            ]
+            if not cands:
+                new_delta[p] = all_[p].iloc[0:0]
+                continue
+            new = pd.concat(cands, ignore_index=True)
+            new = _cast_like_pd(new, dtypes[p]).drop_duplicates()
+            merged = new.merge(all_[p], on=cols[p], how="left", indicator=True)
+            new_delta[p] = merged.loc[
+                merged["_merge"] == "left_only", cols[p]
+            ].reset_index(drop=True)
+        if not any(len(d) for d in new_delta.values()):
+            break
+        for p, nd in new_delta.items():
+            if len(nd):
+                all_[p] = pd.concat([all_[p], nd], ignore_index=True)
+        delta = new_delta
+    return all_
 
 
 def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_col, func):
@@ -272,8 +297,9 @@ def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_co
     table = aggregate(seed_pre)
     delta = table
     while len(delta):
+        dmap = {p: delta for p in clique_preds}
         cands = [
-            _eval_rule_pd(r, clique_preds, delta, statics, True) for r in rules
+            _eval_rule_pd(r, clique_preds, dmap, statics, True) for r in rules
         ]
         new = pd.concat(cands, ignore_index=True)
         if not len(new):
@@ -335,6 +361,114 @@ def local_seminaive_fixpoint(
             yield result.iloc[start : start + _YIELD_ROWS]
 
     return part.mapInPandas(mapper, schema=seed.schema)
+
+
+def seed_broadcast_seminaive(
+    spark: SparkSession,
+    seeds: dict,
+    out_pred: str,
+    rules_by_pred: dict,
+    clique_preds,
+    statics: dict,
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Small-seed local fixpoint for linear cliques WITHOUT a stable pivot
+    (single-source reachability, mutual even/odd, ...).
+
+    Linearity means every derivation chain traces back to exactly ONE seed
+    tuple, so closure(∪seeds) = ∪ closure(seed_i): slice the (small,
+    gated) seed set round-robin across tasks, broadcast seeds + statics,
+    and run the full multi-predicate fixpoint per slice over a
+    parallelized slice-id range. Slices may re-derive the same tuple, so
+    the caller must re-distinct (or re-aggregate) the union — one shuffle,
+    versus one-plus jobs per iteration on the distributed path.
+
+    ``seeds``: pred -> (driver pandas frame, Spark schema). Returns the
+    fixpoint of ``out_pred`` only; other preds' results are discarded
+    (callers build one lazy frame per pred — unqueried preds never run)."""
+    seeds_pd = {p: pdf for p, (pdf, _) in seeds.items()}
+    out_schema = seeds[out_pred][1]
+    total = sum(len(pdf) for pdf in seeds_pd.values())
+    n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(n, total))
+    bc = spark.sparkContext.broadcast((seeds_pd, {k: v.toPandas() for k, v in statics.items()}))
+    rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
+    cset = frozenset(clique_preds)
+    ids = spark.range(0, n, 1, n)
+
+    def mapper(batches):
+        import pandas as pd
+
+        my_ids = [int(i) for b in batches for i in b["id"]]
+        if not my_ids:
+            return
+        seeds_all, statics_pd = bc.value
+        picked = set(my_ids)
+        sliced = {
+            p: pdf.iloc[[i for i in range(len(pdf)) if i % n in picked]]
+            for p, pdf in seeds_all.items()
+        }
+        result = _run_seminaive_multi_pd(sliced, rules_by_pred, cset, statics_pd)[
+            out_pred
+        ]
+        for start in range(0, len(result), _YIELD_ROWS):
+            yield result.iloc[start : start + _YIELD_ROWS]
+
+    return ids.mapInPandas(mapper, schema=out_schema).distinct()
+
+
+def seed_broadcast_monotonic(
+    spark: SparkSession,
+    seed_pd,
+    seed_schema,
+    rules,
+    clique_preds,
+    statics: dict,
+    key_cols: list,
+    value_col: str,
+    func: str,
+    num_slices: int | None = None,
+) -> DataFrame:
+    """Small-seed monotonic (mmin/mmax) fixpoint without a stable pivot
+    (e.g. single-source shortest paths). Same slicing argument as
+    seed_broadcast_seminaive; local tables prune only locally-dominated
+    paths, which are globally dominated too, so re-aggregating the task
+    tables with min/max yields the exact global fixpoint."""
+    from pyspark.sql import functions as F
+
+    total = len(seed_pd)
+    n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = max(1, min(n, total))
+    bc = spark.sparkContext.broadcast(
+        (seed_pd, {k: v.toPandas() for k, v in statics.items()})
+    )
+    rules = list(rules)
+    cset = frozenset(clique_preds)
+    ids = spark.range(0, n, 1, n)
+
+    def mapper(batches):
+        import pandas as pd
+
+        my_ids = [int(i) for b in batches for i in b["id"]]
+        if not my_ids:
+            return
+        seed_all, statics_pd = bc.value
+        picked = set(my_ids)
+        sliced = seed_all.iloc[[i for i in range(len(seed_all)) if i % n in picked]]
+        result = _run_monotonic_pd(
+            sliced, rules, cset, statics_pd, key_cols, value_col, func
+        )
+        for start in range(0, len(result), _YIELD_ROWS):
+            yield result.iloc[start : start + _YIELD_ROWS]
+
+    agg = F.min if func == "mmin" else F.max
+    out = ids.mapInPandas(mapper, schema=seed_schema)
+    cols = [f.name for f in seed_schema.fields]
+    return (
+        out.groupBy(*key_cols)
+        .agg(agg(F.col(value_col)).alias(value_col))
+        .select(*cols)
+    )
 
 
 def local_monotonic_fixpoint(

@@ -161,6 +161,75 @@ def test_oversized_statics_fall_back(spark):
     assert len(_rows(ctx, "tc(A,B).")) == 30 * 31 // 2
 
 
+# ------------------------------------------------------- seed-broadcast mode
+def test_single_source_reach_seed_broadcast(spark):
+    prog = (
+        "database({arc(From:integer, To:integer)})."
+        "reach(B) <- B = 0."
+        "reach(B) <- reach(A), arc(A,B)."
+    )
+    arcs = _random_arcs(11, n_nodes=30, n_edges=70) + ["0,1"]
+    ctx = _ctx(spark, prog, {"arc": arcs})
+    assert _info(ctx, "reach") is None  # no stable pivot → seed-broadcast
+    local = _rows(ctx, "reach(B).")
+    dist = _rows(
+        _ctx(spark, prog, {"arc": arcs}, decomposable_local=False), "reach(B)."
+    )
+    assert local == dist and len(local) > 1
+
+
+def test_mutual_clique_seed_broadcast_both_preds(spark):
+    prog = (
+        "database({arc(From:integer, To:integer)})."
+        "ev(X) <- X = 0."
+        "od(Y) <- ev(X), arc(X,Y)."
+        "ev(Y) <- od(X), arc(X,Y)."
+    )
+    arcs = [f"{i},{i + 1}" for i in range(40)] + ["20,3", "39,0"]
+    for goal in ("ev(X).", "od(X)."):
+        local = _rows(_ctx(spark, prog, {"arc": arcs}), goal)
+        dist = _rows(
+            _ctx(spark, prog, {"arc": arcs}, decomposable_local=False), goal
+        )
+        assert local == dist and len(local) > 0
+
+
+def test_single_source_sssp_seed_broadcast(spark):
+    prog = (
+        "database({edge(F:integer, T:integer, W:integer)})."
+        "sp(Y, mmin<D>) <- Y = 0, D = 0."
+        "sp(Y, mmin<D>) <- sp(X, D1), edge(X, Y, W), D = D1 + W."
+    )
+    rng = random.Random(5)
+    edges = [
+        f"{a},{b},{rng.randrange(1, 8)}"
+        for a, b in {(rng.randrange(20), rng.randrange(20)) for _ in range(50)}
+    ] + ["19,0,1"]
+    local = _rows(_ctx(spark, prog, {"edge": edges}), "sp(Y,D).")
+    dist = _rows(
+        _ctx(spark, prog, {"edge": edges}, decomposable_local=False), "sp(Y,D)."
+    )
+    assert local == dist and len(local) > 0
+
+
+def test_large_seed_falls_back_to_distributed(spark):
+    # cc-style: every node seeds the monotonic table; with a tiny row gate
+    # the local path must decline and the distributed loop still answers
+    prog = (
+        "database({arc(From:integer, To:integer)})."
+        "cc3(X, mmin<X>) <- arc(X, _)."
+        "cc3(Y, mmin<V>) <- cc3(X, V), arc(X, Y)."
+    )
+    arcs = [f"{i},{i + 1}" for i in range(30)]
+    small = _rows(
+        _ctx(spark, prog, {"arc": arcs}, local_seed_max_rows=5), "cc3(X,V)."
+    )
+    dist = _rows(
+        _ctx(spark, prog, {"arc": arcs}, decomposable_local=False), "cc3(X,V)."
+    )
+    assert small == dist and len(small) == 31
+
+
 def test_row_probe_gates_in_memory_relations(spark):
     # register_data relations have no Catalyst stats; the bounded row probe
     # must still admit small ones

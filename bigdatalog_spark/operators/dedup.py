@@ -62,6 +62,27 @@ def word_shingles(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     )
 
 
+def word_shingle_hashes(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(id, xxhash64(shingle)) pairs, distinct per document. Hashing BEFORE
+    the distinct shuffles 8-byte longs instead of shingle strings — same
+    result set as hashing word_shingles afterwards (64-bit collisions are
+    negligible), measurably cheaper at scale."""
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        df.select(F.col(id_col), F.explode(sh).alias("s"))
+        .where(F.length("s") > 0)
+        .select(id_col, F.xxhash64("s").alias("shingle"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -82,9 +103,11 @@ def ngram_jaccard_pairs(
     and set sizes/intersections are unchanged (collisions at 2⁻⁶⁴ are
     noise next to shingling itself).
     """
-    sh = word_shingles(df, text_col, id_col, n).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
-    )
+    # materialize the shingle set once: it feeds three branches (both
+    # self-join sides + the per-doc sizes), and only the self-join pair
+    # gets a ReusedExchange — without persist the tokenize+explode+distinct
+    # pipeline runs twice
+    sh = word_shingle_hashes(df, text_col, id_col, n).persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("left_id"), "shingle")
     b = sh.select(F.col(id_col).alias("right_id"), "shingle")
@@ -146,10 +169,24 @@ def minhash_lsh_pairs(
     rows_per_band = num_hashes // bands
     # hash shingle strings once; the 32 seeded minhashes then mix an 8-byte
     # long instead of re-hashing the full string per seed
-    sh = word_shingles(df, text_col, id_col, n).select(
-        id_col, F.xxhash64("shingle").alias("shingle")
+    sh = word_shingle_hashes(df, text_col, id_col, n)
+    # ONE aggregation computes both the signatures and (when verifying) the
+    # per-doc shingle sets: separate groupBys would partial-aggregate
+    # differently below their exchanges, so Catalyst can't reuse them and
+    # the whole shingle scan would run twice
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"mh{i}")
+            for i in range(num_hashes)
+        ],
+        *([F.collect_set("shingle").alias("__ss")] if verify else []),
     )
-    sig = minhash_signatures(sh, id_col, num_hashes)
+    if verify:
+        # column pruning strips collect_set from the band branch's partial
+        # aggregate, so Catalyst sees two different exchanges and would run
+        # the whole shingle scan twice; materialize the per-doc aggregate
+        # once instead (num_docs rows — the small end of the pipeline)
+        sig = sig.persist()
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -172,7 +209,7 @@ def minhash_lsh_pairs(
     # candidate-local verification: jaccard from per-doc shingle sets via
     # array_intersect — O(|candidates|), never recomputes the full exact
     # pair join (which would defeat LSH at scale)
-    sets = sh.groupBy(id_col).agg(F.collect_set("shingle").alias("ss"))
+    sets = sig.select(id_col, F.col("__ss").alias("ss"))
     lsets = sets.select(F.col(id_col).alias("left_id"), F.col("ss").alias("ls"))
     rsets = sets.select(F.col(id_col).alias("right_id"), F.col("ss").alias("rs"))
     inter = F.size(F.array_intersect(F.col("ls"), F.col("rs")))

@@ -52,6 +52,20 @@ class FixpointConfig:
     # set whenever it exceeds this cap (0 = 2× the session's shuffle
     # partitions, resolved lazily)
     max_set_partitions: int = 0
+    # Store the accumulated set S as sorted hash-partitioned segments
+    # (LSM-style) instead of one re-unioned frame. The per-iteration
+    # Δ' = cand − S then merge-scans stored blocks with NO shuffle or sort
+    # of S (the SetRDD partition-stable store, SetRDD.scala:111-126,
+    # re-expressed via localCheckpoint's preserved outputPartitioning) —
+    # per-iteration shuffle drops from O(|S|) to O(|Δ|). Requires
+    # checkpoint=True; AQE is disabled inside the loop because
+    # AdaptiveSparkPlanExec reports UnknownPartitioning at checkpoint
+    # capture, which would force S back through an Exchange each iteration.
+    copartitioned_set: bool = True
+    # compact the segment chain (union + one re-shuffle of S) when it grows
+    # past this length: bounds plan depth and per-iteration merge fan-in,
+    # amortizing the re-shuffle to |S|/max_segments per iteration
+    max_segments: int = 8
 
 
 class _GenerationCache:
@@ -146,6 +160,86 @@ def _retain(df: DataFrame, cfg: FixpointConfig, cache: "_GenerationCache") -> Da
     return cache.persist(df)
 
 
+class _aqe_off:
+    """Disable AQE for the duration of a fixpoint loop (restoring on exit).
+
+    Inside the loop every stored frame's partitioning must survive
+    localCheckpoint so the anti-join/merge plans stay exchange-free; AQE's
+    plan wrapper hides the final partitioning at capture time. Small-delta
+    task-count control, AQE's main job here, is handled explicitly by
+    _narrow_small."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = self.spark.conf.get("spark.sql.adaptive.enabled")
+        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.adaptive.enabled", self.saved)
+        return False
+
+
+class _SegmentedSet:
+    """Accumulated set S as disjoint sorted hash-partitioned segments.
+
+    Each segment is a localCheckpoint'ed frame partitioned by all columns
+    (the set key) and sorted within partitions, so `candidates − S` plans as
+    one Exchange+Sort of the candidates followed by a chain of SortMergeJoin
+    LeftAnti that read every segment in place — no shuffle, no sort of S.
+    Appends are O(|Δ|); a flat compaction re-shuffles S once per
+    `max_segments` iterations."""
+
+    def __init__(self, base: DataFrame, cfg: FixpointConfig):
+        self.cfg = cfg
+        self.cols = list(base.columns)
+        self.segments: list[DataFrame] = []
+        self._empty = _empty_like(base)
+
+    def _seal(self, df: DataFrame) -> DataFrame:
+        # hash-partitioned (by the upstream distinct/anti-join) → in-partition
+        # sort (removed as redundant when the plan is already merge-sorted) →
+        # checkpoint stores blocks with partitioning+ordering intact
+        return df.sortWithinPartitions(*self.cols).localCheckpoint(eager=False)
+
+    def seal_and_count(self, df: DataFrame) -> tuple[DataFrame, int]:
+        sealed = self._seal(df)
+        return sealed, sealed.count()
+
+    def append(self, segment: DataFrame) -> None:
+        self.segments.append(segment)
+        if len(self.segments) > self.cfg.max_segments:
+            self._compact()
+
+    def _compact(self) -> None:
+        u = self.segments[0]
+        for s in self.segments[1:]:
+            u = u.union(s)
+        n_part = int(
+            u.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        # segments are pairwise disjoint (each was anti-joined against all
+        # before it), so compaction is a re-shuffle + sort, no distinct
+        u = u.repartition(n_part, *self.cols)
+        sealed, _ = self.seal_and_count(u)
+        self.segments = [sealed]
+
+    def anti(self, cand: DataFrame) -> DataFrame:
+        for s in self.segments:
+            cand = cand.join(s, on=self.cols, how="left_anti")
+        return cand
+
+    def view(self) -> DataFrame:
+        if not self.segments:
+            return self._empty
+        u = self.segments[0]
+        for s in self.segments[1:]:
+            u = u.union(s)
+        return u
+
+
 _NUM_RANK = {
     "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5,
 }
@@ -208,6 +302,8 @@ def fixpoint_seminaive(
     Returns pred -> fixpoint DataFrame.
     """
     cfg = cfg or FixpointConfig()
+    if cfg.copartitioned_set and cfg.checkpoint:
+        return _fixpoint_seminaive_segmented(exit_dfs, step, cfg)
     cache = _GenerationCache(cfg)
 
     # schema probe: run step over the (lazy) seeds to learn the candidate
@@ -271,6 +367,61 @@ def fixpoint_seminaive(
 
     # results stay persisted for downstream strata; caller may unpersist
     return all_dfs
+
+
+def _fixpoint_seminaive_segmented(exit_dfs: dict, step, cfg: FixpointConfig) -> dict:
+    """PSN with the accumulated set held as co-partitioned segments.
+
+    Identical semantics to the legacy path; differs only in how S is stored
+    and how Δ' = T_R(Δ) − S plans: the candidate side shuffles+sorts once,
+    every stored segment merge-joins in place (see _SegmentedSet)."""
+    spark = next(iter(exit_dfs.values())).sparkSession
+    probe = step(exit_dfs, exit_dfs)
+
+    sets: dict[str, _SegmentedSet] = {}
+    delta_dfs: dict[str, DataFrame] = {}
+    live = set()
+    with _aqe_off(spark):
+        for pred, df in exit_dfs.items():
+            df = _widen_seed(df, probe.get(pred))
+            sset = _SegmentedSet(df, cfg)
+            seg, n = sset.seal_and_count(df.distinct())
+            if n:
+                sset.append(seg)
+                live.add(pred)
+            sets[pred] = sset
+            delta_dfs[pred] = _narrow_small(seg, n, cfg)
+
+        iteration = 0
+        while live:
+            iteration += 1
+            if iteration > cfg.max_iterations:
+                raise RuntimeError(
+                    f"fixpoint did not converge within {cfg.max_iterations} iterations"
+                )
+            all_dfs = {p: s.view() for p, s in sets.items()}
+            candidates = step(all_dfs, delta_dfs)
+            live = set()
+            new_delta: dict[str, DataFrame] = {}
+            for pred, cand in candidates.items():
+                sset = sets[pred]
+                if cand is None:
+                    new_delta[pred] = sset._empty
+                    continue
+                cand = _cast_like(cand, sset._empty)
+                if _plan_is_empty(cand):
+                    new_delta[pred] = sset._empty
+                    continue
+                delta, n = sset.seal_and_count(sset.anti(cand.distinct()))
+                if n:
+                    sset.append(delta)
+                    live.add(pred)
+                new_delta[pred] = _narrow_small(delta, n, cfg)
+            for pred in sets:
+                new_delta.setdefault(pred, sets[pred]._empty)
+            delta_dfs = new_delta
+
+    return {pred: s.view() for pred, s in sets.items()}
 
 
 def _empty_like(df: DataFrame) -> DataFrame:

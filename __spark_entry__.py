@@ -313,6 +313,16 @@ def dl_cc(spark, sf_dir):
     return df.select(F.col("N").alias("n_components"))
 
 
+def q_cc_fast(spark, sf_dir):
+    """Connected components via O(log n)-round star contraction — the
+    cluster-scale alternative to dl_cc's diameter-bound label propagation.
+    Full (vertex, component) labels, oracle-checked."""
+    from bigdatalog_spark.operators.graph import connected_components_fast
+
+    forest = _tree_edges(spark, sf_dir).where(F.col("dst") % 97 != 0)
+    return connected_components_fast(forest)
+
+
 def dl_apsp(spark, sf_dir):
     """All-pairs shortest paths via mmin over (source, dest) keys
     (Experiments.scala program 31) on the weighted tree, capped at the
@@ -636,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_reach": dl_reach,
         "dl_sssp": dl_sssp,
         "dl_cc": dl_cc,
+        "q_cc_fast": q_cc_fast,
         "dl_apsp": dl_apsp,
         "dl_same_generation": dl_same_generation,
         "dl_triangle_count": dl_triangle_count,
@@ -786,6 +797,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.s, e.dst FROM r JOIN edges e ON e.src = r.x),
             labels AS (SELECT x, min(s) AS comp FROM r GROUP BY x)
             SELECT CAST(count(DISTINCT comp) AS BIGINT) AS n_components FROM labels
+        """,
+        "q_cc_fast": f"""
+            WITH RECURSIVE edges AS (
+              SELECT * FROM ({_EDGES_SQL}) WHERE dst % 97 <> 0),
+            sym AS (SELECT src, dst FROM edges
+                    UNION SELECT dst, src FROM edges),
+            verts AS (SELECT DISTINCT src AS v FROM sym),
+            -- undirected reachability; component = min reachable vertex id
+            r(v, x) AS (
+              SELECT v, v FROM verts
+              UNION
+              SELECT r.v, s.dst FROM r JOIN sym s ON s.src = r.x)
+            SELECT CAST(v AS BIGINT) AS vertex,
+                   CAST(min(x) AS BIGINT) AS component
+            FROM r GROUP BY v
         """,
         "dl_apsp": f"""
             WITH RECURSIVE edges AS (

@@ -61,6 +61,12 @@ class FixpointConfig:
     # checkpoint=True; AQE is disabled inside the loop because
     # AdaptiveSparkPlanExec reports UnknownPartitioning at checkpoint
     # capture, which would force S back through an Exchange each iteration.
+    # Only engaged for linear recursions (step reads deltas only, detected
+    # by probing): when the step joins against the full set, that join keys
+    # on rule variables — not the set key — so S re-shuffles for the join
+    # regardless and the AQE-off loop only loses broadcast/coalesce
+    # decisions on the dominant join (measured 4-10x worse on non-linear
+    # TC at sf0.1).
     copartitioned_set: bool = True
     # compact the segment chain (union + one re-shuffle of S) when it grows
     # past this length: bounds plan depth and per-iteration merge fan-in,
@@ -197,6 +203,15 @@ class _SegmentedSet:
         self.cols = list(base.columns)
         self.segments: list[DataFrame] = []
         self._empty = _empty_like(base)
+        # Frames replaced by compaction, awaiting block release. Release is
+        # deferred by one FULL iteration (two-stage queue): a compaction can
+        # retire the delta appended in the current iteration, but that delta
+        # is read by step() in the NEXT iteration, and its lineage was
+        # truncated by localCheckpoint — freeing its blocks early is
+        # unrecoverable (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND), not a
+        # recompute.
+        self._retired: list[DataFrame] = []
+        self._free_queue: list[DataFrame] = []
 
     def _seal(self, df: DataFrame) -> DataFrame:
         # hash-partitioned (by the upstream distinct/anti-join) → in-partition
@@ -223,7 +238,8 @@ class _SegmentedSet:
         # segments are pairwise disjoint (each was anti-joined against all
         # before it), so compaction is a re-shuffle + sort, no distinct
         u = u.repartition(n_part, *self.cols)
-        sealed, _ = self.seal_and_count(u)
+        sealed, _ = self.seal_and_count(u)  # materializes before sources retire
+        self._retired.extend(self.segments)
         self.segments = [sealed]
 
     def anti(self, cand: DataFrame) -> DataFrame:
@@ -238,6 +254,30 @@ class _SegmentedSet:
         for s in self.segments[1:]:
             u = u.union(s)
         return u
+
+    @staticmethod
+    def _unpersist_all(frames: list[DataFrame]) -> None:
+        for df in frames:
+            try:
+                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass  # best-effort: a failed release only costs memory
+
+    def release_retired(self) -> None:
+        """Free blocks of segments retired one full iteration ago (their
+        data now lives in a compacted segment, and any step plan reading
+        them has executed). Without this every compaction strands a full
+        spilled copy of S in the block manager for the query's lifetime."""
+        self._unpersist_all(self._free_queue)
+        self._free_queue = self._retired
+        self._retired = []
+
+    def release_all_retired(self) -> None:
+        """At fixpoint exit: the result references only current segments, so
+        every retired frame can be freed."""
+        self._unpersist_all(self._free_queue + self._retired)
+        self._free_queue = []
+        self._retired = []
 
 
 _NUM_RANK = {
@@ -302,7 +342,7 @@ def fixpoint_seminaive(
     Returns pred -> fixpoint DataFrame.
     """
     cfg = cfg or FixpointConfig()
-    if cfg.copartitioned_set and cfg.checkpoint:
+    if cfg.copartitioned_set and cfg.checkpoint and _step_is_linear(exit_dfs, step):
         return _fixpoint_seminaive_segmented(exit_dfs, step, cfg)
     cache = _GenerationCache(cfg)
 
@@ -369,6 +409,34 @@ def fixpoint_seminaive(
     return all_dfs
 
 
+class _RecordingDict(dict):
+    """Dict that records whether any value was read (probe for linearity)."""
+
+    def __init__(self, base: dict):
+        super().__init__(base)
+        self.accessed = False
+
+    def __getitem__(self, key):
+        self.accessed = True
+        return super().__getitem__(key)
+
+    def get(self, key, default=None):
+        self.accessed = True
+        return super().get(key, default)
+
+
+def _step_is_linear(exit_dfs: dict, step) -> bool:
+    """True iff the step builds candidates without reading the accumulated
+    set (pure-delta / linear recursion). Probed by calling step once with a
+    recording all_dfs — plan construction only, no job runs."""
+    rec = _RecordingDict(exit_dfs)
+    try:
+        step(rec, dict(exit_dfs))
+    except Exception:
+        return False
+    return not rec.accessed
+
+
 def _fixpoint_seminaive_segmented(exit_dfs: dict, step, cfg: FixpointConfig) -> dict:
     """PSN with the accumulated set held as co-partitioned segments.
 
@@ -420,7 +488,14 @@ def _fixpoint_seminaive_segmented(exit_dfs: dict, step, cfg: FixpointConfig) -> 
             for pred in sets:
                 new_delta.setdefault(pred, sets[pred]._empty)
             delta_dfs = new_delta
+            # free blocks of segments retired one full iteration ago (the
+            # two-stage queue in _SegmentedSet keeps frames that next
+            # iteration's step plans still read)
+            for sset in sets.values():
+                sset.release_retired()
 
+    for sset in sets.values():
+        sset.release_all_retired()
     return {pred: s.view() for pred, s in sets.items()}
 
 

@@ -110,6 +110,102 @@ def connected_components(
     return res.select(F.col("c0").alias("vertex"), F.col("c1").alias("component"))
 
 
+def connected_components_fast(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+    max_rounds: int = 64,
+) -> DataFrame:
+    """CC via alternating large-star/small-star contraction — O(log n)
+    rounds on ANY topology (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14; public algorithm).
+
+    The min-label-propagation `connected_components` (the reference's
+    cc3/cc2 Datalog program, AggregatesInRecursionQuerySuite.scala:80-95)
+    needs rounds proportional to graph DIAMETER — ~298 rounds on the
+    reference's grid150 dataset. Star contraction replaces that with a
+    logarithmic round count, the difference between feasible and not on
+    high-diameter graphs at cluster scale. Each round is two
+    shuffle-on-vertex aggregations + joins, all JVM-side; convergence is
+    detected by an (edge-count, hash-sum) checksum, no driver-side data.
+
+    Returns (vertex, component) where component = min vertex id in the
+    component; isolated self-loop-only vertices map to themselves.
+    """
+    e = (
+        _edges(edges, src, dst)
+        .where(F.col("c0") != F.col("c1"))
+        .select(F.col("c0").alias("u"), F.col("c1").alias("v"))
+    )
+    vertices = (
+        _edges(edges, src, dst)
+        .select(F.explode(F.array("c0", "c1")).alias("vertex"))
+        .distinct()
+    )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: exact and overflow-free under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    def large_star(E: DataFrame) -> DataFrame:
+        # symmetric neighborhoods; m(u) = min(N(u) ∪ {u}); connect every
+        # strictly-larger neighbor to m(u)
+        sym = E.union(E.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+        return (
+            sym.where(F.col("v") > F.col("u"))
+            .join(m, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(E: DataFrame) -> DataFrame:
+        # orient (hi, lo); m(u) = min of smaller neighbors ∪ {u} = min(lo);
+        # connect every smaller neighbor and u itself to m(u)
+        o = E.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        m = o.groupBy("u").agg(F.min("v").alias("m"))
+        nbrs = o.join(m, on="u").select(
+            F.col("v").alias("u"), F.col("m").alias("v")
+        )
+        selfe = m.select("u", F.col("m").alias("v"))
+        return (
+            nbrs.union(selfe)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    prev_sig, prev_e = None, None
+    for _ in range(max_rounds):
+        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        sig = checksum(e)
+        if prev_e is not None:  # free last round's checkpoint blocks
+            try:
+                prev_e._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+        if sig == prev_sig:
+            break
+        prev_sig, prev_e = sig, e
+    else:
+        raise RuntimeError(
+            f"star-contraction CC did not converge within {max_rounds} rounds"
+        )
+
+    # converged: e is a set of stars (child → min-id root)
+    labels = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+    return (
+        vertices.join(labels, on="vertex", how="left")
+        .select(
+            "vertex",
+            F.coalesce("component", F.col("vertex")).alias("component"),
+        )
+    )
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Count of directed triangles x<y<z with arcs x→y→z→x
     (TriangleQuerySuite program)."""

@@ -23,10 +23,17 @@ TABLE_NAMES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+    if name == "events":
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # TIMESTAMP(MICROS) without UTC adjustment reads as NTZ, which
+            # streaming watermarks reject; cast to TimestampType (wallclock-
+            # preserving in the session timezone)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

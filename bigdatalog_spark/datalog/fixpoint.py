@@ -503,6 +503,204 @@ def _empty_like(df: DataFrame) -> DataFrame:
     return df.filter(F.lit(False))
 
 
+@dataclass
+class AggSpec:
+    """Shape of one monotonic-aggregate predicate inside a clique:
+    canonical key columns, the value column, and the function
+    ('mmin' | 'mmax' | 'mcount' | 'msum')."""
+
+    key_cols: list
+    value_col: str
+    func: str
+
+    @property
+    def additive(self) -> bool:
+        return self.func in ("mcount", "msum")
+
+
+def fixpoint_mixed(
+    exit_dfs: dict,
+    step,
+    agg_specs: dict,
+    cfg: FixpointConfig | None = None,
+) -> dict:
+    """PSN over a clique mixing set-semantics predicates with monotonic-
+    aggregate predicates (the generalization the reference left as TODO —
+    AggregateSetRDD.scala:146-148 "implement MCOUNT/MSUM", and mutual
+    monotonic cliques like the commented-out Attend program,
+    AggregatesInRecursionQuerySuite.scala:97-142).
+
+    exit_dfs: pred -> seed DataFrame. For a plain pred these are result
+        tuples; for an aggregate pred (listed in agg_specs) they are
+        PRE-AGGREGATE contribution tuples (keys..., value).
+    step(all_dfs, delta_dfs) -> pred -> candidate DataFrame. For an
+        aggregate pred, ``all_dfs[pred]``/``delta_dfs[pred]`` hold the
+        running aggregate TABLE / its changed groups (the AggregateRelation
+        read, execution/relations.scala:50-57), and the candidate is again a
+        contribution stream.
+    agg_specs: pred -> AggSpec.
+
+    Semantics per aggregate kind:
+    * mmin/mmax — keep the best value per group; delta = improved groups
+      (AggregateSetRDDMinMaxPartition.scala:42-57 semantics).
+    * mcount/msum — the aggregate ranges over the DISTINCT SET of
+      (keys..., value) contribution tuples (support set); counts/sums only
+      grow as support grows, so conditions over the running value converge
+      monotonically. msum assumes non-negative contributions for
+      monotonicity of threshold conditions (the classic DeALS premise).
+    """
+    cfg = cfg or FixpointConfig()
+    cache = _GenerationCache(cfg)
+
+    probe = step(exit_dfs, exit_dfs)
+
+    def aggregate(pred: str, contrib: DataFrame) -> DataFrame:
+        spec: AggSpec = agg_specs[pred]
+        v = F.col(spec.value_col)
+        fn = {
+            "mmin": F.min(v),
+            "mmax": F.max(v),
+            "mcount": F.count(F.lit(1)).cast("long"),
+            "msum": F.sum(v),
+        }[spec.func]
+        return contrib.groupBy(*spec.key_cols).agg(fn.alias(spec.value_col))
+
+    all_dfs: dict[str, DataFrame] = {}      # plain: result set; agg: table
+    delta_dfs: dict[str, DataFrame] = {}
+    supports: dict[str, DataFrame] = {}     # additive preds: distinct contribs
+    live = set()
+    for pred, df in exit_dfs.items():
+        df = _widen_seed(df, probe.get(pred))
+        if pred in agg_specs:
+            spec = agg_specs[pred]
+            if spec.additive:
+                support, n = _materialize(df.distinct(), cfg)
+                supports[pred] = _retain(support, cfg, cache)
+                table = aggregate(pred, supports[pred])
+            else:
+                table = aggregate(pred, df)
+                n = None
+            table, nt = _materialize(table, cfg)
+            table = _retain(table, cfg, cache)
+            all_dfs[pred] = table
+            delta_dfs[pred] = table
+            if nt:
+                live.add(pred)
+        else:
+            df, n = _materialize(df.distinct(), cfg)
+            df = _retain(df, cfg, cache)
+            all_dfs[pred] = df
+            delta_dfs[pred] = df
+            if n:
+                live.add(pred)
+
+    iteration = 0
+    while live:
+        iteration += 1
+        if iteration > cfg.max_iterations:
+            raise RuntimeError(
+                f"mixed fixpoint did not converge within {cfg.max_iterations}"
+            )
+        cache.next_generation()
+        candidates = step(all_dfs, delta_dfs)
+        live = set()
+        new_all = dict(all_dfs)
+        new_delta: dict[str, DataFrame] = {}
+        for pred, cand in candidates.items():
+            if cand is None or _plan_is_empty(
+                cand if cand is not None else _empty_like(all_dfs[pred])
+            ):
+                new_delta[pred] = _empty_like(all_dfs[pred])
+                continue
+            if pred not in agg_specs:
+                cand = _cast_like(cand, all_dfs[pred])
+                delta = cand.distinct().join(
+                    all_dfs[pred], on=list(cand.columns), how="left_anti"
+                )
+                delta, n = _materialize(delta, cfg)
+                delta = _narrow_small(_retain(delta, cfg, cache), n, cfg)
+                new_delta[pred] = delta
+                if n:
+                    live.add(pred)
+                    new_all[pred] = _retain(
+                        _truncate(all_dfs[pred].union(delta), cfg), cfg, cache
+                    )
+                continue
+
+            spec = agg_specs[pred]
+            keys = spec.key_cols
+            vcol = spec.value_col
+            table = all_dfs[pred]
+            if spec.additive:
+                cand = _cast_like(cand, supports[pred])
+                # new support = distinct contributions not yet counted
+                fresh = cand.distinct().join(
+                    supports[pred], on=list(cand.columns), how="left_anti"
+                )
+                fresh, n = _materialize(fresh, cfg)
+                fresh = _retain(fresh, cfg, cache)
+                if not n:
+                    new_delta[pred] = _empty_like(table)
+                    continue
+                live.add(pred)
+                supports[pred] = _retain(
+                    _truncate(supports[pred].union(fresh), cfg), cfg, cache
+                )
+                inc = aggregate(pred, fresh).withColumnRenamed(vcol, "__inc")
+                merged = table.join(inc, on=keys, how="full_outer").select(
+                    *keys,
+                    (
+                        F.coalesce(F.col(vcol), F.lit(0))
+                        + F.coalesce(F.col("__inc"), F.lit(0))
+                    ).alias(vcol),
+                )
+                merged, _ = _materialize(merged, cfg)
+                merged = _retain(merged, cfg, cache)
+                # changed groups carry their NEW cumulative value
+                delta = merged.join(inc.select(*keys), on=keys, how="left_semi")
+                delta, nd = _materialize(delta, cfg)
+                new_delta[pred] = _narrow_small(
+                    _retain(delta, cfg, cache), nd, cfg
+                )
+                new_all[pred] = merged
+            else:
+                cand = _cast_like(cand, table)
+                cand = aggregate(pred, cand)
+                better = (
+                    (lambda new, old: new < old)
+                    if spec.func == "mmin"
+                    else (lambda new, old: new > old)
+                )
+                old = table.select(
+                    *[F.col(k).alias(f"__old_{k}") for k in keys],
+                    F.col(vcol).alias("__old_v"),
+                )
+                joined = cand.join(
+                    old,
+                    on=[F.col(k) == F.col(f"__old_{k}") for k in keys],
+                    how="left_outer",
+                )
+                improved = joined.filter(
+                    F.col("__old_v").isNull()
+                    | better(F.col(vcol), F.col("__old_v"))
+                ).select(*keys, vcol)
+                improved, n = _materialize(improved, cfg)
+                improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
+                new_delta[pred] = improved
+                if not n:
+                    continue
+                live.add(pred)
+                kept = table.join(improved, on=keys, how="left_anti")
+                merged = _truncate(kept.unionByName(improved), cfg)
+                new_all[pred] = _retain(merged, cfg, cache)
+        for pred in all_dfs:
+            new_delta.setdefault(pred, _empty_like(all_dfs[pred]))
+        all_dfs = new_all
+        delta_dfs = new_delta
+
+    return all_dfs
+
+
 def fixpoint_monotonic(
     exit_pre_agg: DataFrame,
     step,

@@ -313,6 +313,59 @@ def dl_cc(spark, sf_dir):
     return df.select(F.col("N").alias("n_components"))
 
 
+def dl_attend_mcount(spark, sf_dir):
+    """mcount (additive monotonic aggregate) INSIDE recursion — the Attend
+    program shape the reference declares but leaves unimplemented
+    (AggregateSetRDD.scala:146-148 "TODO implement MCOUNT/MSUM").
+
+    Graph: tree edges ∪ grandparent edges, so every node m ≥ 4 has exactly
+    two in-neighbors {m/2, m/4}. Bootstrap percolation with threshold 2 and
+    organizers {1, 3} then converges to exactly {1} ∪ subtree(3): a node
+    attends iff BOTH its parent and grandparent attend, which by induction
+    holds exactly inside 3's subtree (nodes 4,5 need 2, which never
+    attends: its only in-neighbor is 1). That closed form is the DuckDB
+    oracle; the engine runs the genuine mixed set+mcount fixpoint."""
+    tree = _tree_edges(spark, sf_dir)
+    grand = (
+        tree.alias("a")
+        .join(tree.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    )
+    garc = tree.union(grand)
+    df = _datalog(
+        spark,
+        "database({garc(S:long, D:long)})."
+        "attend(X) <- X = 1."
+        "attend(X) <- X = 3."
+        "attend(Y) <- cnt(Y, N), N >= 2."
+        "cnt(Y, mcount<X>) <- attend(X), garc(X, Y).",
+        {"garc": garc},
+        "attend(V).",
+    )
+    return df.select(F.col("V").cast("long").alias("vertex"))
+
+
+def dl_viral_msum(spark, sf_dir):
+    """msum (additive monotonic aggregate) INSIDE recursion: weighted
+    influence percolation. On the tree every node has in-degree 1, so
+    msum(Y) = its parent's edge weight once the parent is active — the
+    fixpoint equals weight-filtered reachability from the root, which is
+    the DuckDB oracle; the engine runs the real mixed set+msum fixpoint."""
+    edges = _tree_edges(spark, sf_dir).withColumn(
+        "w", F.lit(1) + F.col("dst") % 3
+    )
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long, W:long)})."
+        "active(X) <- X = 1."
+        "active(Y) <- wsum(Y, S), S >= 2."
+        "wsum(Y, msum<W>) <- active(X), arc(X, Y, W).",
+        {"arc": edges},
+        "active(V).",
+    )
+    return df.select(F.col("V").cast("long").alias("vertex"))
+
+
 def q_cc_fast(spark, sf_dir):
     """Connected components via O(log n)-round star contraction — the
     cluster-scale alternative to dl_cc's diameter-bound label propagation.
@@ -645,6 +698,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mutual_even_odd": dl_mutual_even_odd,
         "dl_reach": dl_reach,
         "dl_sssp": dl_sssp,
+        "dl_attend_mcount": dl_attend_mcount,
+        "dl_viral_msum": dl_viral_msum,
         "dl_cc": dl_cc,
         "q_cc_fast": q_cc_fast,
         "dl_apsp": dl_apsp,
@@ -785,6 +840,28 @@ def oracle_sql() -> dict[str, str]:
               SELECT e.dst, paths.d + e.w FROM paths JOIN edges e ON e.src = paths.vertex)
             SELECT vertex, CAST(min(d) AS BIGINT) AS distance
             FROM paths GROUP BY vertex
+        """,
+        "dl_attend_mcount": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            -- closed form (see dl_attend_mcount docstring): {{1}} ∪ subtree(3)
+            r(v) AS (
+              SELECT CAST(3 AS BIGINT)
+              UNION
+              SELECT e.dst FROM r JOIN edges e ON e.src = r.v)
+            SELECT CAST(1 AS BIGINT) AS vertex
+            UNION
+            SELECT v FROM r
+        """,
+        "dl_viral_msum": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})),
+            -- in-degree 1: msum threshold == per-edge weight filter
+            act(v) AS (
+              SELECT CAST(1 AS BIGINT)
+              UNION
+              SELECT e.dst FROM act JOIN edges e ON e.src = act.v
+              WHERE e.w >= 2)
+            SELECT v AS vertex FROM act
         """,
         "dl_cc": f"""
             WITH RECURSIVE edges AS (

@@ -31,14 +31,17 @@ from .ast import (
 )
 from .compiler import RuleCompiler, canon_cols, union_all
 from .fixpoint import (
+    AggSpec,
     FixpointConfig,
     _widen_seed,
+    fixpoint_mixed,
     fixpoint_monotonic,
     fixpoint_seminaive,
 )
 from .local_eval import (
     local_monotonic_fixpoint,
     local_seminaive_fixpoint,
+    seed_broadcast_mixed,
     seed_broadcast_monotonic,
     seed_broadcast_seminaive,
 )
@@ -193,7 +196,12 @@ class BigDatalogContext:
         if not bound or goal.pred in self._cache:
             return None
         clique = self._analyzed.clique_of.get(goal.pred)
-        if clique is None or clique.monotonic or len(clique.preds) != 1:
+        if (
+            clique is None
+            or clique.monotonic
+            or clique.mixed
+            or len(clique.preds) != 1
+        ):
             return None
         stable = self._stable_positions(clique, goal.pred)
         if not all(i in stable for i, _ in bound):
@@ -337,6 +345,16 @@ class BigDatalogContext:
     def _final_aggregate(self, bag: DataFrame, shape) -> DataFrame:
         names = [f"c{i}" for i, _ in shape]
         keys = [names[i] for i, (pos, func) in enumerate(shape) if func is None]
+        funcs = [f for _, f in shape if f is not None]
+        if any(f in ("mcount", "msum") for f in funcs):
+            # additive monotonic aggregates range over the DISTINCT support
+            # set of (keys..., value) tuples (DeALS mcount/msum semantics)
+            if len(funcs) != 1:
+                raise DatalogSemanticError(
+                    "mcount/msum cannot be combined with other aggregates "
+                    "in one head (distinct-support semantics)"
+                )
+            bag = bag.distinct()
         aggs = []
         for i, (pos, func) in enumerate(shape):
             if func is None:
@@ -349,8 +367,10 @@ class BigDatalogContext:
                 "avg": F.avg,
                 "min": F.min,
                 "max": F.max,
-                "mmin": F.min,  # monotonic agg outside recursion = plain min/max
+                "mmin": F.min,  # monotonic agg outside recursion = plain agg
                 "mmax": F.max,
+                "mcount": F.count,  # over the distinct support set (above)
+                "msum": F.sum,
             }[func]
             aggs.append(fn(col).alias(names[i]))
         if keys:
@@ -447,19 +467,22 @@ class BigDatalogContext:
     }
 
     def _estimated_bytes(self, df: DataFrame, limit: int) -> int | None:
-        """Catalyst size estimate, or — when stats are unknown (RDD-backed
-        in-memory relations report defaultSizeInBytes = Long.MaxValue) — a
+        """Catalyst size estimate when it fits the budget; otherwise a
         BOUNDED row probe: limit(k+1).count() where k is the row budget, so
         deciding the strategy costs O(budget) rows even on a 100 TB input.
-        None = provably over budget."""
+        The probe also covers stats that are unknown (RDD-backed in-memory
+        relations report defaultSizeInBytes = Long.MaxValue) or
+        OVER-estimated (join/union stats multiply children — a derived
+        40k-row graph can report terabytes and would wrongly lose its local
+        fast path). None = probed over budget."""
         try:
             size = int(
                 df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
             )
         except Exception:
             size = -1
-        if 0 <= size < (1 << 62):
-            return size if size <= limit else None
+        if 0 <= size <= limit:
+            return size
         row_bytes = 8 + sum(
             self._TYPE_BYTES.get(f.dataType.simpleString(), 24)
             for f in df.schema.fields
@@ -596,10 +619,155 @@ class BigDatalogContext:
         return self._checkpointed(out)
 
     def _compute_clique(self, clique: Clique) -> None:
-        if clique.monotonic:
+        if clique.mixed:
+            self._compute_mixed_clique(clique)
+        elif clique.monotonic:
             self._compute_monotonic_clique(clique)
         else:
             self._compute_seminaive_clique(clique)
+
+    def _compute_mixed_clique(self, clique: Clique) -> None:
+        """Mixed set + monotonic-aggregate clique (incl. mcount/msum) via
+        fixpoint_mixed — the generalization the reference declares but never
+        implements (AggregateSetRDD.scala:146-148 "TODO implement
+        MCOUNT/MSUM"; the commented-out Attend program,
+        AggregatesInRecursionQuerySuite.scala:97-142)."""
+        clique_set = set(clique.preds)
+        statics: dict[str, DataFrame] = {}
+
+        def static_df(p: str) -> DataFrame:
+            if p not in statics:
+                statics[p] = self._pred_df(p)
+            return statics[p]
+
+        agg_specs: dict[str, AggSpec] = {}
+        for pred, (pos, func) in clique.agg_info.items():
+            arity = self.program.rules_for(pred)[0].head.arity
+            names = canon_cols(arity)
+            agg_specs[pred] = AggSpec(
+                key_cols=[n for i, n in enumerate(names) if i != pos],
+                value_col=names[pos],
+                func=func,
+                out_cols=names,
+            )
+
+        def project(rc: RuleCompiler, rule: Rule, body) -> DataFrame:
+            # agg preds exchange PRE-AGGREGATE contribution streams with the
+            # fixpoint; plain preds exchange result tuples
+            if rule.head.pred in agg_specs:
+                return rc.pre_aggregate_projection(rule, body)
+            return rc.project_head(rule, body, distinct=False)
+
+        exit_dfs: dict[str, DataFrame] = {}
+        for pred in clique.preds:
+            dfs = []
+            for rule in clique.exit_rules[pred]:
+                rc = RuleCompiler(self.spark)
+                body = rc.compile_body(rule, lambda p, occ: static_df(p))
+                dfs.append(project(rc, rule, body))
+            if dfs:
+                exit_dfs[pred] = union_all(dfs)
+            else:
+                arity = self.program.rules_for(pred)[0].head.arity
+                schema = T.StructType(
+                    [T.StructField(c, T.IntegerType(), True) for c in canon_cols(arity)]
+                )
+                exit_dfs[pred] = self.spark.createDataFrame([], schema)
+
+        def step(all_dfs: dict, delta_dfs: dict) -> dict:
+            cands: dict[str, DataFrame] = {}
+            for pred in clique.preds:
+                variants: list[DataFrame] = []
+                for rule in clique.recursive_rules[pred]:
+                    occs = self._rule_clique_occurrences(rule, clique)
+                    for j in occs:
+                        def rel(p: str, occ, j=j):
+                            if p in clique_set:
+                                # agg preds read the running aggregate TABLE
+                                # (AggregateRelation, relations.scala:50-57):
+                                # delta = changed groups, all = full table
+                                return delta_dfs[p] if occ == j else all_dfs[p]
+                            return self._maybe_broadcast(static_df(p))
+
+                        rc = RuleCompiler(self.spark)
+                        body = rc.compile_body(rule, rel)
+                        variants.append(project(rc, rule, body))
+                cands[pred] = union_all(variants) if variants else None
+            return cands
+
+        if self.config.decomposable_local:
+            local = self._try_local_mixed(clique, exit_dfs, step, agg_specs)
+            if local is not None:
+                self._cache.update(local)
+                return
+
+        results = fixpoint_mixed(exit_dfs, step, agg_specs, self.config.fixpoint)
+        for pred, df in results.items():
+            self._cache[pred] = df
+
+    def _mixed_out_schema(self, seed_schema, spec) -> T.StructType:
+        """Schema of a mixed-clique result table: the (widened) contribution
+        schema with the value column retyped per aggregate (mcount → long;
+        msum → long for integral contributions, double otherwise)."""
+        if spec is None:
+            return seed_schema
+        fields = []
+        for f in seed_schema.fields:
+            t = f.dataType
+            if f.name == spec.value_col:
+                if spec.func == "mcount":
+                    t = T.LongType()
+                elif spec.func == "msum":
+                    t = (
+                        T.DoubleType()
+                        if t.simpleString() in ("float", "double")
+                        else T.LongType()
+                    )
+            fields.append(T.StructField(f.name, t, True))
+        return T.StructType(fields)
+
+    def _try_local_mixed(self, clique: Clique, exit_dfs: dict, step, agg_specs):
+        """Single-task local evaluation of a small-seed mixed clique (no
+        slicing — additive thresholds need global counts; see
+        seed_broadcast_mixed). None when the shape/size gates fail."""
+        if not self._linear_clique_shape(clique):
+            return None
+        statics = self._local_statics(self._clique_static_preds(clique))
+        if statics is None:
+            return None
+        max_rows = self.config.local_seed_max_rows
+        probes = step(exit_dfs, exit_dfs)
+        seeds_pd: dict = {}
+        schemas: dict = {}
+        total = 0
+        for pred in clique.preds:
+            seed = _widen_seed(exit_dfs[pred].distinct(), probes.get(pred))
+            total += seed.limit(max_rows + 1 - total).count()
+            if total > max_rows:
+                return None
+            seeds_pd[pred] = seed.toPandas()
+            schemas[pred] = seed.schema
+        rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
+        out: dict = {}
+        for pred in clique.preds:
+            out_schema = self._mixed_out_schema(schemas[pred], agg_specs.get(pred))
+            out_dtypes = dict(
+                self.spark.createDataFrame([], out_schema).toPandas().dtypes
+            )
+            out[pred] = self._checkpointed(
+                seed_broadcast_mixed(
+                    self.spark,
+                    seeds_pd,
+                    pred,
+                    out_schema,
+                    out_dtypes,
+                    rules_by_pred,
+                    set(clique.preds),
+                    statics,
+                    agg_specs,
+                )
+            )
+        return out
 
     def _compute_seminaive_clique(
         self, clique: Clique, seed_filter: dict | None = None

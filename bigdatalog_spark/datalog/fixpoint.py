@@ -392,13 +392,7 @@ def fixpoint_seminaive(
             new_delta[pred] = delta
             if n:
                 live.add(pred)
-                grown = all_dfs[pred].union(delta)
-                cap = cfg.max_set_partitions or 2 * int(
-                    grown.sparkSession.conf.get("spark.sql.shuffle.partitions")
-                )
-                if grown.rdd.getNumPartitions() > cap:
-                    grown = grown.repartition(cap)
-                grown = _truncate(grown, cfg)
+                grown = _truncate(_union_capped(all_dfs[pred], delta, cfg), cfg)
                 new_all[pred] = _retain(grown, cfg, cache)
         for pred in all_dfs:
             new_delta.setdefault(pred, _empty_like(all_dfs[pred]))
@@ -503,6 +497,36 @@ def _empty_like(df: DataFrame) -> DataFrame:
     return df.filter(F.lit(False))
 
 
+def _union_capped(all_df: DataFrame, delta: DataFrame, cfg: FixpointConfig) -> DataFrame:
+    """S ∪ Δ with the accumulated set's partition count capped.
+
+    A union sums its parents' partition counts, so a long recursion would
+    leave S with one partition-set per iteration and every later anti-join
+    scheduling that many tasks; repartition whenever the cap
+    (max_set_partitions, default 2× shuffle partitions) is exceeded."""
+    grown = all_df.union(delta)
+    cap = cfg.max_set_partitions or 2 * int(
+        grown.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    if grown.rdd.getNumPartitions() > cap:
+        grown = grown.repartition(cap)
+    return grown
+
+
+def _ns_cond(left_names: list, right_names: list):
+    """Null-safe conjunction `l1 <=> r1 AND ...` for keyed maintenance joins.
+
+    Aggregate group keys may legitimately be NULL (a nullable group-by
+    column); plain `=` would split a null-key group into rows that never
+    match, so the group would re-qualify as 'new' every iteration and the
+    fixpoint could fail to converge."""
+    cond = None
+    for l, r in zip(left_names, right_names):
+        c = F.col(l).eqNullSafe(F.col(r))
+        cond = c if cond is None else cond & c
+    return cond
+
+
 @dataclass
 class AggSpec:
     """Shape of one monotonic-aggregate predicate inside a clique:
@@ -512,6 +536,15 @@ class AggSpec:
     key_cols: list
     value_col: str
     func: str
+    # column order of the aggregate table as the predicate declares it
+    # (the value column need not be last); defaults to keys... then value
+    out_cols: list | None = None
+
+    @property
+    def cols(self) -> list:
+        return list(self.out_cols) if self.out_cols else (
+            list(self.key_cols) + [self.value_col]
+        )
 
     @property
     def additive(self) -> bool:
@@ -563,7 +596,11 @@ def fixpoint_mixed(
             "mcount": F.count(F.lit(1)).cast("long"),
             "msum": F.sum(v),
         }[spec.func]
-        return contrib.groupBy(*spec.key_cols).agg(fn.alias(spec.value_col))
+        return (
+            contrib.groupBy(*spec.key_cols)
+            .agg(fn.alias(spec.value_col))
+            .select(*spec.cols)
+        )
 
     all_dfs: dict[str, DataFrame] = {}      # plain: result set; agg: table
     delta_dfs: dict[str, DataFrame] = {}
@@ -574,12 +611,13 @@ def fixpoint_mixed(
         if pred in agg_specs:
             spec = agg_specs[pred]
             if spec.additive:
-                support, n = _materialize(df.distinct(), cfg)
+                # no count job for the support store — the table count below
+                # is the action that materializes its checkpoint blocks
+                support = _truncate(df.distinct(), cfg)
                 supports[pred] = _retain(support, cfg, cache)
                 table = aggregate(pred, supports[pred])
             else:
                 table = aggregate(pred, df)
-                n = None
             table, nt = _materialize(table, cfg)
             table = _retain(table, cfg, cache)
             all_dfs[pred] = table
@@ -607,9 +645,7 @@ def fixpoint_mixed(
         new_all = dict(all_dfs)
         new_delta: dict[str, DataFrame] = {}
         for pred, cand in candidates.items():
-            if cand is None or _plan_is_empty(
-                cand if cand is not None else _empty_like(all_dfs[pred])
-            ):
+            if cand is None or _plan_is_empty(cand):
                 new_delta[pred] = _empty_like(all_dfs[pred])
                 continue
             if pred not in agg_specs:
@@ -623,7 +659,9 @@ def fixpoint_mixed(
                 if n:
                     live.add(pred)
                     new_all[pred] = _retain(
-                        _truncate(all_dfs[pred].union(delta), cfg), cfg, cache
+                        _truncate(_union_capped(all_dfs[pred], delta, cfg), cfg),
+                        cfg,
+                        cache,
                     )
                 continue
 
@@ -634,8 +672,18 @@ def fixpoint_mixed(
             if spec.additive:
                 cand = _cast_like(cand, supports[pred])
                 # new support = distinct contributions not yet counted
+                # (null-safe: support tuples carry group keys, which may be
+                # null — an equality anti-join would re-count them forever)
+                sup_cols = [f"__sup_{c}" for c in cand.columns]
                 fresh = cand.distinct().join(
-                    supports[pred], on=list(cand.columns), how="left_anti"
+                    supports[pred].select(
+                        *[
+                            F.col(c).alias(s)
+                            for c, s in zip(cand.columns, sup_cols)
+                        ]
+                    ),
+                    on=_ns_cond(list(cand.columns), sup_cols),
+                    how="left_anti",
                 )
                 fresh, n = _materialize(fresh, cfg)
                 fresh = _retain(fresh, cfg, cache)
@@ -644,20 +692,36 @@ def fixpoint_mixed(
                     continue
                 live.add(pred)
                 supports[pred] = _retain(
-                    _truncate(supports[pred].union(fresh), cfg), cfg, cache
+                    _truncate(_union_capped(supports[pred], fresh, cfg), cfg),
+                    cfg,
+                    cache,
                 )
-                inc = aggregate(pred, fresh).withColumnRenamed(vcol, "__inc")
-                merged = table.join(inc, on=keys, how="full_outer").select(
-                    *keys,
+                inc_keys = [f"__inc_{k}" for k in keys]
+                inc = aggregate(pred, fresh).select(
+                    *[F.col(k).alias(ik) for k, ik in zip(keys, inc_keys)],
+                    F.col(vcol).alias("__inc_v"),
+                )
+                merged = table.join(
+                    inc, on=_ns_cond(keys, inc_keys), how="full_outer"
+                ).select(
+                    *[
+                        F.coalesce(F.col(k), F.col(ik)).alias(k)
+                        for k, ik in zip(keys, inc_keys)
+                    ],
                     (
                         F.coalesce(F.col(vcol), F.lit(0))
-                        + F.coalesce(F.col("__inc"), F.lit(0))
+                        + F.coalesce(F.col("__inc_v"), F.lit(0))
                     ).alias(vcol),
-                )
-                merged, _ = _materialize(merged, cfg)
-                merged = _retain(merged, cfg, cache)
+                ).select(*spec.cols)
+                # no count job: the delta count below is the action that
+                # materializes the merged table's checkpoint blocks
+                merged = _retain(_truncate(merged, cfg), cfg, cache)
                 # changed groups carry their NEW cumulative value
-                delta = merged.join(inc.select(*keys), on=keys, how="left_semi")
+                delta = merged.join(
+                    inc.select(*inc_keys),
+                    on=_ns_cond(keys, inc_keys),
+                    how="left_semi",
+                )
                 delta, nd = _materialize(delta, cfg)
                 new_delta[pred] = _narrow_small(
                     _retain(delta, cfg, cache), nd, cfg
@@ -671,26 +735,31 @@ def fixpoint_mixed(
                     if spec.func == "mmin"
                     else (lambda new, old: new > old)
                 )
+                old_keys = [f"__old_{k}" for k in keys]
                 old = table.select(
-                    *[F.col(k).alias(f"__old_{k}") for k in keys],
+                    *[F.col(k).alias(ok) for k, ok in zip(keys, old_keys)],
                     F.col(vcol).alias("__old_v"),
                 )
                 joined = cand.join(
-                    old,
-                    on=[F.col(k) == F.col(f"__old_{k}") for k in keys],
-                    how="left_outer",
+                    old, on=_ns_cond(keys, old_keys), how="left_outer"
                 )
                 improved = joined.filter(
                     F.col("__old_v").isNull()
                     | better(F.col(vcol), F.col("__old_v"))
-                ).select(*keys, vcol)
+                ).select(*spec.cols)
                 improved, n = _materialize(improved, cfg)
                 improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
                 new_delta[pred] = improved
                 if not n:
                     continue
                 live.add(pred)
-                kept = table.join(improved, on=keys, how="left_anti")
+                kept = table.join(
+                    improved.select(
+                        *[F.col(k).alias(ok) for k, ok in zip(keys, old_keys)]
+                    ),
+                    on=_ns_cond(keys, old_keys),
+                    how="left_anti",
+                )
                 merged = _truncate(kept.unionByName(improved), cfg)
                 new_all[pred] = _retain(merged, cfg, cache)
         for pred in all_dfs:
@@ -756,16 +825,15 @@ def fixpoint_monotonic(
             break
         cand = aggregate(cand)
         # improved = groups where the candidate beats the current table
-        # (delta detection, TungstenMonotonicAggregationIterator.scala:512-555)
+        # (delta detection, TungstenMonotonicAggregationIterator.scala:512-555);
+        # null-safe key joins so a null-key group merges instead of
+        # re-qualifying as 'new' every iteration (non-convergence)
+        old_keys = [f"__old_{k}" for k in key_cols]
         old = all_df.select(
-            *[F.col(k).alias(f"__old_{k}") for k in key_cols],
+            *[F.col(k).alias(ok) for k, ok in zip(key_cols, old_keys)],
             F.col(value_col).alias("__old_v"),
         )
-        joined = cand.join(
-            old,
-            on=[F.col(k) == F.col(f"__old_{k}") for k in key_cols],
-            how="left_outer",
-        )
+        joined = cand.join(old, on=_ns_cond(key_cols, old_keys), how="left_outer")
         improved = joined.filter(
             F.col("__old_v").isNull() | better(F.col(value_col), F.col("__old_v"))
         ).select(*key_cols, value_col)
@@ -774,7 +842,13 @@ def fixpoint_monotonic(
         if not n:
             break
         # merge: replace improved groups in the running table
-        kept = all_df.join(improved, on=key_cols, how="left_anti")
+        kept = all_df.join(
+            improved.select(
+                *[F.col(k).alias(ok) for k, ok in zip(key_cols, old_keys)]
+            ),
+            on=_ns_cond(key_cols, old_keys),
+            how="left_anti",
+        )
         all_df = _truncate(kept.unionByName(improved), cfg)
         all_df = _retain(all_df, cfg, cache)
         delta = improved

@@ -281,6 +281,104 @@ def _run_seminaive_multi_pd(seeds, rules_by_pred, clique_preds, statics):
     return all_
 
 
+def _aggregate_pd(spec, cols_order, contrib):
+    """pandas mirror of fixpoint_mixed.aggregate: keyed monotonic aggregate
+    of a (distinct, for additive funcs) contribution frame."""
+    k, v = spec.key_cols, spec.value_col
+    if spec.func == "mcount":
+        out = contrib.groupby(k, dropna=False).size().reset_index(name=v)
+    else:
+        g = contrib.groupby(k, as_index=False, dropna=False)
+        out = {"mmin": g[v].min, "mmax": g[v].max, "msum": g[v].sum}[spec.func]()
+    return out[cols_order]
+
+
+def _run_mixed_pd(seeds, rules_by_pred, clique_preds, statics, agg_specs):
+    """In-task mixed set + monotonic-aggregate PSN loop: the pandas mirror
+    of fixpoint.fixpoint_mixed (plain preds keep result sets; mmin/mmax
+    preds keep best-value tables; mcount/msum preds keep a distinct support
+    set plus a running additive table; deltas are new tuples / changed
+    groups)."""
+    import pandas as pd
+
+    cols = {p: list(df.columns) for p, df in seeds.items()}
+    dtypes = {p: dict(df.dtypes) for p, df in seeds.items()}
+    all_: dict = {}
+    support: dict = {}
+    delta: dict = {}
+    for p, df in seeds.items():
+        spec = agg_specs.get(p)
+        if spec is None:
+            d = df.drop_duplicates().reset_index(drop=True)
+            all_[p] = d
+            delta[p] = d
+        else:
+            sup = df.drop_duplicates().reset_index(drop=True)
+            if spec.additive:
+                support[p] = sup
+            t = _aggregate_pd(spec, cols[p], sup)
+            all_[p] = t
+            delta[p] = t
+
+    while True:
+        new_delta = {}
+        for p in all_:
+            cands = [
+                _eval_rule_pd(r, clique_preds, delta, statics, p in agg_specs)
+                for r in rules_by_pred.get(p, [])
+            ]
+            cands = [c for c in cands if len(c)]
+            if not cands:
+                new_delta[p] = all_[p].iloc[0:0]
+                continue
+            new = _cast_like_pd(
+                pd.concat(cands, ignore_index=True), dtypes[p]
+            ).drop_duplicates()
+            spec = agg_specs.get(p)
+            if spec is None:
+                m = new.merge(all_[p], on=cols[p], how="left", indicator=True)
+                nd = m.loc[m["_merge"] == "left_only", cols[p]].reset_index(drop=True)
+                if len(nd):
+                    all_[p] = pd.concat([all_[p], nd], ignore_index=True)
+                new_delta[p] = nd
+            elif spec.additive:
+                m = new.merge(support[p], on=cols[p], how="left", indicator=True)
+                fresh = m.loc[m["_merge"] == "left_only", cols[p]].reset_index(drop=True)
+                if not len(fresh):
+                    new_delta[p] = all_[p].iloc[0:0]
+                    continue
+                support[p] = pd.concat([support[p], fresh], ignore_index=True)
+                k, v = spec.key_cols, spec.value_col
+                inc = _aggregate_pd(spec, cols[p], fresh)
+                mm = all_[p].merge(inc, on=k, how="outer", suffixes=("", "__inc"))
+                mm[v] = mm[v].fillna(0) + mm[v + "__inc"].fillna(0)
+                all_[p] = mm[cols[p]]
+                new_delta[p] = (
+                    all_[p].merge(inc[k], on=k, how="inner")[cols[p]]
+                    .reset_index(drop=True)
+                )
+            else:
+                k, v = spec.key_cols, spec.value_col
+                cand = _aggregate_pd(spec, cols[p], new)
+                m = cand.merge(all_[p], on=k, how="left", suffixes=("", "__old"))
+                oldv = m[v + "__old"]
+                better = oldv.isna() | (
+                    (m[v] < oldv) if spec.func == "mmin" else (m[v] > oldv)
+                )
+                improved = m.loc[better, cols[p]].reset_index(drop=True)
+                if len(improved):
+                    anti = all_[p].merge(
+                        improved[k], on=k, how="left", indicator=True
+                    )
+                    kept = anti.loc[anti["_merge"] == "left_only", cols[p]]
+                    all_[p] = pd.concat([kept, improved], ignore_index=True)
+                new_delta[p] = improved
+        if not any(len(d) for d in new_delta.values()):
+            break
+        delta = new_delta
+    return all_
+
+
 def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_col, func):
     """In-task monotonic (mmin/mmax) loop: keyed table, keep improved groups
     (AggregateSetRDDMinMaxPartition.update semantics,
@@ -415,6 +513,47 @@ def seed_broadcast_seminaive(
             yield result.iloc[start : start + _YIELD_ROWS]
 
     return ids.mapInPandas(mapper, schema=out_schema).distinct()
+
+
+def seed_broadcast_mixed(
+    spark: SparkSession,
+    seeds_pd: dict,
+    out_pred: str,
+    out_schema,
+    out_dtypes: dict,
+    rules_by_pred: dict,
+    clique_preds,
+    statics: dict,
+    agg_specs: dict,
+) -> DataFrame:
+    """Small-seed local fixpoint for a MIXED (set + monotonic-aggregate)
+    clique. Unlike seed_broadcast_seminaive there is NO seed slicing: an
+    additive aggregate's threshold condition (e.g. `cnt(Y,N), N >= 3`)
+    needs the GLOBAL count, so closure(∪seeds) ≠ ∪closure(seed_i) — the
+    whole fixpoint runs in exactly one task over broadcast seeds + statics.
+    One Spark job versus 3+ jobs per iteration on the distributed path;
+    the right trade whenever the statics pass the broadcast byte gate and
+    the seed is small (percolation/threshold queries from few sources)."""
+    bc = spark.sparkContext.broadcast(
+        (seeds_pd, {k: v.toPandas() for k, v in statics.items()})
+    )
+    rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
+    cset = frozenset(clique_preds)
+    ids = spark.range(0, 1, 1, 1)
+
+    def mapper(batches):
+        rows = sum(len(b) for b in batches)
+        if not rows:
+            return
+        seeds_all, statics_pd = bc.value
+        result = _run_mixed_pd(
+            seeds_all, rules_by_pred, cset, statics_pd, agg_specs
+        )[out_pred]
+        result = _cast_like_pd(result, out_dtypes)
+        for start in range(0, len(result), _YIELD_ROWS):
+            yield result.iloc[start : start + _YIELD_ROWS]
+
+    return ids.mapInPandas(mapper, schema=out_schema)
 
 
 def seed_broadcast_monotonic(

@@ -38,7 +38,14 @@ class Clique:
     preds: tuple[str, ...]
     exit_rules: dict = field(default_factory=dict)  # pred -> list[Rule]
     recursive_rules: dict = field(default_factory=dict)  # pred -> list[Rule]
-    monotonic: bool = False  # mmin/mmax clique
+    monotonic: bool = False  # single-pred mmin/mmax clique (AggregateRecursion)
+    # clique mixing set-semantics predicates with monotonic-aggregate
+    # predicates, or using the additive aggregates mcount/msum — the
+    # generalization the reference declares but leaves unimplemented
+    # (AggregateSetRDD.scala:146-148 "TODO implement MCOUNT/MSUM"; the
+    # commented-out Attend program, AggregatesInRecursionQuerySuite.scala:97-142)
+    mixed: bool = False
+    agg_info: dict = field(default_factory=dict)  # agg pred -> (position, func)
     linear: bool = True  # every recursive rule has exactly 1 clique atom
 
     @property
@@ -113,6 +120,69 @@ def _tarjan_sccs(nodes: list[str], edges: dict) -> list[list[str]]:
         if v not in index:
             strongconnect(v)
     return sccs
+
+
+def _classify_aggregate_clique(program: Program, clique: Clique) -> None:
+    """Validate aggregates inside a recursive clique and pick the executor.
+
+    Predicates whose rules carry aggregate heads must use MONOTONIC
+    aggregates only (mmin/mmax/mcount/msum) with a consistent single-agg
+    shape across rules; stratified aggregates inside a clique are
+    unstratifiable. A single-predicate mmin/mmax clique runs the dedicated
+    AggregateRecursion path (``monotonic``); anything more general — an
+    additive (mcount/msum) aggregate, or a clique mixing aggregate and
+    set-semantics predicates — runs the mixed executor (``mixed``,
+    fixpoint.fixpoint_mixed)."""
+    for pred in clique.preds:
+        rules = program.rules_for(pred)
+        agg_rules = [r for r in rules if r.agg_terms]
+        if not agg_rules:
+            continue
+        if len(agg_rules) != len(rules):
+            raise DatalogSemanticError(
+                f"predicate {pred!r} mixes aggregate and plain rules inside "
+                f"recursive clique {clique.preds}"
+            )
+        shapes = {
+            tuple(
+                (i, t.func) if isinstance(t, AggTerm) else (i, None)
+                for i, t in enumerate(r.head.args)
+            )
+            for r in rules
+        }
+        if len(shapes) != 1:
+            raise DatalogSemanticError(
+                f"rules of aggregate predicate {pred!r} disagree on "
+                f"aggregate positions: {shapes}"
+            )
+        shape = next(iter(shapes))
+        aggs = [(i, f) for i, f in shape if f is not None]
+        stratified = [f for _, f in aggs if f in STRATIFIED_AGGS]
+        if stratified:
+            raise DatalogSemanticError(
+                f"stratified aggregate(s) {sorted(stratified)} on {pred!r} "
+                f"inside recursive clique {clique.preds} — use "
+                f"mmin/mmax/mcount/msum (monotonic) aggregates"
+            )
+        if len(aggs) != 1:
+            raise DatalogSemanticError(
+                f"monotonic-aggregate predicate {pred!r} must have exactly "
+                f"one aggregate head argument, got {len(aggs)}"
+            )
+        clique.agg_info[pred] = aggs[0]
+
+    if not clique.agg_info:
+        # aggregates appeared only via preds outside the clique — plain PSN
+        return
+    funcs = {f for _, f in clique.agg_info.values()}
+    if (
+        len(clique.preds) == 1
+        and len(clique.agg_info) == 1
+        and funcs <= {"mmin", "mmax"}
+    ):
+        clique.monotonic = True
+    else:
+        clique.mixed = True
 
 
 def analyze(program: Program) -> AnalyzedProgram:
@@ -194,40 +264,8 @@ def analyze(program: Program) -> AnalyzedProgram:
                 else:
                     clique.exit_rules[pred].append(rule)
 
-        stratified_in_clique = agg_funcs & set(STRATIFIED_AGGS)
-        monotonic_in_clique = agg_funcs & set(MONOTONIC_AGGS)
-        if stratified_in_clique and any(
-            r.agg_terms
-            for p in clique.preds
-            for r in clique.recursive_rules[p]
-        ) and not monotonic_in_clique:
-            raise DatalogSemanticError(
-                f"stratified aggregate(s) {sorted(stratified_in_clique)} "
-                f"inside recursive clique {clique.preds} — use mmin/mmax "
-                f"(AggregatesInRecursionQuerySuite semantics)"
-            )
-        if monotonic_in_clique:
-            unsupported = monotonic_in_clique - {"mmin", "mmax"}
-            if unsupported:
-                # match the reference: mcount/msum declared but unimplemented
-                # (AggregateSetRDD.scala:146-148 "TODO implement MCOUNT/MSUM")
-                raise DatalogSemanticError(
-                    f"monotonic aggregate(s) {sorted(unsupported)} not "
-                    f"supported (reference parity: mmin/mmax only)"
-                )
-            clique.monotonic = True
-            if clique.mutual:
-                raise DatalogSemanticError(
-                    "monotonic aggregates in mutual recursion not supported"
-                )
-            # every rule of a monotonic clique must carry the agg in its head
-            for pred in clique.preds:
-                for rule in program.rules_for(pred):
-                    if not rule.agg_terms:
-                        raise DatalogSemanticError(
-                            f"rule of monotonic-aggregate predicate {pred!r} "
-                            f"lacks mmin/mmax head: {rule}"
-                        )
+        if agg_funcs:
+            _classify_aggregate_clique(program, clique)
 
         analyzed.order.append(clique)
         for pred in clique.preds:

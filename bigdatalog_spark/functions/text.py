@@ -104,15 +104,78 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def _marker_hit(words):
+    """Single-arg HOF lambda factory (a 2-arg lambda would be interpreted
+    as the (element, index) filter form)."""
+    arr = F.array(*[F.lit(w) for w in words])
+    return lambda t: F.array_contains(arr, t)
+
+
 def text_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document text-analysis profile — one pass, all JVM-side."""
-    return df.select(
+    """Per-document text-analysis profile — one pass, all JVM-side.
+
+    Built as STAGED projections sharing `__toks`/raw-ratio columns instead
+    of one flat select: the flat form inlines the tokenizer and ratio
+    subtrees ~7× each, and the resulting whole-stage-codegen method costs
+    ~14 s of Janino compilation before the first row moves (measured at
+    sf0.1 — 10× the actual scan). Catalyst's CollapseProject keeps the
+    stages separate because the shared exprs are non-cheap and
+    multiply-referenced; values are bit-identical to the flat form."""
+    c = F.col(text_col)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    codes = sorted(LANG_MARKERS)
+    staged = df.select(
         F.col(id_col),
-        char_count(text_col).alias("n_chars_computed"),
-        token_count(text_col).alias("n_tokens"),
-        F.round(punct_ratio(text_col), 6).alias("punct_ratio"),
-        F.round(stopword_ratio(text_col), 6).alias("stopword_ratio"),
-        quality_score(text_col).alias("quality"),
-        lang_id(text_col).alias("lang_pred"),
-        fingerprint(text_col).alias("fp"),
+        c.alias("__text"),
+        F.length(c).alias("__len"),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.col("__len").alias("n_chars_computed"),
+        F.size("__toks").alias("n_tokens"),
+        (
+            F.length(F.regexp_replace("__text", r"[A-Za-z0-9\s]", ""))
+            / F.greatest(F.col("__len"), F.lit(1))
+        ).alias("__praw"),
+        (
+            F.size(F.filter("__toks", lambda t: F.array_contains(sw, t)))
+            / F.greatest(F.size("__toks"), F.lit(1))
+        ).alias("__sraw"),
+        *[
+            F.size(
+                F.filter("__toks", _marker_hit(LANG_MARKERS[code]))
+            ).alias(f"__hits_{code}")
+            for code in codes
+        ],
+        F.least(F.col("__len") / F.lit(500.0), F.lit(1.0)).alias("__len_score"),
+        F.md5(
+            F.regexp_replace(F.lower(F.trim(F.col("__text"))), r"\s+", " ")
+        ).alias("fp"),
+    ).withColumn(
+        "__best",
+        F.greatest(
+            *[
+                F.struct(
+                    F.col(f"__hits_{code}").alias("n"), F.lit(code).alias("code")
+                )
+                for code in codes
+            ]
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        F.col("n_chars_computed"),
+        F.col("n_tokens"),
+        F.round("__praw", 6).alias("punct_ratio"),
+        F.round("__sraw", 6).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.col("__len_score")
+            + 0.3 * F.least(F.col("__sraw") * 4.0, F.lit(1.0))
+            + 0.2 * (1.0 - F.least(F.col("__praw") * 5.0, F.lit(1.0))),
+            6,
+        ).alias("quality"),
+        F.when(F.col("__best")["n"] > 0, F.col("__best")["code"])
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.col("fp"),
     )

@@ -581,6 +581,47 @@ def q_running_avg(spark, sf_dir):
     )
 
 
+def q_asof_purchase(spark, sf_dir):
+    """As-of join (operators/joins.py asof_join): for every click event,
+    the user's most recent purchase value at-or-before the click — ONE
+    window shuffle, no nested-loop probe. Right side pre-aggregated to one
+    row per (user, ts) for a deterministic match (DuckDB ASOF oracle)."""
+    from bigdatalog_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("pvalue"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts"
+    ).select("user_id", "ts", "event_id", "ts_right", "pvalue")
+
+
+def q_range_acctbal_band(spark, sf_dir):
+    """Range (point-in-interval) join via interval bucketing
+    (operators/joins.py range_join): customers whose balance falls within
+    ±50 of each supplier's balance, aggregated per supplier — an equi-join
+    on bucket ids instead of Spark's O(n·m) nested-loop inequality join."""
+    from bigdatalog_spark.operators.joins import range_join
+
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (F.col("s_acctbal") - 50).alias("lo"),
+        (F.col("s_acctbal") + 50).alias("hi"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    j = range_join(c, s, "c_acctbal", "lo", "hi", bucket_width=100.0)
+    return j.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
 # ----------------------------------------------------------- pipeline operators
 
 def q_dedup_exact(spark, sf_dir):
@@ -715,6 +756,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_rollup_revenue": q_rollup_revenue,
         "q_value_percentiles": q_value_percentiles,
         "q_running_avg": q_running_avg,
+        "q_asof_purchase": q_asof_purchase,
+        "q_range_acctbal_band": q_range_acctbal_band,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_minhash": q_dedup_minhash,
@@ -1014,6 +1057,24 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW), 6) AS running_avg
             FROM events WHERE user_id < 100
+        """,
+        "q_asof_purchase": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+            purch AS (
+              SELECT user_id, ts, round(max(value), 6) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT c.user_id, c.ts, c.event_id,
+                   p.ts AS ts_right, p.pvalue
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q_range_acctbal_band": """
+            SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_customers,
+                   round(sum(c_acctbal), 2) AS sum_acctbal
+            FROM supplier JOIN customer
+              ON c_acctbal BETWEEN s_acctbal - 50 AND s_acctbal + 50
+            GROUP BY s_suppkey
         """,
         "q_dedup_exact": """
             SELECT min(doc_id) AS doc_id FROM documents

@@ -48,3 +48,130 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_a")
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
+# ------------------------------------------------------------- as-of join
+
+
+def test_asof_join_backward(spark):
+    from bigdatalog_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 25, "b"), (1, 5, "c"), (2, 50, "d")],
+        "k long, t long, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0), (2, 60, 300.0)],
+        "k long, t long, v double",
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="t")
+    got = {tuple(r) for r in out.collect()}
+    # a@10 -> right@10 (inclusive); b@25 -> right@20; c@5 -> none; d@50 -> none
+    assert got == {
+        (1, 10, "a", 10, 100.0),
+        (1, 25, "b", 20, 200.0),
+        (1, 5, "c", None, None),
+        (2, 50, "d", None, None),
+    }
+
+
+def test_asof_join_forward(spark):
+    from bigdatalog_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 21, "b")], "k long, t long, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 100.0), (1, 20, 200.0)], "k long, t long, v double"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", direction="forward"
+    )
+    got = {tuple(r) for r in out.collect()}
+    # a@10 -> right@10 (inclusive, nearest ahead); b@21 -> none
+    assert got == {(1, 10, "a", 10, 100.0), (1, 21, "b", None, None)}
+
+
+def test_asof_join_matches_naive(spark):
+    """Randomized: window formulation == naive per-row max-≤ subquery."""
+    from bigdatalog_spark.operators.joins import asof_join
+
+    left = spark.range(200).select(
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") * 37) % 101).alias("t"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(60).select(
+        (F.col("id") % 7).alias("k"),
+        ((F.col("id") * 13) % 97).alias("t"),
+        (F.col("id") * 1.5).alias("v"),
+    ).groupBy("k", "t").agg(F.max("v").alias("v"))  # unique (k,t)
+    got = sorted(
+        tuple(r)
+        for r in asof_join(
+            left, right, on="k", left_time="t", right_time="t"
+        ).collect()
+    )
+    # naive: join all right with rt <= lt, keep the max rt per left row
+    from pyspark.sql import Window
+
+    j = left.join(
+        right.select(
+            F.col("k").alias("rk"), F.col("t").alias("rt"), F.col("v")
+        ),
+        on=[F.col("k") == F.col("rk"), F.col("t") >= F.col("rt")],
+        how="left",
+    )
+    w = Window.partitionBy("k", "t", "lid").orderBy(F.col("rt").desc())
+    want = sorted(
+        tuple(r)
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("k", "t", "lid", F.col("rt").alias("t_right"), "v")
+        .collect()
+    )
+    assert got == want
+
+
+# ------------------------------------------------------------- range join
+
+
+def test_range_join_matches_naive(spark):
+    from bigdatalog_spark.operators.joins import range_join
+
+    points = spark.range(300).select(
+        F.col("id").alias("pid"), ((F.col("id") * 17) % 250 - 50).alias("x")
+    )
+    intervals = spark.range(40).select(
+        F.col("id").alias("iid"),
+        ((F.col("id") * 11) % 200 - 30).alias("lo"),
+    ).withColumn("hi", F.col("lo") + (F.col("iid") % 25))
+    got = sorted(
+        tuple(r)
+        for r in range_join(
+            points, intervals, "x", "lo", "hi", bucket_width=16.0
+        ).select("pid", "iid").collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in points.crossJoin(intervals)
+        .where((F.col("x") >= F.col("lo")) & (F.col("x") <= F.col("hi")))
+        .select("pid", "iid")
+        .collect()
+    )
+    assert got == want
+    assert len(got) > 0
+
+
+def test_range_join_with_keys(spark):
+    from bigdatalog_spark.operators.joins import range_join
+
+    points = spark.createDataFrame(
+        [(1, 5.0), (1, 15.0), (2, 5.0)], "g long, x double"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 10.0, 20.0)], "g long, lo double, hi double"
+    )
+    out = range_join(points, intervals, "x", "lo", "hi", 8.0, on="g")
+    got = {tuple(r) for r in out.select("g", "x").collect()}
+    assert got == {(1, 5.0)}

@@ -143,14 +143,16 @@ class BigDatalogContext:
         self.register(name, df)
 
     def register_file(self, name: str, path: str, num_partitions: int | None = None) -> None:
-        """Load a CSV/TSV file per the declared schema
-        (registerAndLoadTable(name, path, n), Utilities.scala:85-114)."""
-        from ..sources.csv import read_deal_table
+        """Load a data file per the declared schema. CSV/TSV keep the
+        reference's conventions (registerAndLoadTable(name, path, n),
+        Utilities.scala:85-114); parquet/ORC/JSON — formats the reference
+        lacks — dispatch on extension via sources.formats."""
+        from ..sources.formats import read_table
 
         decl = self.program.schemas.get(name)
         if decl is None:
             raise DatalogSemanticError(f"relation {name!r} not declared")
-        df = read_deal_table(self.spark, path, spark_schema_for(decl))
+        df = read_table(self.spark, path, spark_schema_for(decl))
         if num_partitions:
             df = df.repartition(num_partitions)
         self.register(name, df)

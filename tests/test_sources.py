@@ -44,3 +44,65 @@ def test_date_parsing(spark):
     ])
     df = dataframe_from_lines(spark, ["1, 2010-12-01"], schema)
     assert df.first()["d"] == dt.date(2010, 12, 1)
+
+
+# ------------------------------------------------------- multi-format sources
+
+
+def test_register_parquet_file(spark, tmp_path):
+    from bigdatalog_spark import BigDatalogContext
+
+    p = str(tmp_path / "arc.parquet")
+    spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "f integer, t integer"
+    ).write.parquet(p)
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(F:integer, T:integer)})."
+        "tc(A,B) <- arc(A,B). tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    ctx.register_file("arc", p)
+    assert ctx.query("tc(A,B).").count() == 6
+
+
+def test_register_json_file(spark, tmp_path):
+    from bigdatalog_spark import BigDatalogContext
+
+    p = str(tmp_path / "arc.json")
+    # name-based format: keys must match the declared column names
+    (tmp_path / "arc.json").write_text(
+        '{"F": 0, "T": 1}\n{"F": 1, "T": 2}\n'
+    )
+    ctx = BigDatalogContext(spark)
+    ctx.load_program("database({arc(F:integer, T:integer)}). out(A) <- arc(_, A).")
+    ctx.register_file("arc", p)
+    assert {r[0] for r in ctx.query("out(A).").collect()} == {1, 2}
+
+
+def test_read_write_roundtrip_formats(spark, tmp_path):
+    from bigdatalog_spark.sources.formats import read_table, write_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    for fmt in ("parquet", "orc", "json"):
+        path = str(tmp_path / f"t_{fmt}")
+        write_table(df, path, fmt)
+        back = read_table(spark, path, fmt=fmt, schema=df.schema)
+        assert sorted(tuple(r) for r in back.collect()) == sorted(
+            tuple(r) for r in df.collect()
+        )
+
+
+def test_partitioned_parquet_prunes(spark, tmp_path):
+    """partition_by output + a partition-key filter must prune at scan
+    time (PartitionFilters in the physical plan)."""
+    from bigdatalog_spark.sources.formats import read_table, write_table
+
+    df = spark.range(100).selectExpr("id", "id % 4 AS part_key")
+    path = str(tmp_path / "parts")
+    write_table(df, path, "parquet", partition_by=["part_key"])
+    back = read_table(spark, path).where("part_key = 2")
+    assert back.count() == 25
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan

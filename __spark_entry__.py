@@ -715,6 +715,61 @@ def q_text_profile(spark, sf_dir):
     )
 
 
+def q_dedup_cluster(spark, sf_dir):
+    """Pairwise dup evidence → transitive clusters → canonical doc per
+    cluster (operators/dedup.py dedup_clusters, O(log n) star contraction).
+    Oracle: DuckDB WITH RECURSIVE reachability over the same exact-Jaccard
+    pair graph."""
+    from bigdatalog_spark.operators.dedup import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5)
+    return dedup_clusters(d, pairs)
+
+
+def q_lang_histogram(spark, sf_dir):
+    """Corpus language composition: n-gram-marker language ID rolled up to
+    per-language doc counts (the first report any multilingual training-
+    data pipeline produces)."""
+    from bigdatalog_spark.functions.text import lang_id
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(lang_id("text").alias("lang_pred"))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_quality_filter(spark, sf_dir):
+    """Quality gate: keep documents whose composite quality score passes
+    threshold — the canonical corpus-filtering step. Score is built from
+    length/stopword/punctuation ratios, all JVM-side expressions."""
+    from bigdatalog_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.round(quality_score("text"), 6).alias("quality"))
+        .where(F.col("quality") >= 0.5)
+    )
+
+
+def q_token_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-25 whitespace tokens by frequency.
+    explode → two-phase count (map-side partial agg) → global top-k;
+    deterministic tie-break on the token itself."""
+    from bigdatalog_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(25)
+    )
+
+
 # ----------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -767,10 +822,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
         "q_text_profile": q_text_profile,
+        "q_dedup_cluster": q_dedup_cluster,
+        "q_lang_histogram": q_lang_histogram,
+        "q_quality_filter": q_quality_filter,
+        "q_token_topk": q_token_topk,
     }
 
 
 _TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+# shared CTE body: exact word-3-gram Jaccard pairs >= 0.5 (mirrors
+# operators/dedup.py ngram_jaccard_pairs)
+_JACCARD_CTES = """
+  w AS (
+    SELECT doc_id,
+           string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+    FROM documents),
+  sh AS (
+    SELECT DISTINCT doc_id, sh FROM (
+      SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+      FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+            FROM w WHERE len(ws) >= 3))),
+  sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+  inter AS (
+    SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+    FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  jpairs AS (
+    SELECT left_id, right_id,
+           round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes ls ON ls.doc_id = left_id
+    JOIN sizes rs ON rs.doc_id = right_id
+    WHERE round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) >= 0.5)
+"""
 
 _PROFILE_SCORES = """
   toks AS (SELECT doc_id, {toks} AS ws, text FROM documents),
@@ -1080,27 +1165,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT min(doc_id) AS doc_id FROM documents
             GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
         """,
-        "q_dedup_ngram_jaccard": """
-            WITH w AS (
-              SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
-              FROM documents),
-            sh AS (
-              SELECT DISTINCT doc_id, sh FROM (
-                SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
-                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
-                      FROM w WHERE len(ws) >= 3))),
-            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT left_id, right_id,
-                   round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) AS jaccard
-            FROM inter
-            JOIN sizes ls ON ls.doc_id = left_id
-            JOIN sizes rs ON rs.doc_id = right_id
-            WHERE round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) >= 0.5
+        "q_dedup_ngram_jaccard": f"""
+            WITH {_JACCARD_CTES}
+            SELECT left_id, right_id, jaccard FROM jpairs
+        """,
+        "q_dedup_cluster": f"""
+            WITH RECURSIVE {_JACCARD_CTES},
+            sym AS (
+              SELECT left_id AS u, right_id AS v FROM jpairs
+              UNION SELECT right_id, left_id FROM jpairs),
+            r(a, b) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+              UNION
+              SELECT r.a, s.v FROM r JOIN sym s ON s.u = r.b),
+            labels AS (SELECT a AS doc_id, min(b) AS canonical_id
+                       FROM r GROUP BY a)
+            SELECT d.doc_id,
+                   coalesce(l.canonical_id, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         """,
         # q_dedup_minhash / q_dedup_simhash: rows-only (seeded xxhash64 not
         # portable to DuckDB SQL)
@@ -1162,5 +1244,35 @@ def oracle_sql() -> dict[str, str]:
                          + 0.2 * (1.0 - least(b.praw * 5.0, 1.0)), 6) AS quality,
                    l.lang_pred, b.fp
             FROM base b JOIN lang l ON b.doc_id = l.doc_id
+        """,
+        "q_lang_histogram": f"""
+            WITH {_PROFILE_SCORES}
+            SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+            FROM lang GROUP BY lang_pred
+        """,
+        "q_quality_filter": f"""
+            WITH toks AS (SELECT doc_id, {_TOKS} AS ws, text FROM documents),
+            base AS (
+              SELECT doc_id,
+                CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                  / greatest(length(text), 1) AS praw,
+                CAST(len(list_filter(ws, x -> x IN
+                  ('the','a','of','and','to','in','is','it','for','on','with'))) AS DOUBLE)
+                  / greatest(len(ws), 1) AS sraw,
+                least(length(text) / 500.0, 1.0) AS len_score
+              FROM toks)
+            SELECT doc_id,
+                   round(0.5 * len_score + 0.3 * least(sraw * 4.0, 1.0)
+                         + 0.2 * (1.0 - least(praw * 5.0, 1.0)), 6) AS quality
+            FROM base
+            WHERE round(0.5 * len_score + 0.3 * least(sraw * 4.0, 1.0)
+                        + 0.2 * (1.0 - least(praw * 5.0, 1.0)), 6) >= 0.5
+        """,
+        "q_token_topk": f"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token
+            ORDER BY n DESC, token ASC
+            LIMIT 25
         """,
     }

@@ -513,18 +513,21 @@ def _union_capped(all_df: DataFrame, delta: DataFrame, cfg: FixpointConfig) -> D
     return grown
 
 
-def _ns_cond(left_names: list, right_names: list):
-    """Null-safe conjunction `l1 <=> r1 AND ...` for keyed maintenance joins.
-
-    Aggregate group keys may legitimately be NULL (a nullable group-by
-    column); plain `=` would split a null-key group into rows that never
-    match, so the group would re-qualify as 'new' every iteration and the
-    fixpoint could fail to converge."""
-    cond = None
-    for l, r in zip(left_names, right_names):
-        c = F.col(l).eqNullSafe(F.col(r))
-        cond = c if cond is None else cond & c
-    return cond
+# Aggregate-table maintenance is deliberately JOIN-FREE (union + keyed
+# re-aggregate for the merge, exceptAll for the delta):
+#
+# * Null safety — GROUP BY and set operations treat NULL keys as a regular
+#   group (SQL semantics), so a null-key group merges and converges instead
+#   of being split by a `=` join that never matches it.
+# * Spark 4 checkpoint stats — Dataset.checkpoint carries the optimized
+#   plan's stats onto the new LogicalRDD (LogicalRDD.rewriteStatsAndConstraints,
+#   sql/.../ExistingRDD.scala). Keyed outer-join maintenance compounds
+#   sizeInBytes *products* through that propagation; with `eqNullSafe`
+#   conditions the products survive optimization and the BigInt digit count
+#   grows geometrically per iteration — by iteration ~25 each stats walk
+#   multiplies million-digit integers and the driver appears hung (measured:
+#   0.5s → 50s per iteration on a 30-edge path). Union/aggregate/exceptAll
+#   plans keep stats additive, so iteration cost stays flat.
 
 
 @dataclass
@@ -671,20 +674,11 @@ def fixpoint_mixed(
             table = all_dfs[pred]
             if spec.additive:
                 cand = _cast_like(cand, supports[pred])
-                # new support = distinct contributions not yet counted
-                # (null-safe: support tuples carry group keys, which may be
-                # null — an equality anti-join would re-count them forever)
-                sup_cols = [f"__sup_{c}" for c in cand.columns]
-                fresh = cand.distinct().join(
-                    supports[pred].select(
-                        *[
-                            F.col(c).alias(s)
-                            for c, s in zip(cand.columns, sup_cols)
-                        ]
-                    ),
-                    on=_ns_cond(list(cand.columns), sup_cols),
-                    how="left_anti",
-                )
+                # new support = distinct contributions not yet counted.
+                # exceptAll is null-safe (support tuples may carry null
+                # fields — a `=` anti-join would re-count them forever) and
+                # join-free (see the maintenance note above _ns-free merge)
+                fresh = cand.distinct().exceptAll(supports[pred])
                 fresh, n = _materialize(fresh, cfg)
                 fresh = _retain(fresh, cfg, cache)
                 if not n:
@@ -696,32 +690,21 @@ def fixpoint_mixed(
                     cfg,
                     cache,
                 )
-                inc_keys = [f"__inc_{k}" for k in keys]
-                inc = aggregate(pred, fresh).select(
-                    *[F.col(k).alias(ik) for k, ik in zip(keys, inc_keys)],
-                    F.col(vcol).alias("__inc_v"),
+                # merge: cumulative table + per-group increments via ONE
+                # keyed SUM over table ∪ increments (null-safe GROUP BY;
+                # for mcount the increment is already a per-group count, so
+                # the merge aggregate is SUM for both mcount and msum)
+                inc = aggregate(pred, fresh)
+                merged = (
+                    table.unionByName(inc)
+                    .groupBy(*keys)
+                    .agg(F.sum(F.col(vcol)).alias(vcol))
+                    .select(*spec.cols)
                 )
-                merged = table.join(
-                    inc, on=_ns_cond(keys, inc_keys), how="full_outer"
-                ).select(
-                    *[
-                        F.coalesce(F.col(k), F.col(ik)).alias(k)
-                        for k, ik in zip(keys, inc_keys)
-                    ],
-                    (
-                        F.coalesce(F.col(vcol), F.lit(0))
-                        + F.coalesce(F.col("__inc_v"), F.lit(0))
-                    ).alias(vcol),
-                ).select(*spec.cols)
-                # no count job: the delta count below is the action that
-                # materializes the merged table's checkpoint blocks
-                merged = _retain(_truncate(merged, cfg), cfg, cache)
-                # changed groups carry their NEW cumulative value
-                delta = merged.join(
-                    inc.select(*inc_keys),
-                    on=_ns_cond(keys, inc_keys),
-                    how="left_semi",
-                )
+                merged = _retain(_truncate(_cast_like(merged, table), cfg), cfg, cache)
+                # changed groups carry their NEW cumulative value; the
+                # count is the job that materializes the merged checkpoint
+                delta = merged.exceptAll(table)
                 delta, nd = _materialize(delta, cfg)
                 new_delta[pred] = _narrow_small(
                     _retain(delta, cfg, cache), nd, cfg
@@ -729,39 +712,20 @@ def fixpoint_mixed(
                 new_all[pred] = merged
             else:
                 cand = _cast_like(cand, table)
-                cand = aggregate(pred, cand)
-                better = (
-                    (lambda new, old: new < old)
-                    if spec.func == "mmin"
-                    else (lambda new, old: new > old)
+                # join-free merge + delta, as in fixpoint_monotonic: one
+                # keyed min/max over table ∪ contributions; delta = rows of
+                # the merged table not in the old one (null-safe exceptAll)
+                merged = _truncate(
+                    aggregate(pred, table.unionByName(cand)), cfg
                 )
-                old_keys = [f"__old_{k}" for k in keys]
-                old = table.select(
-                    *[F.col(k).alias(ok) for k, ok in zip(keys, old_keys)],
-                    F.col(vcol).alias("__old_v"),
-                )
-                joined = cand.join(
-                    old, on=_ns_cond(keys, old_keys), how="left_outer"
-                )
-                improved = joined.filter(
-                    F.col("__old_v").isNull()
-                    | better(F.col(vcol), F.col("__old_v"))
-                ).select(*spec.cols)
+                merged = _retain(merged, cfg, cache)
+                improved = merged.exceptAll(table)
                 improved, n = _materialize(improved, cfg)
                 improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
                 new_delta[pred] = improved
-                if not n:
-                    continue
-                live.add(pred)
-                kept = table.join(
-                    improved.select(
-                        *[F.col(k).alias(ok) for k, ok in zip(keys, old_keys)]
-                    ),
-                    on=_ns_cond(keys, old_keys),
-                    how="left_anti",
-                )
-                merged = _truncate(kept.unionByName(improved), cfg)
-                new_all[pred] = _retain(merged, cfg, cache)
+                new_all[pred] = merged
+                if n:
+                    live.add(pred)
         for pred in all_dfs:
             new_delta.setdefault(pred, _empty_like(all_dfs[pred]))
         all_dfs = new_all
@@ -793,7 +757,6 @@ def fixpoint_monotonic(
     """
     cfg = cfg or FixpointConfig()
     cache = _GenerationCache(cfg)
-    better = (lambda new, old: new < old) if func == "mmin" else (lambda new, old: new > old)
     agg_fn = F.min if func == "mmin" else F.max
 
     def aggregate(df: DataFrame) -> DataFrame:
@@ -823,34 +786,21 @@ def fixpoint_monotonic(
         cand = _cast_like(cand, all_df)
         if _plan_is_empty(cand):
             break
-        cand = aggregate(cand)
-        # improved = groups where the candidate beats the current table
-        # (delta detection, TungstenMonotonicAggregationIterator.scala:512-555);
-        # null-safe key joins so a null-key group merges instead of
-        # re-qualifying as 'new' every iteration (non-convergence)
-        old_keys = [f"__old_{k}" for k in key_cols]
-        old = all_df.select(
-            *[F.col(k).alias(ok) for k, ok in zip(key_cols, old_keys)],
-            F.col(value_col).alias("__old_v"),
-        )
-        joined = cand.join(old, on=_ns_cond(key_cols, old_keys), how="left_outer")
-        improved = joined.filter(
-            F.col("__old_v").isNull() | better(F.col(value_col), F.col("__old_v"))
-        ).select(*key_cols, value_col)
+        # merge: ONE keyed aggregate over S ∪ candidates replaces the
+        # left-outer improved-probe + anti-join rewrite (join-free: see the
+        # maintenance note above). Unchanged groups reproduce their exact
+        # row (min/max is stable), so the delta below excludes them.
+        merged = _truncate(aggregate(all_df.unionByName(cand)), cfg)
+        merged = _retain(merged, cfg, cache)
+        # delta = changed groups with their NEW value (delta detection,
+        # TungstenMonotonicAggregationIterator.scala:512-555): rows of the
+        # merged table not present in the old one. exceptAll is null-safe
+        # and plans as union+count aggregate, not a join. The count that
+        # follows is the job that materializes both checkpoints.
+        improved = merged.exceptAll(all_df)
         improved, n = _materialize(improved, cfg)
         improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
-        if not n:
-            break
-        # merge: replace improved groups in the running table
-        kept = all_df.join(
-            improved.select(
-                *[F.col(k).alias(ok) for k, ok in zip(key_cols, old_keys)]
-            ),
-            on=_ns_cond(key_cols, old_keys),
-            how="left_anti",
-        )
-        all_df = _truncate(kept.unionByName(improved), cfg)
-        all_df = _retain(all_df, cfg, cache)
+        all_df = merged
         delta = improved
 
     return all_df

@@ -399,3 +399,48 @@ def embedding_dup_pairs(
         )
         .where(F.col("cosine") >= threshold)
     )
+
+
+# --------------------------------------------------------------- clustering
+
+def dedup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+) -> DataFrame:
+    """Collapse pairwise duplicate evidence into clusters: every document
+    maps to the min doc id of its duplicate group (itself when unpaired).
+
+    Near-dup pairs are only *evidence*; a training-data pipeline needs the
+    transitive closure of that evidence (A~B, B~C => one cluster {A,B,C})
+    before it can pick one survivor per group. The pair graph's closure is
+    computed with O(log n)-round star contraction
+    (operators/graph.py connected_components_fast), not diameter-bound label
+    propagation — duplicate chains in crawled corpora (boilerplate families,
+    mirrored sites) routinely have long paths, and at 100 TB a
+    diameter-bound loop over them is the difference between feasible and
+    not. Everything is JVM-side DataFrame ops; the only shuffles are keyed
+    on vertex ids.
+
+    Returns (id_col, canonical_id). Compose: keep survivors with
+    ``clusters.where(col(id_col) == col("canonical_id"))`` semi-joined back
+    onto the corpus.
+    """
+    from .graph import connected_components_fast
+
+    edges = pairs.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    )
+    labels = connected_components_fast(edges).select(
+        F.col("vertex").alias(id_col), F.col("component").alias("canonical_id")
+    )
+    return (
+        docs.select(id_col)
+        .join(labels, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("canonical_id", F.col(id_col)).alias("canonical_id"),
+        )
+    )

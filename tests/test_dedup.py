@@ -83,3 +83,37 @@ def test_embedding_self_similarity(spark):
     got = {(r["left_id"], r["right_id"]) for r in pairs}
     for i in range(5):
         assert (i, i + 1000) in got
+
+
+def test_dedup_clusters_transitive(spark):
+    # chain evidence 1~2, 2~3 must land all three in one cluster keyed by
+    # min id; 4 and the pairless 5 stay singletons
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 6)], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], ["left_id", "right_id"]
+    )
+    from bigdatalog_spark.operators.dedup import dedup_clusters
+
+    out = {
+        (r["doc_id"], r["canonical_id"])
+        for r in dedup_clusters(docs, pairs).collect()
+    }
+    assert out == {(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)}
+
+
+def test_dedup_clusters_survivors_match_pairs(spark):
+    from bigdatalog_spark.operators.dedup import dedup_clusters
+
+    docs = _dupdocs(spark)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup_clusters(docs, pairs)
+    survivors = {
+        r["doc_id"]
+        for r in clusters.where(
+            F.col("doc_id") == F.col("canonical_id")
+        ).collect()
+    }
+    # 1,2,3 collapse (1-2 identical, 1-3 near); 4 survives alone
+    assert survivors == {1, 4}

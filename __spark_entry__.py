@@ -754,6 +754,44 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_pivot_event_types(spark, sf_dir):
+    """PIVOT: per-user event counts spread across one column per event
+    type (explicit value list so the plan is a single groupBy — no extra
+    distinct-values job, and stable schema at any scale)."""
+    e = load_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
+        )
+    )
+
+
+def q_cube_revenue(spark, sf_dir):
+    """CUBE over (returnflag, linestatus): all four grouping combinations
+    in one pass (map-side partial aggregation per grouping set)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        # subtotal rows carry NULL group keys; present them as '(all)' so
+        # the result is null-free (and sortable by any downstream consumer)
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "revenue",
+            "n_items",
+        )
+    )
+
+
 def q_token_topk(spark, sf_dir):
     """Corpus vocabulary head: top-25 whitespace tokens by frequency.
     explode → two-phase count (map-side partial agg) → global top-k;
@@ -826,6 +864,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_histogram": q_lang_histogram,
         "q_quality_filter": q_quality_filter,
         "q_token_topk": q_token_topk,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_cube_revenue": q_cube_revenue,
     }
 
 
@@ -1274,5 +1314,22 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY token
             ORDER BY n DESC, token ASC
             LIMIT 25
+        """,
+        "q_pivot_event_types": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "q_cube_revenue": """
+            SELECT coalesce(l_returnflag, '(all)') AS l_returnflag,
+                   coalesce(l_linestatus, '(all)') AS l_linestatus,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
     }

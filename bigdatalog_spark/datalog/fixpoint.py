@@ -107,6 +107,23 @@ class _GenerationCache:
         self.generations = []
 
 
+def _truncate_marked_ancestors(dfs) -> None:
+    """Thread-local switch so every checkpoint-marked RDD in a job's
+    dependency graph truncates, not just the job's own RDD.
+
+    RDD.doCheckpoint stops descending at the first RDD with checkpoint data
+    (core/.../rdd/RDD.scala), so with the default setting only the delta —
+    the frame the convergence-count job runs on — ever truncates; the
+    accumulated set's marked RDD keeps full lineage and a few hundred
+    iterations in, task serialization dies with StackOverflowError.
+    build_session sets this too; done here defensively for sessions the
+    library didn't create."""
+    df = next(iter(dfs.values())) if isinstance(dfs, dict) else dfs
+    df.sparkSession.sparkContext.setLocalProperty(
+        "spark.checkpoint.checkpointAllMarkedAncestors", "true"
+    )
+
+
 def _materialize(df: DataFrame, cfg: FixpointConfig) -> tuple[DataFrame, int]:
     """Truncate lineage and return (df, row_count) forcing evaluation once.
 
@@ -342,6 +359,7 @@ def fixpoint_seminaive(
     Returns pred -> fixpoint DataFrame.
     """
     cfg = cfg or FixpointConfig()
+    _truncate_marked_ancestors(exit_dfs)
     if cfg.copartitioned_set and cfg.checkpoint and _step_is_linear(exit_dfs, step):
         return _fixpoint_seminaive_segmented(exit_dfs, step, cfg)
     cache = _GenerationCache(cfg)
@@ -586,6 +604,7 @@ def fixpoint_mixed(
       monotonicity of threshold conditions (the classic DeALS premise).
     """
     cfg = cfg or FixpointConfig()
+    _truncate_marked_ancestors(exit_dfs)
     cache = _GenerationCache(cfg)
 
     probe = step(exit_dfs, exit_dfs)
@@ -756,6 +775,7 @@ def fixpoint_monotonic(
     the running table, emit only improved/new groups as the next delta.
     """
     cfg = cfg or FixpointConfig()
+    _truncate_marked_ancestors(exit_pre_agg)
     cache = _GenerationCache(cfg)
     agg_fn = F.min if func == "mmin" else F.max
 

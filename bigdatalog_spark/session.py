@@ -39,4 +39,24 @@ def build_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _enable_ancestor_checkpointing(spark)
+    return spark
+
+
+def _enable_ancestor_checkpointing(spark: SparkSession) -> None:
+    """Make lazy localCheckpoints actually truncate in iterative loops.
+
+    RDD.doCheckpoint's descent STOPS at the first RDD that has checkpoint
+    data (core/.../rdd/RDD.scala doCheckpoint), so in a fixpoint loop only
+    the delta's checkpoint — the frame the convergence-count job runs on —
+    ever truncates; the accumulated set's marked-but-never-reached RDD
+    keeps its full lineage and after a few hundred iterations task
+    serialization dies with StackOverflowError. The thread-local property
+    below ("spark.checkpoint.checkpointAllMarkedAncestors") makes every
+    marked ancestor checkpoint during the same job. Inherited by child
+    threads; fixpoint entry points also set it defensively for sessions
+    not built here."""
+    spark.sparkContext.setLocalProperty(
+        "spark.checkpoint.checkpointAllMarkedAncestors", "true"
+    )

@@ -26,7 +26,14 @@ def norm_cell(v):
 
 
 def rows_key(rows):
-    return sorted(tuple(norm_cell(c) for c in r) for r in rows)
+    # None sorts before any value (mixed-type-safe: key on type name first)
+    def cell_key(c):
+        return (c is not None, type(c).__name__, c if c is not None else 0)
+
+    return sorted(
+        (tuple(norm_cell(c) for c in r) for r in rows),
+        key=lambda r: tuple(cell_key(c) for c in r),
+    )
 
 
 def approx_equal(a, b):

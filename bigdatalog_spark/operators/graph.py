@@ -130,13 +130,17 @@ def connected_components_fast(
     Returns (vertex, component) where component = min vertex id in the
     component; isolated self-loop-only vertices map to themselves.
     """
+    # the input plan may be expensive (e.g. dedup pair mining); it feeds
+    # the vertex set AND the first contraction round, so cache it — the
+    # first job populates the cache, later consumers read blocks
+    base = _edges(edges, src, dst).persist()
     e = (
-        _edges(edges, src, dst)
+        base
         .where(F.col("c0") != F.col("c1"))
         .select(F.col("c0").alias("u"), F.col("c1").alias("v"))
     )
     vertices = (
-        _edges(edges, src, dst)
+        base
         .select(F.explode(F.array("c0", "c1")).alias("vertex"))
         .distinct()
     )
@@ -178,9 +182,14 @@ def connected_components_fast(
             .distinct()
         )
 
+    from ..datalog.fixpoint import _truncate_marked_ancestors
+
+    _truncate_marked_ancestors(e)  # lazy checkpoints must truncate ancestors
     prev_sig, prev_e = None, None
     for _ in range(max_rounds):
-        e = small_star(large_star(e)).localCheckpoint(eager=True)
+        # lazy checkpoint: the checksum aggregate is the job that
+        # materializes (and truncates) it — one job per round, not two
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         sig = checksum(e)
         if prev_e is not None:  # free last round's checkpoint blocks
             try:

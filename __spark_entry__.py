@@ -754,6 +754,51 @@ def q_quality_filter(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Offset packing of the corpus into 2048-token packs, 8 shards
+    (operators/corpus.py pack_sequences): one window aggregate per shard,
+    no stateful scan."""
+    from bigdatalog_spark.operators.corpus import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, budget=2048, shard_col=(F.col("doc_id") % 8)
+    )
+
+
+def q_pii_stats(spark, sf_dir):
+    """PII span counts over the corpus with a synthetic injection (the
+    testdata text carries no real PII): every 7th doc gets an email-shaped
+    token appended, every 11th a phone-shaped one. Pure JVM regex — the
+    operator under test is operators/corpus.py pii_stats."""
+    from bigdatalog_spark.operators.corpus import pii_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" user@example.com"))
+            .otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" +1-555-123-4567"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_stats(aug)
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: corpus docs sharing any word 3-gram with
+    the 'benchmark' slice (doc_id < 5). Benchmark shingle set broadcasts;
+    corpus is scanned once."""
+    from bigdatalog_spark.operators.corpus import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") < 5)
+    corpus = d.where(F.col("doc_id") >= 5)
+    return decontaminate(corpus, bench)
+
+
 def q_pivot_event_types(spark, sf_dir):
     """PIVOT: per-user event counts spread across one column per event
     type (explicit value list so the plan is a single groupBy — no extra
@@ -866,6 +911,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_topk": q_token_topk,
         "q_pivot_event_types": q_pivot_event_types,
         "q_cube_revenue": q_cube_revenue,
+        "q_pack_sequences": q_pack_sequences,
+        "q_pii_stats": q_pii_stats,
+        "q_decontaminate": q_decontaminate,
     }
 
 
@@ -1331,5 +1379,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_items
             FROM lineitem
             GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "q_pack_sequences": """
+            WITH base AS (
+              SELECT doc_id, doc_id % 8 AS shard,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens
+              FROM documents),
+            offs AS (
+              SELECT doc_id, shard, n_tokens,
+                     sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+              FROM base)
+            SELECT doc_id, shard, n_tokens, start_off,
+                   CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id
+            FROM offs
+        """,
+        "q_pii_stats": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0 THEN ' user@example.com' ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' +1-555-123-4567' ELSE '' END
+                       AS text
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                     AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                     '\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}')) AS BIGINT) AS n_phones,
+                   (len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                    + len(regexp_extract_all(text,
+                     '\\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}'))) > 0 AS has_pii
+            FROM aug
+        """,
+        "q_decontaminate": """
+            WITH w AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                      FROM w WHERE len(ws) >= 3))),
+            bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id < 5)
+            SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+            FROM sh s JOIN bench b ON s.sh = b.sh
+            WHERE s.doc_id >= 5
+            GROUP BY s.doc_id
         """,
     }

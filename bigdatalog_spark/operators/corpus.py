@@ -1,0 +1,129 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Three ops a pretraining data pipeline runs after dedup/quality filtering,
+each expressed with built-in DataFrame functions (JVM-side, oracle-checkable):
+
+* pack_sequences  — assign documents to fixed-token-budget packs
+* pii_stats       — count/flag PII-looking spans (emails, phone numbers)
+* decontaminate   — flag corpus documents sharing n-grams with a benchmark
+
+All shuffles key on uniformly-distributed values (shard ids, shingle
+hashes), so the plans scale horizontally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from .dedup import word_shingle_hashes
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col=None,
+) -> DataFrame:
+    """Offset packing: documents get a starting token offset by cumulative
+    sum within their shard, and a pack id = start_offset // budget.
+
+    This is the deterministic, single-window formulation (documents may
+    straddle a pack boundary and are chunked downstream at tokenize time).
+    Exact greedy no-split packing is inherently a sequential scan; the
+    offset form is what stays parallel — one window aggregate per shard,
+    no stateful pass.
+
+    Without ``shard_col`` the window is a single global ordering — fine for
+    tests, a one-partition bottleneck at scale. At 100 TB pass a shard
+    expression (e.g. ``F.col("doc_id") % n_shards``): each shard packs
+    independently and the window parallelizes across shards.
+
+    Returns (id_col, shard, n_tokens, start_off, pack_id).
+    """
+    shard = (
+        F.lit(0) if shard_col is None
+        else (F.col(shard_col) if isinstance(shard_col, str) else shard_col)
+    )
+    base = df.select(
+        F.col(id_col),
+        shard.alias("shard"),
+        token_count(text_col).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    ).withColumn(
+        "pack_id", (F.col("start_off") / F.lit(budget)).cast("long")
+    )
+
+
+# Deliberately simple, cross-engine-safe patterns (same semantics in Java
+# regex and RE2/DuckDB): a real pipeline would plug a vetted PII library in
+# here; the *shape* of the operator (pure column expressions, no UDF) is
+# the part that matters at scale.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}-[0-9]{3,4}-[0-9]{4}"
+
+
+def pii_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII signal: email/phone match counts and a has_pii
+    flag. Pure JVM regex expressions — no UDF, fully pushdown-friendly."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(c, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+    ).withColumn(
+        "has_pii", (F.col("n_emails") + F.col("n_phones")) > 0
+    )
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII-looking spans with typed placeholder tokens."""
+    c = F.col(text_col)
+    red = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return df.withColumn(text_col, red)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: for each corpus document, the number of
+    distinct word n-gram shingles it shares with ANY benchmark document.
+
+    Both sides shingle to 64-bit hashes (dedup.word_shingle_hashes), the
+    benchmark side is reduced to its distinct shingle set (small — it's a
+    benchmark), and the overlap is one equi-join on the hash. At 100 TB
+    the benchmark shingle set broadcasts; the corpus never self-joins.
+
+    Returns (id_col, n_overlap) for contaminated documents only — callers
+    anti-join this against the corpus to drop them.
+    """
+    corpus_sh = word_shingle_hashes(corpus, text_col, id_col, n)
+    bench_sh = (
+        word_shingle_hashes(benchmark, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+    )
+    return (
+        corpus_sh.join(bench_sh, on="shingle", how="inner")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )

@@ -119,6 +119,63 @@ def running_user_totals(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower: str = "0 seconds",
+    upper: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream (or batch) interval equi-join: rows pair when keys
+    match and ``right_ts ∈ [left_ts − lower, left_ts + upper]``.
+
+    On streams, both sides are watermarked so the state store can evict
+    rows once no future match is possible — state is bounded by
+    (watermark + interval) × arrival rate, the standard stream-stream join
+    contract. The right timestamp is exposed as ``<right_ts>_r``."""
+    l = left.alias("l")
+    r = right.select(
+        F.col(on).alias("__rk"),
+        F.col(right_ts).alias(f"{right_ts}_r"),
+        *[c for c in right.columns if c not in (on, right_ts)],
+    ).alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = r.withWatermark(f"{right_ts}_r", watermark)
+    rts, lts = F.col(f"{right_ts}_r"), F.col(f"l.{left_ts}")
+    cond = (
+        (F.col(f"l.{on}") == F.col("__rk"))
+        & (rts >= lts - F.expr(f"INTERVAL {lower}"))
+        & (rts <= lts + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, on=cond, how="inner").drop("__rk")
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication on key columns.
+
+    Uses dropDuplicatesWithinWatermark so the state store holds each key
+    only until the watermark passes it — bounded state, unlike a plain
+    dropDuplicates over an unbounded stream. The batch path is plain
+    dropDuplicates (same semantics when all data is present). This is the
+    streaming face of the exact-dedup pipeline operator
+    (operators/dedup.py exact_dedup)."""
+    if events.isStreaming:
+        return events.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
+
+
 def stream_events_from_files(spark, path: str, schema) -> DataFrame:
     """File-source stream over a directory of parquet/json drops."""
     return spark.readStream.schema(schema).parquet(path)

@@ -90,3 +90,52 @@ def test_stateful_running_totals(spark):
                 final[r["user_id"]] = (r["n_events"], r["total_value"])
         got = {(u, n, round(t, 6)) for u, (n, t) in final.items()}
         assert got == want
+
+
+def test_interval_join_stream(spark):
+    """Stream-stream interval join: purchases pair with clicks of the same
+    user within [click, click+1h]; stream result equals the batch join."""
+    from bigdatalog_spark.streaming.ops import interval_join
+
+    ev = _events(spark)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    batch = interval_join(
+        clicks, purchases, on="user_id", upper="1 hour"
+    ).select("user_id", "ts", "ts_r")
+    with tempfile.TemporaryDirectory() as d:
+        clicks.write.mode("overwrite").parquet(f"{d}/c")
+        purchases.write.mode("overwrite").parquet(f"{d}/p")
+        sc = stream_events_from_files(spark, f"{d}/c", clicks.schema)
+        sp = stream_events_from_files(spark, f"{d}/p", purchases.schema)
+        j = interval_join(sc, sp, on="user_id", upper="1 hour").select(
+            "user_id", "ts", "ts_r"
+        )
+        assert j.isStreaming
+        q = write_memory_sink(j, "ij_test", "append")
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.table("ij_test").collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Streaming dedup drops key repeats; survivors = distinct keys."""
+    from bigdatalog_spark.streaming.ops import stream_dedup
+
+    ev = _events(spark).select("user_id", "event_type", "ts")
+    with tempfile.TemporaryDirectory() as d:
+        # duplicate every row so the stream definitely contains repeats
+        ev.union(ev).write.mode("overwrite").parquet(f"{d}/in")
+        s = stream_events_from_files(spark, f"{d}/in", ev.schema)
+        out = stream_dedup(s, ["user_id", "event_type"], watermark="10 minutes")
+        q = write_memory_sink(out, "dedup_test", "append")
+        q.awaitTermination(120)
+        got = spark.table("dedup_test").select("user_id", "event_type")
+    n_got = got.count()
+    assert n_got == got.distinct().count()
+    assert n_got == ev.select("user_id", "event_type").distinct().count()

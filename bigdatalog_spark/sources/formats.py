@@ -73,13 +73,27 @@ def write_table(
     fmt: str | None = None,
     mode: str = "overwrite",
     partition_by: list | None = None,
+    max_records_per_file: int | None = None,
+    cluster_by: list | None = None,
     **options,
 ) -> None:
     """Write a result out (the reference's only sinks are collect/count,
     BigDatalogProgram.scala:30-41 — file sinks are pure extension).
-    `partition_by` gives directory-partitioned output for partition-pruned
-    downstream scans."""
+
+    Scale controls:
+    * ``partition_by`` — directory partitioning for partition-pruned scans.
+    * ``max_records_per_file`` — caps file size so a skewed task can't
+      emit a multi-GB file (the #1 operational failure of 100 TB writes);
+      maps to the writer's maxRecordsPerFile option.
+    * ``cluster_by`` — sortWithinPartitions before writing, so parquet
+      row-group min/max stats make downstream range filters prune inside
+      files (poor man's clustering; no extra shuffle).
+    """
     fmt = fmt or detect_format(path)
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
+    if max_records_per_file:
+        options = {**options, "maxRecordsPerFile": str(max_records_per_file)}
     w = df.write.mode(mode).options(**options)
     if partition_by:
         w = w.partitionBy(*partition_by)

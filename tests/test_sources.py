@@ -2,6 +2,7 @@
 
 import tempfile
 
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from bigdatalog_spark.sources.csv import dataframe_from_lines, read_deal_table
@@ -106,3 +107,23 @@ def test_partitioned_parquet_prunes(spark, tmp_path):
     assert back.count() == 25
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
+
+
+def test_write_file_size_and_clustering(spark, tmp_path):
+    from bigdatalog_spark.sources.formats import read_table, write_table
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 10).alias("bucket")
+    ).coalesce(1)
+    path = str(tmp_path / "sized")
+    write_table(
+        df, path, "parquet", max_records_per_file=100, cluster_by=["id"]
+    )
+    import glob
+
+    files = glob.glob(f"{path}/*.parquet")
+    # 1000 rows in one task, capped at 100 rows/file -> 10 files
+    assert len(files) == 10
+    back = read_table(spark, path, fmt="parquet")
+    assert back.count() == 1000
+    assert back.agg(F.sum("id")).first()[0] == 499500

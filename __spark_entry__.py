@@ -219,6 +219,27 @@ def dl_tc(spark, sf_dir):
     return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
 
 
+def dl_agg_over_tc(spark, sf_dir):
+    """Stratified aggregation OVER a recursion stratum — the reference's
+    AggregatesOverRecursionQuerySuite pattern (min/count over a completed
+    fixpoint): per source vertex, how many descendants and the smallest
+    descendant id in the tree closure."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+        "spans(A, count<B>, min<B>) <- tc(A,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "spans(A,N,M).",
+    )
+    return df.select(
+        F.col("A").alias("src"),
+        F.col("N").cast("long").alias("n_desc"),
+        F.col("M").alias("min_desc"),
+    )
+
+
 def dl_tc_bound(spark, sf_dir):
     """Bound query form tc(1,B) — the engine pushes the constant into the
     fixpoint seed (adorned/magic-lite rewrite), exploring only vertex 1's
@@ -872,6 +893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_arith": dl_arith,
         "dl_date_filter": dl_date_filter,
         "dl_tc": dl_tc,
+        "dl_agg_over_tc": dl_agg_over_tc,
         "dl_tc_bound": dl_tc_bound,
         "dl_tc_nonlinear": dl_tc_nonlinear,
         "dl_mutual_even_odd": dl_mutual_even_odd,
@@ -1013,6 +1035,16 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
             SELECT src, dst FROM tc
+        """,
+        "dl_agg_over_tc": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            tc(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+            SELECT src, CAST(count(dst) AS BIGINT) AS n_desc,
+                   min(dst) AS min_desc
+            FROM tc GROUP BY src
         """,
         "dl_tc_bound": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),

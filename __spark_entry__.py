@@ -752,11 +752,14 @@ def q_lang_histogram(spark, sf_dir):
     """Corpus language composition: n-gram-marker language ID rolled up to
     per-language doc counts (the first report any multilingual training-
     data pipeline produces)."""
-    from bigdatalog_spark.functions.text import lang_id
-
     d = load_table(spark, sf_dir, "documents")
+    # via the STAGED profile (tokens computed once, marker filters over the
+    # shared array) — calling lang_id() directly inlines the tokenizer into
+    # every marker filter and whole-stage-codegen compilation dominates
+    # (~10 s before the first row at sf0.1); unused profile columns prune
     return (
-        d.select(lang_id("text").alias("lang_pred"))
+        text_profile(d)
+        .select("lang_pred")
         .groupBy("lang_pred")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

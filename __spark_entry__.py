@@ -585,6 +585,21 @@ def q_value_percentiles(spark, sf_dir):
     )
 
 
+def q_value_percentiles_approx(spark, sf_dir):
+    """Sketch percentiles (approx_percentile, relative error 1e-4): the
+    scale path beside q_value_percentiles' exact baseline. The underlying
+    quantile sketch is partially aggregated map-side and merged — at
+    100 TB this is the only percentile that doesn't sort the world.
+    Approximate by design → rows-only driver check; the exact twin is the
+    hash-checked one."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile_approx("value", F.lit(0.5), F.lit(10000)), 6).alias("p50"),
+        F.round(F.percentile_approx("value", F.lit(0.95), F.lit(10000)), 6).alias("p95"),
+        F.round(F.percentile_approx("value", F.lit(0.99), F.lit(10000)), 6).alias("p99"),
+    )
+
+
 def q_running_avg(spark, sf_dir):
     """Per-user running mean over the last 10 events (window frame)."""
     from pyspark.sql import Window
@@ -918,6 +933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sessionize": q_sessionize,
         "q_rollup_revenue": q_rollup_revenue,
         "q_value_percentiles": q_value_percentiles,
+        "q_value_percentiles_approx": q_value_percentiles_approx,
         "q_running_avg": q_running_avg,
         "q_asof_purchase": q_asof_purchase,
         "q_range_acctbal_band": q_range_acctbal_band,

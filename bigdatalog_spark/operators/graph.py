@@ -206,13 +206,19 @@ def connected_components_fast(
 
     # converged: e is a set of stars (child → min-id root)
     labels = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
-    return (
+    out = (
         vertices.join(labels, on="vertex", how="left")
         .select(
             "vertex",
             F.coalesce("component", F.col("vertex")).alias("component"),
         )
+        # materialize so the input cache can be released now — the result
+        # is O(vertices) fixed-width rows, the same footprint the per-round
+        # checkpoints already carried
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    return out
 
 
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:

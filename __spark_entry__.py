@@ -638,6 +638,24 @@ def q_asof_purchase(spark, sf_dir):
     ).select("user_id", "ts", "event_id", "ts_right", "pvalue")
 
 
+def q_interval_join(spark, sf_dir):
+    """Batch face of the stream-stream interval join (streaming/ops.py
+    interval_join): purchases within one hour AFTER each click by the same
+    user. The same code path runs on streams with watermarked state."""
+    from bigdatalog_spark.streaming.ops import interval_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    return interval_join(
+        clicks, purchases, on="user_id", lower="0 seconds", upper="1 hour"
+    ).select("user_id", "click_id", "purchase_id", "ts", "ts_r")
+
+
 def q_range_acctbal_band(spark, sf_dir):
     """Range (point-in-interval) join via interval bucketing
     (operators/joins.py range_join): customers whose balance falls within
@@ -936,6 +954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_percentiles_approx": q_value_percentiles_approx,
         "q_running_avg": q_running_avg,
         "q_asof_purchase": q_asof_purchase,
+        "q_interval_join": q_interval_join,
         "q_range_acctbal_band": q_range_acctbal_band,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1292,6 +1311,19 @@ def oracle_sql() -> dict[str, str]:
                    p.ts AS ts_right, p.pvalue
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q_interval_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click'),
+            purch AS (
+              SELECT user_id, ts, event_id AS purchase_id FROM events
+              WHERE event_type = 'purchase')
+            SELECT c.user_id, c.click_id, p.purchase_id,
+                   c.ts, p.ts AS ts_r
+            FROM clicks c JOIN purch p
+              ON c.user_id = p.user_id
+             AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
         """,
         "q_range_acctbal_band": """
             SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_customers,

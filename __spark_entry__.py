@@ -742,8 +742,14 @@ def q_media_features(spark, sf_dir):
     batched mapInPandas feature extraction (deterministic stub decode)."""
     from bigdatalog_spark.operators.multimodal import extract_features
 
+    return extract_features(_media_table(spark, sf_dir)).select(
+        "media_id", "n_bytes"
+    )
+
+
+def _media_table(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
-    media = d.select(
+    return d.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
@@ -758,7 +764,16 @@ def q_media_features(spark, sf_dir):
             F.lit("stub").alias("codec"),
         ).alias("meta"),
     )
-    return extract_features(media).select("media_id", "n_bytes")
+
+
+def q_media_frames(spark, sf_dir):
+    """Video frame sampling (operators/multimodal.py sample_frames): the
+    1→N mapInPandas shape — one output row per sampled timestamp, Arrow-
+    batched, deterministic stub decode so the frame grid is oracle-able."""
+    from bigdatalog_spark.operators.multimodal import sample_frames
+
+    frames = sample_frames(_media_table(spark, sf_dir), every_ms=1000)
+    return frames.select("media_id", "ts_ms")
 
 
 def q_text_profile(spark, sf_dir):
@@ -964,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
         "q_media_features": q_media_features,
+        "q_media_frames": q_media_frames,
         "q_text_profile": q_text_profile,
         "q_dedup_cluster": q_dedup_cluster,
         "q_lang_histogram": q_lang_histogram,
@@ -1393,6 +1409,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "q_media_frames": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(generate_series(0, length(text)*10 - 1, 1000))
+                        AS BIGINT) AS ts_ms
+            FROM documents
+            WHERE doc_id % 3 = 2 AND length(text) > 0
         """,
         "q_text_profile": f"""
             WITH {_PROFILE_SCORES},

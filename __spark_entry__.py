@@ -459,6 +459,29 @@ def dl_triangle_count(spark, sf_dir):
 
 # ----------------------------------------------------------- DataFrame analytics
 
+def dl_pymk(spark, sf_dir):
+    """PYMK / triangle-closing recommendation (the reference's programs
+    72-73, TriangleQuerySuite pymk): for non-adjacent vertex pairs sharing
+    neighbors, count the common neighbors and return the deterministic
+    top-20 — negation + aggregate-over-aggregate + multi-key sort + limit
+    in one Datalog program."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "uarc(X,Y) <- arc(X,Y)."
+        "uarc(Y,X) <- arc(X,Y)."
+        "tclose(Y, Z, count<X>) <- uarc(X,Y), uarc(X,Z), Y ~= Z, ~uarc(Y,Z)."
+        "pymk(Y, Z, N) <- tclose(Y, Z, N),"
+        " sort((N,desc),(Y,asc),(Z,asc)), limit(20).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "pymk(A,B,N).",
+    )
+    return df.select(
+        F.col("A").alias("y"), F.col("B").alias("z"),
+        F.col("N").cast("long").alias("n_common"),
+    )
+
+
 def q1_pricing_summary(spark, sf_dir):
     l = load_table(spark, sf_dir, "lineitem")
     return (
@@ -957,6 +980,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_apsp": dl_apsp,
         "dl_same_generation": dl_same_generation,
         "dl_triangle_count": dl_triangle_count,
+        "dl_pymk": dl_pymk,
         "q1_pricing_summary": q1_pricing_summary,
         "q3_order_revenue": q3_order_revenue,
         "q5_region_revenue": q5_region_revenue,
@@ -1230,6 +1254,18 @@ def oracle_sql() -> dict[str, str]:
               JOIN arcs a3 ON a2.dst = a3.src AND a3.dst = a1.src
               WHERE a1.src < a1.dst AND a2.src < a2.dst)
             SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM tri
+        """,
+        "dl_pymk": f"""
+            WITH tree AS ({_EDGES_SQL}),
+            u AS (SELECT src, dst FROM tree UNION SELECT dst, src FROM tree),
+            tclose AS (
+              SELECT a.dst AS y, b.dst AS z, CAST(count(*) AS BIGINT) AS n_common
+              FROM u a JOIN u b ON a.src = b.src AND a.dst <> b.dst
+              WHERE NOT EXISTS (SELECT 1 FROM u
+                                WHERE u.src = a.dst AND u.dst = b.dst)
+              GROUP BY 1, 2)
+            SELECT y, z, n_common FROM tclose
+            ORDER BY n_common DESC, y ASC, z ASC LIMIT 20
         """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

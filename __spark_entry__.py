@@ -948,6 +948,76 @@ def q_token_topk(spark, sf_dir):
     )
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by seeded md5 hash of the
+    doc id (operators/sampling.py hash_split): pure map-side expression,
+    reproducible across engines and corpus growth — a doc never changes
+    split when data is added."""
+    from bigdatalog_spark.operators.sampling import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return hash_split(
+        d, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).select("doc_id", "split")
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Data-mixture weighting: per-source Bernoulli keep rates applied by
+    id hash (operators/sampling.py mixture_sample). Zero-shuffle scan at
+    any scale; deterministic membership."""
+    from bigdatalog_spark.operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 1.0, "src1": 1.0, "src2": 0.5, "src3": 0.5, "src4": 0.25}
+    return mixture_sample(d, rates, default_rate=0.1, seed=7).select(
+        "doc_id", "source"
+    )
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic global shuffle before sequence packing
+    (operators/sampling.py deterministic_shuffle): order = seeded hash of
+    doc id; one range exchange + local sort. Query face returns the head of
+    the permutation."""
+    from bigdatalog_spark.operators.sampling import deterministic_shuffle
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        deterministic_shuffle(d, seed=3, num_partitions=8)
+        .select("doc_id", F.round("shuffle_key", 6).alias("shuffle_key"))
+        .orderBy("shuffle_key")
+        .limit(20)
+    )
+
+
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-token fraction +
+    most-frequent-bigram share per doc (functions/text.py
+    repetition_stats). Token stats are array expressions; the bigram mode
+    is explode + two uniform-key aggregations."""
+    from bigdatalog_spark.functions.text import repetition_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d)
+
+
+def q_json_props(spark, sf_dir):
+    """Semi-structured extraction: pull props.k out of the events JSON
+    column JVM-side (get_json_object — no UDF) and aggregate per event
+    type. The extraction is map-side; one uniform-key aggregation."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 # ----------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1014,6 +1084,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pack_sequences": q_pack_sequences,
         "q_pii_stats": q_pii_stats,
         "q_decontaminate": q_decontaminate,
+        "q_hash_split": q_hash_split,
+        "q_mixture_sample": q_mixture_sample,
+        "q_corpus_shuffle": q_corpus_shuffle,
+        "q_repetition_stats": q_repetition_stats,
+        "q_json_props": q_json_props,
     }
 
 
@@ -1573,5 +1648,65 @@ def oracle_sql() -> dict[str, str]:
             FROM sh s JOIN bench b ON s.sh = b.sh
             WHERE s.doc_id >= 5
             GROUP BY s.doc_id
+        """,
+        # seeded engine-portable U[0,1): first 8 md5 hex chars as an int
+        # (same formula as operators/sampling.py uniform_hash)
+        "q_hash_split": """
+            WITH u AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN u < 0.8 THEN 'train'
+                        WHEN u < 0.9 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM u
+        """,
+        "q_mixture_sample": """
+            WITH u AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents)
+            SELECT doc_id, source FROM u
+            WHERE u < CASE source
+                        WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 1.0
+                        WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.5
+                        WHEN 'src4' THEN 0.25 ELSE 0.1 END
+        """,
+        "q_corpus_shuffle": """
+            SELECT doc_id,
+                   round(('0x' || substr(md5('3|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0, 6) AS shuffle_key
+            FROM documents
+            ORDER BY shuffle_key LIMIT 20
+        """,
+        "q_repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS ws
+              FROM documents),
+            bg AS (
+              SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+              FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-1)) AS i
+                    FROM toks WHERE len(ws) >= 2)),
+            bgc AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+            bgm AS (SELECT doc_id, max(n) AS top_bg, sum(n) AS total_bg
+                    FROM bgc GROUP BY 1)
+            SELECT t.doc_id,
+                   len(ws) AS n_tokens,
+                   len(list_distinct(ws)) AS n_distinct_tokens,
+                   round(1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+                             / greatest(len(ws), 1), 6) AS dup_token_frac,
+                   round(coalesce(CAST(top_bg AS DOUBLE) / greatest(total_bg, 1),
+                                  0.0), 6) AS top_bigram_frac
+            FROM toks t LEFT JOIN bgm ON t.doc_id = bgm.doc_id
+        """,
+        "q_json_props": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(avg(json_extract_string(props, '$.k')::BIGINT), 6) AS avg_k,
+                   max(json_extract_string(props, '$.k')::BIGINT) AS max_k
+            FROM events GROUP BY event_type
         """,
     }

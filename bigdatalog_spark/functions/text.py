@@ -104,6 +104,68 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-token
+    fraction and the share of token bigrams taken by the single most
+    frequent bigram. High values flag boilerplate / degenerate text that
+    length+stopword quality scores miss.
+
+    Shape: token stats are array expressions (map-side only); the bigram
+    mode needs a per-(doc, bigram) count → explode + two partial+final
+    aggregations keyed on (doc_id, bigram) then doc_id — both uniform keys,
+    so the plan scales linearly. The final join is id-to-id (co-keyed).
+
+    Returns (id_col, n_tokens, n_distinct_tokens, dup_token_frac,
+    top_bigram_frac)."""
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        F.size(F.array_distinct("__toks")).alias("n_distinct_tokens"),
+        F.expr(
+            "transform(slice(__toks, 1, greatest(size(__toks)-1, 0)),"
+            " (t, i) -> concat(t, ' ', __toks[i+1]))"
+        ).alias("__bigrams"),
+    )
+    bigram_mode = (
+        base.select(id_col, F.explode("__bigrams").alias("bg"))
+        .groupBy(id_col, "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy(id_col)
+        .agg(
+            F.max("n").alias("__top_bg"),
+            F.sum("n").alias("__total_bg"),
+        )
+    )
+    return (
+        base.drop("__bigrams")
+        .join(bigram_mode, on=id_col, how="left")
+        .select(
+            id_col,
+            "n_tokens",
+            "n_distinct_tokens",
+            F.round(
+                1.0
+                - F.col("n_distinct_tokens")
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(
+                    F.col("__top_bg") / F.greatest(F.col("__total_bg"), F.lit(1)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def _marker_hit(words):
     """Single-arg HOF lambda factory (a 2-arg lambda would be interpreted
     as the (element, index) filter form)."""

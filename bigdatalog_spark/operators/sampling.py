@@ -1,0 +1,113 @@
+"""Deterministic sampling / splitting / shuffling for training-data pipelines.
+
+The reference engine has no sampling surface (SURVEY.md §2); these are the
+corpus-assembly operators a pretraining pipeline needs between "filtered
+corpus" and "tokenizer input":
+
+* uniform_hash          — seeded, engine-portable U[0,1) per row
+* hash_split            — deterministic train/val/test assignment
+* mixture_sample        — per-source Bernoulli rates (data-mixture weighting)
+* deterministic_shuffle — stable global permutation, cluster-parallel
+
+Everything is a pure column expression over ``md5`` (identical output in
+Spark, DuckDB, Trino, Presto…), so splits are reproducible across engines
+and across runs — re-running the pipeline on a grown corpus keeps every
+previously-assigned row in the same split (no RNG state, no sampling by
+position). That property is what makes hash-based assignment the standard
+over ``df.sample``/``randomSplit`` for corpus work: those reshuffle
+membership whenever partitioning or row order changes.
+
+Scale notes: the hash is computed map-side from the id column alone — no
+shuffle for split/sample; deterministic_shuffle is exactly one range
+exchange + local sort (the minimum any global permutation needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def uniform_hash(col: Column | str, seed: int = 0) -> Column:
+    """Seeded uniform double in [0,1) from the first 8 hex chars of
+    ``md5(seed || '|' || value)`` — 32 bits of the digest, plenty for split
+    thresholds, and expressible in any engine with md5 + hex parsing
+    (DuckDB: ``('0x' || substr(md5(...),1,8))::BIGINT / 4294967296.0``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    key = F.concat(F.lit(str(seed)), F.lit("|"), c.cast("string"))
+    bucket = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return bucket / F.lit(float(2**32))
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Assign each row to a named split with probability proportional to its
+    weight, deterministically by id hash. Adds a ``split`` column.
+
+    Assignment is a pure row-local expression — adding data later never
+    moves an existing row between splits (critical for eval-set hygiene:
+    a doc that was ever in 'val' can never silently enter 'train')."""
+    total = float(sum(weights.values()))
+    u = uniform_hash(id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        branch = F.when(u < F.lit(acc), F.lit(name))
+        expr = branch if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted data-mixture sampling: keep each row with the Bernoulli rate
+    configured for its source (e.g. wiki ×1.0, commoncrawl ×0.1).
+
+    The rate table is embedded as a CASE expression (sources are few); the
+    filter is map-side only — at 100 TB this is a scan with zero shuffle,
+    and the parquet reader still prunes columns/row-groups beneath it."""
+    expr = None
+    for src, rate in rates.items():
+        branch = (F.col(source_col) == src, F.lit(float(rate)))
+        expr = F.when(*branch) if expr is None else expr.when(*branch)
+    rate_col = (
+        F.lit(float(default_rate))
+        if expr is None
+        else expr.otherwise(F.lit(float(default_rate)))
+    )
+    return df.where(uniform_hash(id_col, seed) < rate_col)
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Stable global permutation: order rows by seeded hash of their id.
+
+    Adds a ``shuffle_key`` column and returns the frame range-partitioned +
+    locally sorted by it — the standard "shuffle the corpus once before
+    sequence packing" step. One range exchange (sampled boundaries keep
+    partitions balanced because the key is uniform) and one local sort;
+    downstream writers preserve the order per output file."""
+    key = uniform_hash(id_col, seed).alias("shuffle_key")
+    out = df.select("*", key)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "shuffle_key")
+    else:
+        out = out.repartitionByRange("shuffle_key")
+    return out.sortWithinPartitions("shuffle_key")

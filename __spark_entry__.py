@@ -432,6 +432,26 @@ def dl_same_generation(spark, sf_dir):
     return df.select(F.col("X").alias("x"), F.col("Y").alias("y"))
 
 
+def dl_sg_bound(spark, sf_dir):
+    """Bound same-generation sg(12,Y) — the bound position is NOT stable
+    (X changes through the recursion), so this takes the magic-sets demand
+    path (context._magic_bound_df): a demand fixpoint first computes the
+    ancestors of 12 via pc, then the sg fixpoint is semijoined against
+    that demand set each iteration instead of materializing the full
+    same-generation relation (the DeALS compiler's magic rewriting,
+    SURVEY.md §3 step 3)."""
+    pc = _tree_edges(spark, sf_dir).where(F.col("dst") <= 255)
+    df = _datalog(
+        spark,
+        "database({pc(P:long, C:long)})."
+        "sg(X,Y) <- pc(P,X), pc(P,Y), X ~= Y."
+        "sg(X,Y) <- pc(A,X), sg(A,B), pc(B,Y).",
+        {"pc": pc},
+        "sg(12,Y).",
+    )
+    return df.select(F.col("Y").alias("y"))
+
+
 def dl_triangle_count(spark, sf_dir):
     """Triangle counting with inequality filters + count<_>
     (TriangleQuerySuite program) on tree ∪ sibling ∪ up edges."""
@@ -1049,6 +1069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_cc_fast": q_cc_fast,
         "dl_apsp": dl_apsp,
         "dl_same_generation": dl_same_generation,
+        "dl_sg_bound": dl_sg_bound,
         "dl_triangle_count": dl_triangle_count,
         "dl_pymk": dl_pymk,
         "q1_pricing_summary": q1_pricing_summary,
@@ -1314,6 +1335,18 @@ def oracle_sql() -> dict[str, str]:
               JOIN pc px ON px.src = sg.x
               JOIN pc py ON py.src = sg.y)
             SELECT x, y FROM sg
+        """,
+        "dl_sg_bound": f"""
+            WITH RECURSIVE pc AS (
+              SELECT * FROM ({_EDGES_SQL}) WHERE dst <= 255),
+            sg(x, y) AS (
+              SELECT a.dst, b.dst FROM pc a JOIN pc b ON a.src = b.src
+              WHERE a.dst <> b.dst
+              UNION
+              SELECT px.dst, py.dst FROM sg
+              JOIN pc px ON px.src = sg.x
+              JOIN pc py ON py.src = sg.y)
+            SELECT y FROM sg WHERE x = 12
         """,
         "dl_triangle_count": f"""
             WITH tree AS ({_EDGES_SQL}),

@@ -20,7 +20,9 @@ from pyspark.sql import types as T
 from .ast import (
     AggTerm,
     AnonVar,
+    Arith,
     Atom,
+    Comparison,
     Const,
     Goal,
     LimitSpec,
@@ -47,6 +49,21 @@ from .local_eval import (
 )
 from .parser import parse_goal, parse_program
 from .semantics import AnalyzedProgram, Clique, DatalogSemanticError, analyze
+
+def _comparison_vars(c: Comparison) -> set[str]:
+    out: set[str] = set()
+
+    def walk(t):
+        if isinstance(t, Var):
+            out.add(t.name)
+        elif isinstance(t, Arith):
+            walk(t.left)
+            walk(t.right)
+
+    walk(c.left)
+    walk(c.right)
+    return out
+
 
 _DEAL_TO_SPARK = {
     "byte": T.ByteType(),
@@ -206,12 +223,151 @@ class BigDatalogContext:
         ):
             return None
         stable = self._stable_positions(clique, goal.pred)
-        if not all(i in stable for i, _ in bound):
-            return None
-        results = self._compute_seminaive_clique(
-            clique, seed_filter={goal.pred: bound}
+        if all(i in stable for i, _ in bound):
+            results = self._compute_seminaive_clique(
+                clique, seed_filter={goal.pred: bound}
+            )
+            return results[goal.pred]
+        return self._magic_bound_df(goal, clique, bound)
+
+    def _magic_bound_df(self, goal: Goal, clique: Clique, bound) -> DataFrame | None:
+        """Magic-sets / demand transformation for bound goals whose bound
+        positions are NOT stable (the same-generation `sg(a,Y)` shape) —
+        the engine-side equivalent of the DeALS compiler's magic-set
+        rewriting (SURVEY.md §3 step 3), specialized to linear
+        single-predicate cliques.
+
+        Emits the textbook magic-transformed *program* and evaluates it
+        through the ordinary machinery (clique analysis, local fast paths,
+        broadcast gates, static caching all apply unchanged):
+
+        * demand:   ``m(t_B) <- m(h_B), <SIP atoms>.`` per recursive rule,
+          seeded by a constant TUPLE rule ``m(V..) <- V = c, ...`` — for
+          ``sg(a,Y)`` this computes the ancestors of ``a`` via ``up``;
+        * guarded:  every rule of p copied under a fresh name with
+          ``m(h_B)`` prepended to the body, so exit seeds AND per-iteration
+          candidates are demand-restricted inside the rule join itself.
+
+        The SIP (sideways information passing) closure walks positive
+        non-clique body atoms reachable from the head's bound variables;
+        comparisons fully bound by the closure are kept for selectivity.
+        Returns None (full fixpoint + filter) when the shape doesn't admit
+        the rewrite: non-linear rules, arithmetic/anonymous demand targets,
+        or a bound position the SIP closure cannot reach.
+
+        Predicate names embed the bound constants, so results memoize in
+        the shared cache per distinct bound goal."""
+        import hashlib
+
+        pred = clique.preds[0]
+        B = [i for i, _ in bound]
+        suffix = hashlib.md5(repr(bound).encode()).hexdigest()[:8]
+        magic_name = f"__magic_{pred}_{suffix}"
+        guarded_name = f"__bound_{pred}_{suffix}"
+        if guarded_name in self._cache:
+            return self._cache[guarded_name]
+
+        magic_rules: list[Rule] = []
+        for rule in clique.recursive_rules[pred]:
+            occs = self._rule_clique_occurrences(rule, clique)
+            if len(occs) != 1:
+                return None  # non-linear: demand would need all of p anyway
+            occ_atom = rule.body_atoms[occs[0]]
+            head_terms = []
+            for i in B:
+                h = rule.head.args[i]
+                if not isinstance(h, Var):
+                    return None
+                head_terms.append(h)
+            # SIP closure: positive non-clique atoms reachable from the
+            # head-bound variables (never through the recursive occurrence)
+            bound_vars = {v.name for v in head_terms}
+            pool = [
+                a
+                for k, a in enumerate(rule.body_atoms)
+                if k != occs[0] and a.pred not in clique.preds
+            ]
+            included: list[Atom] = []
+            changed = True
+            while changed:
+                changed = False
+                for a in list(pool):
+                    avars = {t.name for t in a.args if isinstance(t, Var)}
+                    if avars & bound_vars:
+                        included.append(a)
+                        pool.remove(a)
+                        bound_vars |= avars
+                        changed = True
+            targets = []
+            for i in B:
+                t = occ_atom.args[i]
+                if isinstance(t, Const):
+                    targets.append(t)
+                elif isinstance(t, Var) and t.name in bound_vars:
+                    targets.append(t)
+                else:
+                    return None  # unreachable/anonymous/arith target
+            comparisons = [
+                c
+                for c in rule.body
+                if isinstance(c, Comparison) and _comparison_vars(c) <= bound_vars
+            ]
+            magic_rules.append(
+                Rule(
+                    head=Atom(magic_name, tuple(targets)),
+                    body=[Atom(magic_name, tuple(head_terms))] + included + comparisons,
+                )
+            )
+
+        # seed TUPLE rule: m(V0,...) <- V0 = c0, ... (the reach-seed shape)
+        seed_vars = [Var(f"__MB{k}") for k in range(len(B))]
+        seed_rule = Rule(
+            head=Atom(magic_name, tuple(seed_vars)),
+            body=[
+                Comparison("=", v, Const(val))
+                for v, (_, val) in zip(seed_vars, bound)
+            ],
         )
-        return results[goal.pred]
+
+        # guarded copies of every rule of p: m(h_B) prepended, clique
+        # occurrences renamed — the demand join restricts exploration
+        # inside each rule body, on every path (local or distributed)
+        guarded_rules: list[Rule] = []
+        for rule in clique.exit_rules[pred] + clique.recursive_rules[pred]:
+            guard_terms = []
+            for i in B:
+                h = rule.head.args[i]
+                if not isinstance(h, (Var, Const)):
+                    return None
+                guard_terms.append(h)
+            new_body: list = [Atom(magic_name, tuple(guard_terms))]
+            for lit in rule.body:
+                if (
+                    isinstance(lit, Atom)
+                    and not lit.negated
+                    and lit.pred == pred
+                ):
+                    new_body.append(Atom(guarded_name, lit.args))
+                else:
+                    new_body.append(lit)
+            guarded_rules.append(Rule(Atom(guarded_name, rule.head.args), new_body))
+
+        sub = BigDatalogContext(self.spark, self.config)
+        sub.program = Program(
+            schemas=self.program.schemas,
+            rules=list(self.program.rules)
+            + [seed_rule]
+            + magic_rules
+            + guarded_rules,
+        )
+        # share data, memoized results, and persisted statics — the
+        # transformed program is a strict superset, so every shared entry
+        # means the same thing in both contexts
+        sub._relations = self._relations
+        sub._cache = self._cache
+        sub._persisted_statics = self._persisted_statics
+        sub._analyzed = analyze(sub.program)
+        return sub._pred_df(guarded_name)
 
     @staticmethod
     def _stable_positions(clique: Clique, pred: str) -> set[int]:

@@ -1,0 +1,126 @@
+"""Magic-sets / demand transformation for bound goals on non-stable
+positions (context._magic_bound_df) — the same-generation `sg(a,Y)` shape
+the stable-position seed rewrite can't handle.
+
+Reference anchor: the DeALS front end performs adorned/magic rewriting for
+bound query forms (SURVEY.md §3 step 3); its observable behavior is the
+bound-goal tests RecursiveQuerySuites.scala:81-94.
+"""
+
+import pytest
+
+from bigdatalog_spark import BigDatalogContext
+from bigdatalog_spark.datalog import context as C
+
+SG_PROGRAM = (
+    "database({up(A:integer, B:integer), flat(A:integer, B:integer),"
+    " down(A:integer, B:integer)})."
+    "sg(X,Y) <- flat(X,Y)."
+    "sg(X,Y) <- up(X,X1), sg(X1,Y1), down(Y1,Y)."
+)
+UP = ["1,10", "2,10", "10,100", "11,100", "3,20", "4,20", "20,200"]
+FLAT = ["100,200", "10,20"]
+DOWN = ["200,20", "20,3", "20,4", "200,21", "21,5", "100,10", "10,1", "10,2"]
+
+
+def _sg_ctx(spark):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(SG_PROGRAM)
+    ctx.register_data("up", UP)
+    ctx.register_data("flat", FLAT)
+    ctx.register_data("down", DOWN)
+    return ctx
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def magic_spy(monkeypatch):
+    calls = {"applied": 0, "fallback": 0}
+    orig = C.BigDatalogContext._magic_bound_df
+
+    def spy(self, goal, clique, bound):
+        out = orig(self, goal, clique, bound)
+        calls["applied" if out is not None else "fallback"] += 1
+        return out
+
+    monkeypatch.setattr(C.BigDatalogContext, "_magic_bound_df", spy)
+    return calls
+
+
+def test_bound_sg_matches_full_filter(spark, magic_spy):
+    full = _rows(_sg_ctx(spark).query("sg(X,Y)."))
+    want = sorted((a, b) for a, b in full if a == 1)
+    assert want  # non-trivial
+    got = _rows(_sg_ctx(spark).query("sg(1,Y)."))
+    assert [(1, y) for _, y in got] == got  # bound col kept as constant
+    assert got == want
+    assert magic_spy["applied"] == 1
+
+
+def test_bound_sg_empty_demand(spark, magic_spy):
+    # node 9 has no up edge: demand = {9} only, answer comes from flat alone
+    got = _rows(_sg_ctx(spark).query("sg(9,Y)."))
+    assert got == []
+    assert magic_spy["applied"] == 1
+
+
+def test_second_position_bound(spark, magic_spy):
+    # Y is also non-stable; demand flows through `down` read backwards
+    full = _rows(_sg_ctx(spark).query("sg(X,Y)."))
+    want = sorted((a, b) for a, b in full if b == 4)
+    got = _rows(_sg_ctx(spark).query("sg(X,4)."))
+    assert got == want and want
+    assert magic_spy["applied"] == 1
+
+
+def test_nonlinear_rule_falls_back(spark, magic_spy):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(A:integer, B:integer)})."
+        "tc(X,Y) <- arc(X,Y)."
+        "tc(X,Y) <- tc(X,Z), tc(Z,Y)."
+    )
+    ctx.register_data("arc", ["1,2", "2,3", "3,4"])
+    # bound position 0 IS stable in NL-TC, so the seed rewrite handles it
+    # before magic is consulted; bind position 1 (non-stable) instead
+    got = _rows(ctx.query("tc(X,4)."))
+    assert got == [(1, 4), (2, 4), (3, 4)]
+    assert magic_spy["applied"] == 0  # non-linear: magic must decline
+
+
+def test_magic_results_not_cached(spark):
+    ctx = _sg_ctx(spark)
+    assert _rows(ctx.query("sg(1,Y).")) != []
+    # a later unbound query on the same context must see the FULL relation
+    full = _rows(ctx.query("sg(X,Y)."))
+    assert (10, 20) in full and (11, 21) in full
+
+
+def test_demand_actually_restricts(spark):
+    """The guarded fixpoint under a bound goal must not materialize facts
+    whose first argument is outside the demand set (ancestors of the bound
+    node) — that bounded exploration is the whole point of the rewrite.
+    The transformed predicates memoize in the context cache under
+    goal-specific names, so the explored sets are directly inspectable."""
+    ctx = _sg_ctx(spark)
+    got = _rows(ctx.query("sg(1,Y)."))
+    assert got == [(1, 3), (1, 4), (1, 5)]
+    magic = {k: v for k, v in ctx._cache.items() if k.startswith("__magic_sg_")}
+    guarded = {k: v for k, v in ctx._cache.items() if k.startswith("__bound_sg_")}
+    assert len(magic) == 1 and len(guarded) == 1
+    demand = sorted(r[0] for r in next(iter(magic.values())).collect())
+    assert demand == [1, 10, 100]  # the up-chain from node 1
+    sg_facts = sorted(tuple(r) for r in next(iter(guarded.values())).collect())
+    assert sg_facts and all(x in (1, 10, 100) for x, _ in sg_facts)
+
+
+def test_repeated_bound_goal_memoizes(spark):
+    ctx = _sg_ctx(spark)
+    a = _rows(ctx.query("sg(1,Y)."))
+    n_cached = len(ctx._cache)
+    b = _rows(ctx.query("sg(1,Y)."))
+    assert a == b
+    assert len(ctx._cache) == n_cached  # second run hit the cache

@@ -561,6 +561,130 @@ def q5_region_revenue(spark, sf_dir):
     )
 
 
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: scan + fully-pushed filters + one global agg. At
+    100 TB this is a pure map-side pipeline — every predicate reaches the
+    parquet scan (PushedFilters), only 4 of 11 columns are read, and the
+    only exchange carries one partial-agg row per task."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer over a quarter,
+    top 20. The fact table streams through one shuffled join (orders) and
+    two broadcasts (customer dim is larger, but the post-join group-by is
+    keyed on c_custkey so Catalyst reuses that exchange)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        # per-term decimal(18,4) cast makes the sum order-independent
+        # (exact decimal addition), so the 2-decimal rounding can't
+        # straddle a half-cent boundary differently per engine
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+def q14_promo_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a fact-dim join —
+    promo revenue share for one month. part broadcasts; the month filter
+    is pushed to the lineitem scan; one exchange total (the single-row
+    final agg)."""
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share")
+        )
+    )
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: correlated avg-quantity subquery, decorrelated
+    into a per-part aggregate joined back to the fact table. The per-part
+    thresholds are tiny (one row per part) → broadcast; the brand filter
+    prunes before either join."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#11") & (F.col("p_type") == "SMALL")
+    )
+    lim = l.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_lim")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(lim.withColumnRenamed("l_partkey", "lim_partkey")),
+              F.col("l_partkey") == F.col("lim_partkey"))
+        .where(F.col("l_quantity") < F.col("qty_lim"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly")
+        )
+    )
+
+
+def q18_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: group-by-having on the fact table (map-side
+    combinable sum per orderkey), survivors rejoined to orders+customer.
+    The having output is tiny → both rejoins broadcast the survivor set,
+    so the dims are never shuffled."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
 def q_exists_semijoin(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -744,8 +868,13 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs, driven with the engine-portable md5 token
+    hash so the result is oracle-checkable: the block trick's pigeonhole
+    recall is exactly 1, so the output equals the full pairwise
+    hamming ≤ 3 filter the DuckDB oracle computes. Production keeps the
+    xxhash64 default (operators/dedup.py simhash)."""
     d = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(d, max_hamming=3)
+    return simhash_pairs(d, max_hamming=3, hash_fn="portable_md5")
 
 
 def q_dedup_embedding(spark, sf_dir):
@@ -994,6 +1123,19 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_mixture_upsample(spark, sf_dir):
+    """Epoch oversampling: rate 2.5 → 2 deterministic copies + a third
+    with probability 0.5 by id hash (operators/sampling.py
+    mixture_upsample). sequence + explode, map-side only."""
+    from bigdatalog_spark.operators.sampling import mixture_upsample
+
+    d = load_table(spark, sf_dir, "documents")
+    rates = {"src0": 2.5, "src1": 1.0}
+    return mixture_upsample(d, rates, default_rate=0.25, seed=11).select(
+        "doc_id", "source", "epoch"
+    )
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic global shuffle before sequence packing
     (operators/sampling.py deterministic_shuffle): order = seeded hash of
@@ -1075,6 +1217,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q1_pricing_summary,
         "q3_order_revenue": q3_order_revenue,
         "q5_region_revenue": q5_region_revenue,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
         "q_exists_semijoin": q_exists_semijoin,
         "q_topk_users_window": q_topk_users_window,
         "q_hourly_events": q_hourly_events,
@@ -1107,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_decontaminate": q_decontaminate,
         "q_hash_split": q_hash_split,
         "q_mixture_sample": q_mixture_sample,
+        "q_mixture_upsample": q_mixture_upsample,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_repetition_stats": q_repetition_stats,
         "q_json_props": q_json_props,
@@ -1405,6 +1553,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON n_regionkey = r_regionkey
             GROUP BY r_name, n_name
         """,
+        "q6_forecast_revenue": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        """,
+        "q10_returned_revenue": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+            GROUP BY c_custkey, c_name, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_share": """
+            SELECT round(
+              100 * sum(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1 - l_discount)
+                             ELSE 0.0 END)
+              / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+        """,
+        "q17_small_quantity_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN (SELECT l_partkey AS lim_partkey,
+                         0.2 * avg(l_quantity) AS qty_lim
+                  FROM lineitem GROUP BY l_partkey) lim
+              ON l_partkey = lim_partkey
+            WHERE p_brand = 'Brand#11' AND p_type = 'SMALL'
+              AND l_quantity < qty_lim
+        """,
+        "q18_large_volume_customers": """
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+                   sum_qty
+            FROM orders
+            JOIN (SELECT l_orderkey, round(sum(l_quantity), 2) AS sum_qty
+                  FROM lineitem GROUP BY l_orderkey
+                  HAVING round(sum(l_quantity), 2) > 300) big
+              ON o_orderkey = big.l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 100
+        """,
         "q_exists_semijoin": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
             FROM orders
@@ -1515,8 +1715,43 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(l.canonical_id, d.doc_id) AS canonical_id
             FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
         """,
-        # q_dedup_minhash / q_dedup_simhash: rows-only (seeded xxhash64 not
-        # portable to DuckDB SQL)
+        # q_dedup_minhash runs with verify=True, so every emitted pair
+        # carries its EXACT shingle-set jaccard and candidates below the
+        # threshold are dropped; the LSH stage only affects recall. On this
+        # corpus recall is 1 (near-dup pairs are clones with jaccard ≈ 1,
+        # far above the 8-band/4-row S-curve midpoint ≈ 0.59), verified
+        # by tools/check_oracle.py — so the exact-jaccard SQL is a faithful
+        # oracle for the full pipeline output.
+        "q_dedup_minhash": f"""
+            WITH {_JACCARD_CTES}
+            SELECT left_id, right_id, jaccard FROM jpairs
+        """,
+        # simhash with the portable md5 token hash (see
+        # operators/dedup.py portable_hash64): pigeonhole recall is exactly
+        # 1, so the blocked pipeline's output equals this full pairwise
+        # hamming filter.
+        "q_dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split(regexp_replace(lower(trim(text)),
+                       '\\s+', ' ', 'g'), ' ')) AS tok
+              FROM documents),
+            h AS (SELECT doc_id,
+                         ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+                  FROM toks),
+            sums AS (
+              SELECT doc_id,
+                     {', '.join(f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS s{i}" for i in range(60))}
+              FROM h GROUP BY doc_id),
+            fp AS (
+              SELECT doc_id,
+                     ({' | '.join(f"CASE WHEN s{i} > 0 THEN (1::BIGINT << {i}) ELSE 0::BIGINT END" for i in range(60))}) AS sh
+              FROM sums)
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+                   CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+            FROM fp l JOIN fp r ON l.doc_id < r.doc_id
+            WHERE bit_count(xor(l.sh, r.sh)) <= 3
+        """,
         "q_dedup_embedding": """
             WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
             pairs AS (
@@ -1548,7 +1783,44 @@ def oracle_sql() -> dict[str, str]:
               FROM scored)
             WHERE rank <= 5
         """,
-        # q_ann_ivf: rows-only (approximate by design)
+        # q_ann_ivf is approximate-by-design versus brute force, but fully
+        # deterministic given its axis-aligned centroids: cell(v) = argmax
+        # of the first 4 embedding components (ties → lower cell), queries
+        # probe their 2 best cells, and the result is exact top-5 within
+        # the probed cells — all of which SQL expresses directly.
+        "q_ann_ivf": """
+            WITH cells AS (
+              SELECT vec_id, embedding,
+                     CASE WHEN embedding[1] >= embedding[2]
+                           AND embedding[1] >= embedding[3]
+                           AND embedding[1] >= embedding[4] THEN 0
+                          WHEN embedding[2] >= embedding[3]
+                           AND embedding[2] >= embedding[4] THEN 1
+                          WHEN embedding[3] >= embedding[4] THEN 2
+                          ELSE 3 END AS cell
+              FROM embeddings),
+            qprobe AS (
+              SELECT query_id, qe, cell FROM (
+                SELECT vec_id AS query_id, embedding AS qe, c.cell,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY embedding[c.cell + 1] DESC, c.cell ASC) AS rn
+                FROM embeddings, (VALUES (0),(1),(2),(3)) c(cell)
+                WHERE vec_id < 8)
+              WHERE rn <= 2),
+            scored AS (
+              SELECT query_id, vec_id AS neighbor_id,
+                round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+                  (sqrt(SUM(CAST(x AS DOUBLE)**2)) * sqrt(SUM(CAST(y AS DOUBLE)**2))), 6) AS cosine
+              FROM (SELECT q.query_id, cv.vec_id, unnest(q.qe) AS x,
+                           unnest(cv.embedding) AS y
+                    FROM qprobe q JOIN cells cv ON cv.cell = q.cell)
+              GROUP BY query_id, vec_id)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
         "q_media_features": """
             SELECT doc_id AS media_id,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
@@ -1707,6 +1979,25 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 1.0
                         WHEN 'src2' THEN 0.5 WHEN 'src3' THEN 0.5
                         WHEN 'src4' THEN 0.25 ELSE 0.1 END
+        """,
+        "q_mixture_upsample": """
+            WITH u AS (
+              SELECT doc_id, source,
+                     ('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       / 4294967296.0 AS u
+              FROM documents),
+            r AS (
+              SELECT doc_id, source, u,
+                     CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                                 ELSE 0.25 END AS rate
+              FROM u),
+            n AS (
+              SELECT doc_id, source,
+                     CAST(floor(rate) AS BIGINT)
+                       + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n
+              FROM r)
+            SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
+            FROM n WHERE n > 0
         """,
         "q_corpus_shuffle": """
             SELECT doc_id,

@@ -101,11 +101,17 @@ class EngineConfig:
     # (GeneralizedPivotSetInfo.scala:30-170 planning, local_eval.py execution)
     decomposable_local: bool = True
     # linear cliques with NO stable pivot (single-source reach/sssp, mutual
-    # even/odd) still run locally when their seed is at most this many rows:
-    # seeds are sliced round-robin across tasks and each task runs the full
-    # fixpoint (closure(∪seeds) = ∪closure(seed_i) under linearity). Bounds
-    # cross-task duplicate derivation work; larger seeds go distributed.
-    local_seed_max_rows: int = 1024
+    # even/odd, label-prop CC) still run locally when their seed is at most
+    # this many rows: seeds are sliced round-robin across tasks and each
+    # task runs the full fixpoint (closure(∪seeds) = ∪closure(seed_i) under
+    # linearity). Slicing bounds duplicate derivation at slices ×
+    # O(statics × diameter), and statics already pass the broadcast byte
+    # gate, so the row gate mainly decides where per-iteration *scheduling*
+    # overhead beats in-memory evaluation: measured at sf0.1 (20k-row
+    # seeds, 15-iteration recursions) local wins 2×; past ~10^5 seed rows
+    # the distributed loop's scan throughput wins. Larger seeds go
+    # distributed automatically — the probe is bounded (limit k+1).
+    local_seed_max_rows: int = 65536
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 

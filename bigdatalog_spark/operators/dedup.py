@@ -250,18 +250,33 @@ def _i64(x: int) -> int:
     return x - (1 << 64) if x >= (1 << 63) else x
 
 
+def portable_hash64(col) -> "F.Column":
+    """Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    as a non-negative long. Identical in any engine with md5 — DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT`` — which is what makes
+    simhash results oracle-checkable. xxhash64 stays the scale default
+    (one JVM intrinsic vs md5's digest)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-            bits: int = 64) -> DataFrame:
+            bits: int = 64, hash_fn: str = "xxhash64") -> DataFrame:
     """64-bit SimHash fingerprints from word tokens.
 
     Per token a 64-bit hash; the fingerprint's bit i is 1 iff the sum of
     (+1/−1) over tokens' bit i is positive. Expressed as an explode +
-    per-bit conditional sums — stays in codegen, single shuffle on id."""
+    per-bit conditional sums — stays in codegen, single shuffle on id.
+
+    hash_fn: 'xxhash64' (default, fastest) or 'portable_md5' (60 effective
+    bits, reproducible in any engine with md5 — see portable_hash64)."""
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
     t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
-    t = t.withColumn("h", F.xxhash64("tok"))
+    token_hash = (
+        F.xxhash64("tok") if hash_fn == "xxhash64" else portable_hash64(F.col("tok"))
+    )
+    t = t.withColumn("h", token_hash)
     bit_aggs = [
         F.sum(
             F.when(F.col("h").bitwiseAND(F.lit(_i64(1 << i))) != 0, 1).otherwise(-1)
@@ -281,16 +296,19 @@ def simhash_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs with Hamming distance ≤ max_hamming between SimHashes.
 
     Uses the standard block trick: split the 64-bit hash into
     (max_hamming+1) blocks; any pair within distance d ≤ max_hamming agrees
     on ≥1 block (pigeonhole) → join on (block_idx, block_value), then verify
-    with bit_count(xor). Never quadratic."""
+    with bit_count(xor). Never quadratic — and by pigeonhole recall is
+    exactly 1, so the result equals the full pairwise hamming filter (what
+    the DuckDB oracle computes when hash_fn='portable_md5')."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    s = simhash(df, text_col, id_col)
+    s = simhash(df, text_col, id_col, hash_fn=hash_fn)
     blocks = []
     for b in range(nblocks):
         shift = b * width

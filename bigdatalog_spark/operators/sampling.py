@@ -78,17 +78,54 @@ def mixture_sample(
 
     The rate table is embedded as a CASE expression (sources are few); the
     filter is map-side only — at 100 TB this is a scan with zero shuffle,
-    and the parquet reader still prunes columns/row-groups beneath it."""
+    and the parquet reader still prunes columns/row-groups beneath it.
+
+    Rates > 1 (epoch oversampling) are valid here too but keep one copy —
+    use :func:`mixture_upsample` when repeats are wanted."""
+    return df.where(uniform_hash(id_col, seed) < _rate_expr(rates, source_col, default_rate))
+
+
+def _rate_expr(rates: dict[str, float], source_col: str, default_rate: float):
     expr = None
     for src, rate in rates.items():
         branch = (F.col(source_col) == src, F.lit(float(rate)))
         expr = F.when(*branch) if expr is None else expr.when(*branch)
-    rate_col = (
+    return (
         F.lit(float(default_rate))
         if expr is None
         else expr.otherwise(F.lit(float(default_rate)))
     )
-    return df.where(uniform_hash(id_col, seed) < rate_col)
+
+
+def mixture_upsample(
+    df: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Mixture weighting with epoch oversampling: a rate of 2.5 yields 2
+    deterministic copies of every row plus a third with probability 0.5
+    (by id hash) — expected multiplicity = rate, variance only on the
+    fractional epoch. The standard way training mixes express "see wiki
+    ~3× per epoch" without an RNG pass.
+
+    Adds an ``epoch`` column (0-based copy index) so downstream shuffling
+    can spread the copies. Map-side only: sequence + explode, no shuffle,
+    no UDF."""
+    rate_col = _rate_expr(rates, source_col, default_rate)
+    n_copies = (
+        F.floor(rate_col)
+        + (uniform_hash(id_col, seed) < (rate_col - F.floor(rate_col))).cast("long")
+    ).alias("__n")
+    out = df.select("*", n_copies).where(F.col("__n") > 0)
+    return (
+        out.select(
+            "*", F.explode(F.sequence(F.lit(0), F.col("__n") - 1)).alias("epoch")
+        )
+        .drop("__n")
+    )
 
 
 def deterministic_shuffle(

@@ -66,6 +66,37 @@ def test_simhash_identical_distance_zero(spark):
     assert got[(1, 2)] == 0  # identical after lowercase normalization
 
 
+def test_simhash_portable_hash_matches_xxhash_structure(spark):
+    # portable md5 hash finds the same identical-after-normalization pair
+    # (hamming 0) and never pairs the unrelated doc; md5-derived values are
+    # the DuckDB-reproducible path the driver oracle checks
+    pairs = simhash_pairs(
+        _dupdocs(spark), max_hamming=3, hash_fn="portable_md5"
+    ).collect()
+    got = {(r["left_id"], r["right_id"]): r["hamming"] for r in pairs}
+    assert got[(1, 2)] == 0
+    assert all(4 not in p for p in got)
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    import duckdb
+
+    from bigdatalog_spark.operators.dedup import portable_hash64
+
+    words = ["alpha", "beta", "", "Zürich", "the quick fox"]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {
+        r["w"]: r["h"]
+        for r in df.select("w", portable_hash64(F.col("w")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        expect = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [w]
+        ).fetchone()[0]
+        assert got[w] == expect, w
+
+
 def test_embedding_dup_pairs_on_testdata(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     pairs = embedding_dup_pairs(emb, threshold=0.9, block_col="label")

@@ -11,6 +11,7 @@ from bigdatalog_spark.operators.sampling import (
     deterministic_shuffle,
     hash_split,
     mixture_sample,
+    mixture_upsample,
     uniform_hash,
 )
 
@@ -70,6 +71,28 @@ def test_mixture_sample_rates(spark):
 def test_mixture_sample_default_rate_zero_drops_unknown(spark):
     df = _ids(spark, 100).withColumn("source", F.lit("unknown"))
     assert mixture_sample(df, {"named": 1.0}, default_rate=0.0).count() == 0
+
+
+def test_mixture_upsample_expected_multiplicity(spark):
+    df = _ids(spark, 2000).withColumn("source", F.lit("hot"))
+    out = mixture_upsample(df, {"hot": 2.5}, seed=4)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert len(per_doc) == 2000  # rate >= 1: every row kept
+    assert set(per_doc.values()) <= {2, 3}
+    total = sum(per_doc.values())
+    assert abs(total / 2000 - 2.5) < 0.1  # expected multiplicity = rate
+    # epoch indices are 0..n-1 per doc
+    eps = out.where(F.col("doc_id") == min(per_doc)).select("epoch").collect()
+    assert sorted(r["epoch"] for r in eps) == list(range(per_doc[min(per_doc)]))
+
+
+def test_mixture_upsample_fractional_only(spark):
+    df = _ids(spark, 2000).withColumn("source", F.lit("cold"))
+    out = mixture_upsample(df, {"cold": 0.3}, seed=4)
+    n = out.count()
+    assert abs(n / 2000 - 0.3) < 0.05
+    assert out.select(F.max("epoch")).first()[0] == 0
 
 
 def test_deterministic_shuffle_is_stable_permutation(spark):

@@ -56,6 +56,45 @@ _EDGES_SQL = """
 """
 
 
+def _pagerank_sql(iters: int = 8) -> str:
+    """Unrolled power-iteration SQL mirroring operators/graph.py pagerank
+    term for term (same IEEE double literals and op order; contribution
+    sums have ≤ 2 terms on this graph, so addition order can't diverge)."""
+    ctes = [
+        f"""e0 AS ({_EDGES_SQL}),
+    cross0 AS (
+      SELECT p_partkey AS src,
+             (p_partkey*31 + 7) % (SELECT max(p_partkey) FROM part) + 1 AS dst
+      FROM part WHERE p_partkey >= 1),
+    edges AS (
+      SELECT DISTINCT src, dst
+      FROM (SELECT * FROM e0 UNION ALL SELECT * FROM cross0)
+      WHERE src <> dst),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT node
+              FROM (SELECT src AS node FROM edges
+                    UNION ALL SELECT dst FROM edges)),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM nodes),
+    pr0 AS (SELECT node, 1.0 / (SELECT c FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""pr{i} AS (
+      SELECT n.node,
+             (1.0 - 0.85) / (SELECT c FROM nn)
+               + 0.85 * coalesce(t.s, 0.0) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS node, sum(r.rank / d.deg) AS s
+        FROM edges e JOIN pr{i - 1} r ON r.node = e.src
+        JOIN deg d ON d.src = e.src GROUP BY e.dst) t ON t.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT node, round(rank, 8) AS rank FROM pr{iters}"
+    )
+
+
 def _datalog(spark: SparkSession, program: str, data: dict, goal: str) -> DataFrame:
     ctx = BigDatalogContext(spark)
     ctx.load_program(program)
@@ -395,6 +434,33 @@ def q_cc_fast(spark, sf_dir):
 
     forest = _tree_edges(spark, sf_dir).where(F.col("dst") % 97 != 0)
     return connected_components_fast(forest)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py pagerank) over the
+    part-key tree plus a deterministic cross-link per node
+    (src → (src·31+7) mod max + 1), giving in-degree ≤ 2 so every
+    per-node contribution sum has at most two terms — bit-identical in
+    any IEEE engine, which is what lets the unrolled-SQL oracle
+    hash-match. 8 power iterations, full (node, rank) table."""
+    from bigdatalog_spark.operators.graph import pagerank
+
+    part = load_table(spark, sf_dir, "part")
+    mx = part.agg(F.max("p_partkey")).first()[0]
+    base = part.where(F.col("p_partkey") >= 1).select(
+        F.col("p_partkey").alias("src")
+    )
+    tree = (
+        base.select("src", (F.col("src") * 2).alias("dst"))
+        .union(base.select("src", (F.col("src") * 2 + 1).alias("dst")))
+        .where(F.col("dst") <= mx)
+    )
+    cross = base.select(
+        "src", ((F.col("src") * 31 + 7) % F.lit(mx) + 1).alias("dst")
+    )
+    edges = tree.union(cross).where(F.col("src") != F.col("dst")).distinct()
+    pr = pagerank(edges, iterations=8, damping=0.85)
+    return pr.select("node", F.round("rank", 8).alias("rank"))
 
 
 def dl_apsp(spark, sf_dir):
@@ -1209,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_viral_msum": dl_viral_msum,
         "dl_cc": dl_cc,
         "q_cc_fast": q_cc_fast,
+        "q_pagerank": q_pagerank,
         "dl_apsp": dl_apsp,
         "dl_same_generation": dl_same_generation,
         "dl_sg_bound": dl_sg_bound,
@@ -1460,6 +1527,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(x) AS BIGINT) AS component
             FROM r GROUP BY v
         """,
+        "q_pagerank": _pagerank_sql(8),
         "dl_apsp": f"""
             WITH RECURSIVE edges AS (
               SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})

@@ -59,3 +59,29 @@ def test_same_generation(spark):
     )
     got = {(r["x"], r["y"]) for r in same_generation(pc).collect()}
     assert got == {(8, 9), (9, 6), (6, 9), (9, 8), (8, 6), (5, 4), (4, 5), (6, 8)}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    from bigdatalog_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(e, iterations=12).collect()}
+
+    # reference power iteration (same simplified variant: dangling mass
+    # dropped, teleport (1-d)/N)
+    import collections
+    n = 4
+    deg = collections.Counter(s for s, _ in edges)
+    rank = {v: 1.0 / n for v in range(n)}
+    for _ in range(12):
+        contrib = collections.defaultdict(float)
+        for s, d in edges:
+            contrib[d] += rank[s] / deg[s]
+        rank = {v: 0.15 / n + 0.85 * contrib.get(v, 0.0) for v in range(n)}
+
+    assert set(got) == set(range(n))
+    for v in range(n):
+        assert abs(got[v] - rank[v]) < 1e-12, (v, got[v], rank[v])
+    # the hub (2) outranks the dangling-only contributor (3)
+    assert got[2] > got[3]

@@ -1202,6 +1202,16 @@ def q_mixture_upsample(spark, sf_dir):
     )
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Exact-count per-source sample (operators/sampling.py
+    stratified_sample): the 20 smallest-hash docs per source — balanced
+    eval-set assembly, deterministic in any engine with md5."""
+    from bigdatalog_spark.operators.sampling import stratified_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(d, 20, seed=7).select("doc_id", "source")
+
+
 def q_corpus_shuffle(spark, sf_dir):
     """Deterministic global shuffle before sequence packing
     (operators/sampling.py deterministic_shuffle): order = seeded hash of
@@ -1322,6 +1332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_hash_split": q_hash_split,
         "q_mixture_sample": q_mixture_sample,
         "q_mixture_upsample": q_mixture_upsample,
+        "q_stratified_sample": q_stratified_sample,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_repetition_stats": q_repetition_stats,
         "q_json_props": q_json_props,
@@ -2066,6 +2077,15 @@ def oracle_sql() -> dict[str, str]:
               FROM r)
             SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
             FROM n WHERE n > 0
+        """,
+        "q_stratified_sample": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source ORDER BY
+                       ('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         / 4294967296.0 ASC, doc_id ASC) AS rn
+              FROM documents)
+            WHERE rn <= 20
         """,
         "q_corpus_shuffle": """
             SELECT doc_id,

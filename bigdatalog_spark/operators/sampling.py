@@ -148,3 +148,32 @@ def deterministic_shuffle(
     else:
         out = out.repartitionByRange("shuffle_key")
     return out.sortWithinPartitions("shuffle_key")
+
+
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic per-group sample: the ``n_per_group`` rows with the
+    smallest seeded hash in each group — a stable "random" subset any
+    engine reproduces (the per-group analogue of :func:`mixture_sample`,
+    for when you need an exact count per stratum, e.g. balanced eval sets
+    or per-source inspection samples).
+
+    One shuffle keyed on the group column; the window's running top-n
+    needs no full per-group sort buffer beyond n rows. For mega-groups at
+    100 TB, pre-filter with ``uniform_hash < (a few × n/|group|)`` first
+    so the window only sees a small superset."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        uniform_hash(id_col, seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n_per_group)
+        .drop("__rn")
+    )

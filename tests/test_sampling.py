@@ -127,3 +127,27 @@ def test_repetition_stats_flags_degenerate_text(spark):
     assert out[2]["dup_token_frac"] == 0.0
     assert math.isclose(out[2]["top_bigram_frac"], 0.25)  # 4 distinct bigrams
     assert out[3]["top_bigram_frac"] == 0.0  # no bigrams at all
+
+
+def test_stratified_sample_exact_count_and_determinism(spark):
+    from bigdatalog_spark.operators.sampling import stratified_sample
+
+    df = _ids(spark, 900).withColumn(
+        "source", F.concat(F.lit("s"), (F.col("doc_id") % 3).cast("string"))
+    )
+    out = stratified_sample(df, 50, seed=2)
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"s0": 50, "s1": 50, "s2": 50}
+    # deterministic: same seed -> same ids; different seed -> different set
+    a = {r["doc_id"] for r in stratified_sample(df, 50, seed=2).collect()}
+    b = {r["doc_id"] for r in stratified_sample(df, 50, seed=3).collect()}
+    assert a == {r["doc_id"] for r in out.collect()}
+    assert a != b
+
+
+def test_stratified_sample_small_group_kept_whole(spark):
+    from bigdatalog_spark.operators.sampling import stratified_sample
+
+    df = _ids(spark, 10).withColumn("source", F.lit("tiny"))
+    assert stratified_sample(df, 50).count() == 10

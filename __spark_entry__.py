@@ -4,8 +4,10 @@ entry(spark)   — flagship query (Datalog transitive closure) on sf0.001.
 queries()      — one entry per implemented operator family (SURVEY.md §2 +
                  the pipeline operators): each callable (spark, sf_dir) → DF.
 oracle_sql()   — DuckDB-equivalent SQL per query (column names/aliases match
-                 the Spark output exactly). MinHash/SimHash are rows-only
-                 (seeded-hash outputs aren't portable SQL).
+                 the Spark output exactly). Every query has an oracle except
+                 q_value_percentiles_approx (sketch-based, approximate by
+                 design — its exact twin q_value_percentiles is the checked
+                 baseline).
 
 Derived graph convention (used identically in Spark and SQL): a binary tree
 over part keys — edges src=k → dst=2k and 2k+1 for k ≥ 1, dst ≤ max key;
@@ -1202,6 +1204,16 @@ def q_mixture_upsample(spark, sf_dir):
     )
 
 
+def q_doc_chunks(spark, sf_dir):
+    """Fixed-size token chunking with overlap (operators/corpus.py
+    chunk_documents): 64-token windows, 16-token overlap — the standard
+    pre-embedding/pre-training chunker. Map-side only (no shuffle)."""
+    from bigdatalog_spark.operators.corpus import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_tokens=64, overlap=16)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact-count per-source sample (operators/sampling.py
     stratified_sample): the 20 smallest-hash docs per source — balanced
@@ -1333,6 +1345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_sample": q_mixture_sample,
         "q_mixture_upsample": q_mixture_upsample,
         "q_stratified_sample": q_stratified_sample,
+        "q_doc_chunks": q_doc_chunks,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_repetition_stats": q_repetition_stats,
         "q_json_props": q_json_props,
@@ -2077,6 +2090,30 @@ def oracle_sql() -> dict[str, str]:
               FROM r)
             SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
             FROM n WHERE n > 0
+        """,
+        "q_doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     string_split(regexp_replace(lower(trim(text)),
+                       '\\s+', ' ', 'g'), ' ') AS ws
+              FROM documents),
+            k AS (
+              SELECT doc_id, ws, len(ws) AS n,
+                     CASE WHEN len(ws) <= 64 THEN 1
+                          ELSE 1 + CAST(ceil((len(ws) - 64) * 1.0 / 48) AS INTEGER)
+                     END AS k
+              FROM toks),
+            c AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(0, k - 1)) AS chunk_id
+              FROM k)
+            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                   array_to_string(
+                     list_slice(ws, chunk_id*48 + 1, chunk_id*48 + 64),
+                     ' ') AS chunk_text,
+                   CAST(len(list_slice(ws, chunk_id*48 + 1, chunk_id*48 + 64))
+                        AS INTEGER) AS n_tokens
+            FROM c
         """,
         "q_stratified_sample": """
             SELECT doc_id, source FROM (

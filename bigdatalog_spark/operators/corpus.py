@@ -127,3 +127,51 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    tokenize-time counterpart of :func:`pack_sequences` (which only assigns
+    budgets): chunk i covers tokens [i·step, i·step + chunk_tokens) with
+    step = chunk_tokens − overlap, so consecutive chunks share ``overlap``
+    tokens of context. The standard pre-embedding / pre-training chunker.
+
+    Pure map-side: tokenize once, compute the chunk count arithmetically,
+    explode a sequence, slice the token array per chunk — no shuffle, no
+    UDF; at 100 TB this is a scan-shaped pipeline whose output is
+    ~(1 + overlap/step)× the input tokens.
+
+    Returns (id_col, chunk_id, chunk_text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+        )
+    step = chunk_tokens - overlap
+    toks = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    nchunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        (F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(float(step)))).cast("int")
+    )
+    out = base.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("__toks"), F.col("chunk_id") * step + 1, chunk_tokens
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )

@@ -72,3 +72,44 @@ def test_decontaminate_flags_overlap(spark):
            for r in decontaminate(corpus, bench).collect()}
     # doc 10 shares 'the quick brown' and 'quick brown fox'; doc 11 clean
     assert out == {10: 2}
+
+
+def test_chunk_documents_overlap_and_bounds(spark):
+    from bigdatalog_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "a b c")], ["doc_id", "text"]
+    )
+    out = chunk_documents(docs, chunk_tokens=4, overlap=2)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_tokens"])
+            for r in out.collect()}
+    # doc 1: 10 tokens, step 2 -> chunks at 0,2,4,6 -> 1+ceil(6/2)=4 chunks
+    assert {k for k in rows if k[0] == 1} == {(1, i) for i in range(4)}
+    assert rows[(1, 0)] == ("w0 w1 w2 w3", 4)
+    assert rows[(1, 1)] == ("w2 w3 w4 w5", 4)   # 2-token overlap
+    assert rows[(1, 3)] == ("w6 w7 w8 w9", 4)   # last chunk exactly ends
+    # doc 2 fits one chunk, short tail kept
+    assert rows[(2, 0)] == ("a b c", 3)
+
+
+def test_chunk_documents_every_token_covered(spark):
+    from bigdatalog_spark.operators.corpus import chunk_documents
+
+    words = " ".join(f"t{i}" for i in range(57))
+    docs = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    out = chunk_documents(docs, chunk_tokens=16, overlap=4).collect()
+    covered = set()
+    for r in out:
+        covered.update(r["chunk_text"].split(" "))
+    assert covered == {f"t{i}" for i in range(57)}
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest
+
+    from bigdatalog_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)

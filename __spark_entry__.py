@@ -793,6 +793,17 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered view→click→purchase funnel per user (operators/funnel.py):
+    t_i = earliest step-i event at or after t_{i-1}, within 24 hours of
+    t_1; `reached` counts completed steps. k−1 user-keyed joins over
+    step-filtered slices — each scan pruned by the pushed type filter."""
+    from bigdatalog_spark.operators.funnel import funnel
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"], within="24 hours")
+
+
 def q_rollup_revenue(spark, sf_dir):
     """Hierarchical rollup (region → nation) — grouping-analytics surface
     beyond the reference's flat aggregates."""
@@ -1315,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_users_window": q_topk_users_window,
         "q_hourly_events": q_hourly_events,
         "q_sessionize": q_sessionize,
+        "q_funnel": q_funnel,
         "q_rollup_revenue": q_rollup_revenue,
         "q_value_percentiles": q_value_percentiles,
         "q_value_percentiles_approx": q_value_percentiles_approx,
@@ -1730,6 +1742,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM o GROUP BY user_id
+        """,
+        "q_funnel": """
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t_1 FROM events
+              WHERE event_type = 'view' GROUP BY user_id),
+            s2 AS (
+              SELECT s1.user_id, t_1, min(e.ts) AS t_2
+              FROM s1 LEFT JOIN events e
+                ON e.user_id = s1.user_id AND e.event_type = 'click'
+               AND e.ts >= s1.t_1 AND e.ts <= s1.t_1 + INTERVAL 24 HOUR
+              GROUP BY s1.user_id, t_1),
+            s3 AS (
+              SELECT s2.user_id, t_1, t_2, min(e.ts) AS t_3
+              FROM s2 LEFT JOIN events e
+                ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+               AND e.ts >= s2.t_2 AND e.ts <= s2.t_1 + INTERVAL 24 HOUR
+              GROUP BY s2.user_id, t_1, t_2)
+            SELECT user_id, t_1, t_2, t_3,
+                   CAST(CASE WHEN t_1 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END
+                      + CASE WHEN t_3 IS NOT NULL THEN 1 ELSE 0 END
+                     AS INTEGER) AS reached
+            FROM s3
         """,
         "q_rollup_revenue": """
             SELECT r_name, n_name,

@@ -1215,6 +1215,19 @@ def q_mixture_upsample(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Size-biased sample without replacement (operators/sampling.py
+    weighted_sample, Efraimidis–Spirakis keys u^(1/w) on n_chars): 50
+    docs, longer docs proportionally likelier. TakeOrdered top-n — no
+    global sort."""
+    from bigdatalog_spark.operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return weighted_sample(d, 50, "n_chars", seed=13).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
 def q_doc_chunks(spark, sf_dir):
     """Fixed-size token chunking with overlap (operators/corpus.py
     chunk_documents): 64-token windows, 16-token overlap — the standard
@@ -1357,6 +1370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_mixture_sample": q_mixture_sample,
         "q_mixture_upsample": q_mixture_upsample,
         "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
         "q_doc_chunks": q_doc_chunks,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_repetition_stats": q_repetition_stats,
@@ -2125,6 +2139,14 @@ def oracle_sql() -> dict[str, str]:
               FROM r)
             SELECT doc_id, source, unnest(generate_series(0, n - 1)) AS epoch
             FROM n WHERE n > 0
+        """,
+        "q_weighted_sample": """
+            SELECT doc_id, source, n_chars FROM documents
+            ORDER BY pow(
+              ('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0,
+              1.0 / n_chars) DESC, doc_id ASC
+            LIMIT 50
         """,
         "q_doc_chunks": """
             WITH toks AS (

@@ -177,3 +177,30 @@ def stratified_sample(
         .where(F.col("__rn") <= n_per_group)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-Res):
+    each row gets key u^(1/w) from its deterministic uniform hash u and
+    weight w > 0; the n largest keys are the sample. Inclusion probability
+    is proportional to weight, with no RNG state and no sequential pass —
+    the standard way to take a "size-biased" corpus sample (longer/heavier
+    docs proportionally more likely) reproducibly.
+
+    Scale shape: the key is a map-side expression; ORDER BY + LIMIT plans
+    as TakeOrderedAndProject — each task keeps a bounded n-row heap and the
+    driver merges task heads, so no global sort and no full shuffle at any
+    corpus size."""
+    key = F.pow(uniform_hash(id_col, seed), 1.0 / F.col(weight_col))
+    return (
+        df.withColumn("__k", key)
+        .orderBy(F.col("__k").desc(), F.col(id_col).asc())
+        .limit(n)
+        .drop("__k")
+    )

@@ -151,3 +151,20 @@ def test_stratified_sample_small_group_kept_whole(spark):
 
     df = _ids(spark, 10).withColumn("source", F.lit("tiny"))
     assert stratified_sample(df, 50).count() == 10
+
+
+def test_weighted_sample_biases_toward_heavy_rows(spark):
+    from bigdatalog_spark.operators.sampling import weighted_sample
+
+    # 100 heavy rows (w=50) among 900 light rows (w=1): a 100-row sample
+    # should contain far more heavy rows than the 10% a uniform draw gives
+    df = _ids(spark, 1000).withColumn(
+        "w", F.when(F.col("doc_id") < 100, 50.0).otherwise(1.0)
+    )
+    out = weighted_sample(df, 100, "w", seed=5)
+    assert out.count() == 100
+    heavy = out.where(F.col("doc_id") < 100).count()
+    assert heavy > 40  # ~10 expected if unweighted
+    # deterministic
+    a = {r["doc_id"] for r in weighted_sample(df, 100, "w", seed=5).collect()}
+    assert a == {r["doc_id"] for r in out.collect()}

@@ -696,19 +696,11 @@ def fixpoint_mixed(
                 # new support = distinct contributions not yet counted.
                 # exceptAll is null-safe (support tuples may carry null
                 # fields — a `=` anti-join would re-count them forever) and
-                # join-free (see the maintenance note above _ns-free merge)
-                fresh = cand.distinct().exceptAll(supports[pred])
-                fresh, n = _materialize(fresh, cfg)
-                fresh = _retain(fresh, cfg, cache)
-                if not n:
-                    new_delta[pred] = _empty_like(table)
-                    continue
-                live.add(pred)
-                supports[pred] = _retain(
-                    _truncate(_union_capped(supports[pred], fresh, cfg), cfg),
-                    cfg,
-                    cache,
-                )
+                # join-free (see the maintenance note above _ns-free merge).
+                # NO count job on fresh: the delta count below is the one
+                # job that materializes the fresh/merged/delta checkpoints
+                # (one job per iteration, like the mmin/mmax branch).
+                fresh = _retain(_truncate(cand.distinct().exceptAll(supports[pred]), cfg), cfg, cache)
                 # merge: cumulative table + per-group increments via ONE
                 # keyed SUM over table ∪ increments (null-safe GROUP BY;
                 # for mcount the increment is already a per-group count, so
@@ -721,12 +713,24 @@ def fixpoint_mixed(
                     .select(*spec.cols)
                 )
                 merged = _retain(_truncate(_cast_like(merged, table), cfg), cfg, cache)
-                # changed groups carry their NEW cumulative value; the
-                # count is the job that materializes the merged checkpoint
+                # changed groups carry their NEW cumulative value
                 delta = merged.exceptAll(table)
                 delta, nd = _materialize(delta, cfg)
                 new_delta[pred] = _narrow_small(
                     _retain(delta, cfg, cache), nd, cfg
+                )
+                if not nd:
+                    # unchanged table ⇒ fresh was empty (any fresh mcount
+                    # support raises its group's count) or contributed only
+                    # zero-valued msum tuples — either way the table and
+                    # support set can stay as they are (a zero-value tuple
+                    # left out of the support never changes any value)
+                    continue
+                live.add(pred)
+                supports[pred] = _retain(
+                    _truncate(_union_capped(supports[pred], fresh, cfg), cfg),
+                    cfg,
+                    cache,
                 )
                 new_all[pred] = merged
             else:

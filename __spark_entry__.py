@@ -793,6 +793,25 @@ def q_sessionize(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-tolerant salted equi-join (operators/joins.py salted_join):
+    the skewed side gets a random sub-key, the other side replicates
+    across salt values, the join keys on (key, salt). Output ROWS are
+    identical to the plain join — salt only changes task distribution —
+    which is exactly what the plain-SQL oracle verifies."""
+    from bigdatalog_spark.operators.joins import salted_join
+
+    l = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return salted_join(l, o, on="l_orderkey", salt=8)
+
+
 def q_funnel(spark, sf_dir):
     """Ordered view→click→purchase funnel per user (operators/funnel.py):
     t_i = earliest step-i event at or after t_{i-1}, within 24 hours of
@@ -1339,6 +1358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_topk_users_window": q_topk_users_window,
         "q_hourly_events": q_hourly_events,
         "q_sessionize": q_sessionize,
+        "q_salted_join": q_salted_join,
         "q_funnel": q_funnel,
         "q_rollup_revenue": q_rollup_revenue,
         "q_value_percentiles": q_value_percentiles,
@@ -1756,6 +1776,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM o GROUP BY user_id
+        """,
+        "q_salted_join": """
+            SELECT l_orderkey, l_quantity, o_orderpriority
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_quantity >= 45
         """,
         "q_funnel": """
             WITH s1 AS (

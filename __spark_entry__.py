@@ -341,6 +341,27 @@ def dl_reach(spark, sf_dir):
     return df.select(F.col("A").alias("vertex"))
 
 
+def dl_unreachable(spark, sf_dir):
+    """Stratified negation OVER a recursive stratum: nodes of the forest
+    graph not reachable from node 1 (`~reach(N)` in a later stratum than
+    the reach fixpoint — the layering NegationQuerySuite exercises on
+    aggregates, applied to recursion)."""
+    forest = _tree_edges(spark, sf_dir).where(F.col("dst") % 97 != 0)
+    nodes = forest.select(F.col("src").alias("n")).union(
+        forest.select(F.col("dst"))
+    ).distinct()
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long), node(N:long)})."
+        "reach(A) <- A = 1."
+        "reach(B) <- reach(A), arc(A,B)."
+        "unreachable(N) <- node(N), ~reach(N).",
+        {"arc": forest, "node": nodes},
+        "unreachable(N).",
+    )
+    return df.select(F.col("N").alias("vertex"))
+
+
 def dl_sssp(spark, sf_dir):
     """SSSP via monotonic mmin aggregate in recursion
     (AggregatesInRecursionQuerySuite SSSP)."""
@@ -750,6 +771,52 @@ def q18_large_volume_customers(spark, sf_dir):
                 "o_totalprice", "sum_qty")
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    INCLUDING zero-order customers (left outer join + two-level
+    aggregation). The first group-by is keyed on c_custkey (uniform);
+    the second input is one row per customer."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance and no
+    URGENT orders (scalar-subquery threshold + anti-join on a filtered
+    fact slice), grouped by a derived code. The average is one scalar
+    broadcast; the anti-join streams the customer side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy((F.col("c_nationkey") % 5).alias("cntrycode"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
     )
 
 
@@ -1335,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_tc_nonlinear": dl_tc_nonlinear,
         "dl_mutual_even_odd": dl_mutual_even_odd,
         "dl_reach": dl_reach,
+        "dl_unreachable": dl_unreachable,
         "dl_sssp": dl_sssp,
         "dl_attend_mcount": dl_attend_mcount,
         "dl_viral_msum": dl_viral_msum,
@@ -1354,6 +1422,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q14_promo_share": q14_promo_share,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
         "q_exists_semijoin": q_exists_semijoin,
         "q_topk_users_window": q_topk_users_window,
         "q_hourly_events": q_hourly_events,
@@ -1537,6 +1607,19 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.dst FROM reach JOIN edges e ON e.src = reach.vertex)
             SELECT vertex FROM reach
+        """,
+        "dl_unreachable": f"""
+            WITH RECURSIVE edges AS (
+              SELECT * FROM ({_EDGES_SQL}) WHERE dst % 97 <> 0),
+            nodes AS (
+              SELECT DISTINCT n FROM (SELECT src AS n FROM edges
+                                      UNION ALL SELECT dst FROM edges)),
+            reach(vertex) AS (
+              SELECT CAST(1 AS BIGINT)
+              UNION
+              SELECT e.dst FROM reach JOIN edges e ON e.src = reach.vertex)
+            SELECT n AS vertex FROM nodes
+            WHERE n NOT IN (SELECT vertex FROM reach)
         """,
         "dl_sssp": f"""
             WITH RECURSIVE edges AS (
@@ -1742,6 +1825,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             ORDER BY o_totalprice DESC, o_orderkey ASC
             LIMIT 100
+        """,
+        "q13_order_count_distribution": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+              SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+            GROUP BY c_count
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q22_global_sales_opportunity": """
+            SELECT CAST(c_nationkey % 5 AS INTEGER) AS cntrycode,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   round(sum(c_acctbal), 2) AS totacctbal
+            FROM customer
+            WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                               WHERE c_acctbal > 0.0)
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_nationkey % 5
+            ORDER BY cntrycode
         """,
         "q_exists_semijoin": """
             SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

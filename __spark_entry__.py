@@ -38,9 +38,13 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 # ----------------------------------------------------------- derived graphs
 
+def _part_max(spark: SparkSession, sf_dir: str) -> int:
+    return load_table(spark, sf_dir, "part").agg(F.max("p_partkey")).first()[0]
+
+
 def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    mx = part.agg(F.max("p_partkey")).first()[0]
+    mx = _part_max(spark, sf_dir)
     base = part.where(F.col("p_partkey") >= 1).select(
         F.col("p_partkey").alias("src")
     )
@@ -468,18 +472,15 @@ def q_pagerank(spark, sf_dir):
     hash-match. 8 power iterations, full (node, rank) table."""
     from bigdatalog_spark.operators.graph import pagerank
 
-    part = load_table(spark, sf_dir, "part")
-    mx = part.agg(F.max("p_partkey")).first()[0]
-    base = part.where(F.col("p_partkey") >= 1).select(
-        F.col("p_partkey").alias("src")
-    )
-    tree = (
-        base.select("src", (F.col("src") * 2).alias("dst"))
-        .union(base.select("src", (F.col("src") * 2 + 1).alias("dst")))
-        .where(F.col("dst") <= mx)
-    )
-    cross = base.select(
-        "src", ((F.col("src") * 31 + 7) % F.lit(mx) + 1).alias("dst")
+    mx = _part_max(spark, sf_dir)
+    tree = _tree_edges(spark, sf_dir)
+    cross = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") >= 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            ((F.col("p_partkey") * 31 + 7) % F.lit(mx) + 1).alias("dst"),
+        )
     )
     edges = tree.union(cross).where(F.col("src") != F.col("dst")).distinct()
     pr = pagerank(edges, iterations=8, damping=0.85)

@@ -148,9 +148,10 @@ def chunk_documents(
     ~(1 + overlap/step)× the input tokens.
 
     Returns (id_col, chunk_id, chunk_text, n_tokens)."""
-    if overlap >= chunk_tokens:
+    if not 0 <= overlap < chunk_tokens:
         raise ValueError(
-            f"overlap ({overlap}) must be smaller than chunk_tokens ({chunk_tokens})"
+            f"overlap ({overlap}) must be in [0, chunk_tokens) — a negative "
+            f"overlap would silently skip tokens between chunks"
         )
     step = chunk_tokens - overlap
     toks = F.split(

@@ -294,7 +294,7 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n = nodes.count()  # also materializes the persisted edge join lazily
+    n = nodes.count()
     # the rank/contribution tables are |V| rows; under ~1M vertices hint
     # them broadcast so each iteration is exactly one shuffle (the keyed
     # contribution sum) — past that both joins shuffle on their keys and
@@ -306,6 +306,7 @@ def pagerank(
     seed = F.lit(1.0) / F.lit(float(n))
     teleport = (F.lit(1.0) - F.lit(float(damping))) / F.lit(float(n))
     ranks = nodes.select("node", seed.alias("rank"))
+    intermediates: list[DataFrame] = []
     for _ in range(iterations):
         contribs = (
             ed.join(hint(ranks), on=ed["src"] == ranks["node"])
@@ -327,4 +328,18 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
+        intermediates.append(ranks)
+    # materialize the final table (one job — the lazy per-iteration
+    # checkpoints run as its dependencies), then release everything the
+    # loop pinned: the edge/node caches AND the per-iteration checkpoint
+    # blocks (each lazy checkpoint stores a |V|-row copy that would
+    # otherwise linger until GC + ContextCleaner)
+    ranks = ranks.localCheckpoint(eager=True)
+    ed.unpersist()
+    nodes.unpersist()
+    for df in intermediates:  # the eager checkpoint owns its own blocks
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: a failed release only costs memory
     return ranks

@@ -193,13 +193,18 @@ def weighted_sample(
     the standard way to take a "size-biased" corpus sample (longer/heavier
     docs proportionally more likely) reproducibly.
 
+    Rows with weight ≤ 0 are excluded (zero weight means zero inclusion
+    probability; a negative weight would otherwise INVERT the bias —
+    u^(1/w) exceeds 1 for w < 0, making corrupt rows near-certain picks).
+
     Scale shape: the key is a map-side expression; ORDER BY + LIMIT plans
     as TakeOrderedAndProject — each task keeps a bounded n-row heap and the
     driver merges task heads, so no global sort and no full shuffle at any
     corpus size."""
     key = F.pow(uniform_hash(id_col, seed), 1.0 / F.col(weight_col))
     return (
-        df.withColumn("__k", key)
+        df.where(F.col(weight_col) > 0)
+        .withColumn("__k", key)
         .orderBy(F.col("__k").desc(), F.col(id_col).asc())
         .limit(n)
         .drop("__k")

@@ -113,3 +113,13 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_chunk_documents_rejects_negative_overlap(spark):
+    import pytest
+
+    from bigdatalog_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=4, overlap=-2)

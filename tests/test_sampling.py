@@ -168,3 +168,14 @@ def test_weighted_sample_biases_toward_heavy_rows(spark):
     # deterministic
     a = {r["doc_id"] for r in weighted_sample(df, 100, "w", seed=5).collect()}
     assert a == {r["doc_id"] for r in out.collect()}
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from bigdatalog_spark.operators.sampling import weighted_sample
+
+    df = _ids(spark, 50).withColumn(
+        "w", F.when(F.col("doc_id") < 5, -1.0)
+             .when(F.col("doc_id") < 10, 0.0).otherwise(1.0)
+    )
+    out = {r["doc_id"] for r in weighted_sample(df, 50, "w").collect()}
+    assert out == set(range(10, 50))  # w<=0 rows never sampled

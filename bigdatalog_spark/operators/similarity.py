@@ -166,3 +166,75 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    k: int,
+    iterations: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list:
+    """Deterministic Lloyd k-means — the trainer for :func:`ivf_topk`'s
+    coarse quantizer (axis-aligned centroids are a placeholder; real IVF
+    cells come from k-means over a corpus sample).
+
+    Initialization is the k rows with the smallest ids (deterministic, no
+    RNG); each iteration assigns every vector to its nearest centroid with
+    a JVM-side literal-centroid expression (no join, no UDF — centroids
+    are k·dim literals baked into the plan) and re-averages per cell with
+    one map-side-combinable aggregation. Driver traffic per iteration is
+    k·dim doubles — independent of corpus size; at 100 TB you'd train on a
+    sampled slice (operators/sampling.py) and pass the result here.
+
+    Returns a list of k dense centroid lists (cells that lost all members
+    keep their previous position).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    init = (
+        vectors.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    if len(init) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(init)}")
+    centroids = [[float(x) for x in r[vec_col]] for r in init]
+
+    def nearest_cell(col: Column) -> Column:
+        scored = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+        return F.array_min(F.array(*scored))["cell"]
+
+    dim = len(centroids[0])
+    for _ in range(iterations):
+        assigned = vectors.select(
+            nearest_cell(F.col(vec_col)).alias("__cell"), F.col(vec_col)
+        )
+        sums = assigned.groupBy("__cell").agg(
+            *[
+                F.sum(F.col(vec_col)[i].cast("double")).alias(f"s{i}")
+                for i in range(dim)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        )
+        new = {
+            r["__cell"]: [r[f"s{i}"] / r["n"] for i in range(dim)]
+            for r in sums.collect()
+        }
+        centroids = [new.get(i, centroids[i]) for i in range(k)]
+    return centroids

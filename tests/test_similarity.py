@@ -84,3 +84,36 @@ def test_ivf_topk_probes_cells(spark):
     top1 = {r["query_id"]: (r["neighbor_id"], r["cosine"]) for r in out if r["rank"] == 1}
     for qid, (nid, c) in top1.items():
         assert nid == qid and abs(c - 1.0) < 1e-5
+
+
+def test_kmeans_centroids_separates_clusters(spark):
+    from bigdatalog_spark.operators.similarity import ivf_topk, kmeans_centroids
+
+    # two tight clusters around (0,10) and (10,0)
+    rows = [(i, [0.0 + i * 0.01, 10.0]) for i in range(10)] + [
+        (100 + i, [10.0, 0.0 + i * 0.01]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_centroids(df, 2, iterations=4)
+    assert len(cents) == 2
+    # one centroid per cluster (order depends on init = smallest ids)
+    a, b = sorted(cents, key=lambda c: c[0])
+    assert a[0] < 1 and a[1] > 9     # near (0,10)
+    assert b[0] > 9 and b[1] < 1     # near (10,0)
+    # trained centroids drive ivf_topk: querying a member of cluster A
+    # with nprobe=1 returns only cluster-A neighbors
+    q = df.where("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    got = ivf_topk(df, q, cents, k=5, nprobe=1).collect()
+    assert all(r["neighbor_id"] < 100 for r in got)
+
+
+def test_kmeans_centroids_rejects_bad_k(spark):
+    import pytest
+
+    from bigdatalog_spark.operators.similarity import kmeans_centroids
+
+    df = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        kmeans_centroids(df, 0)
+    with pytest.raises(ValueError):
+        kmeans_centroids(df, 5)

@@ -434,6 +434,11 @@ class BigDatalogContext:
     # ------------------------------------------------------------- resolution
     def _base_df(self, name: str) -> DataFrame:
         if name not in self._relations:
+            if name not in self.program.schemas:
+                raise DatalogSemanticError(
+                    f"unknown predicate {name!r}: not declared in "
+                    f"database({{...}}) and no rules define it"
+                )
             raise DatalogSemanticError(f"base relation {name!r} has no data registered")
         return self._relations[name]
 

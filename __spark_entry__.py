@@ -950,6 +950,46 @@ def q_running_avg(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the irregular-subtotal shape ROLLUP/CUBE
+    can't express: (priority, status), (priority), (status) but NOT the
+    grand total. One pass, map-side partial aggregation per set; the
+    Datalog surface has no grouping analytics (SURVEY §2.4), so this is
+    engine-surface beyond parity, driver-checked."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_gs")
+    return spark.sql("""
+        SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+               coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+               round(sum(o_totalprice), 2) AS total,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+    """)
+
+
+def q_asof_forward(spark, sf_dir):
+    """Forward as-of join (operators/joins.py asof_join
+    direction='forward'): for every click, the user's NEXT purchase at or
+    after it — the other branch of the window-merge formulation."""
+    from bigdatalog_spark.operators.joins import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.max("value"), 6).alias("pvalue"))
+    )
+    return asof_join(
+        clicks, purchases, on="user_id", left_time="ts", right_time="ts",
+        direction="forward",
+    ).select("user_id", "ts", "event_id", "ts_right", "pvalue")
+
+
 def q_asof_purchase(spark, sf_dir):
     """As-of join (operators/joins.py asof_join): for every click event,
     the user's most recent purchase value at-or-before the click — ONE
@@ -1436,6 +1476,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_percentiles_approx": q_value_percentiles_approx,
         "q_running_avg": q_running_avg,
         "q_asof_purchase": q_asof_purchase,
+        "q_asof_forward": q_asof_forward,
+        "q_grouping_sets": q_grouping_sets,
         "q_interval_join": q_interval_join,
         "q_range_acctbal_band": q_range_acctbal_band,
         "q_dedup_exact": q_dedup_exact,
@@ -1944,6 +1986,26 @@ def oracle_sql() -> dict[str, str]:
                    p.ts AS ts_right, p.pvalue
             FROM clicks c ASOF LEFT JOIN purch p
               ON c.user_id = p.user_id AND c.ts >= p.ts
+        """,
+        "q_asof_forward": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+            purch AS (
+              SELECT user_id, ts, round(max(value), 6) AS pvalue
+              FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+            SELECT c.user_id, c.ts, c.event_id,
+                   p.ts AS ts_right, p.pvalue
+            FROM clicks c ASOF LEFT JOIN purch p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
+        """,
+        "q_grouping_sets": """
+            SELECT coalesce(o_orderpriority, '(all)') AS o_orderpriority,
+                   coalesce(o_orderstatus, '(all)') AS o_orderstatus,
+                   round(sum(o_totalprice), 2) AS total,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), (o_orderstatus))
         """,
         "q_interval_join": """
             WITH clicks AS (

@@ -1115,6 +1115,27 @@ def q_ann_ivf(spark, sf_dir):
     return ivf_topk(e, q, centroids, k=5, nprobe=2)
 
 
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (operators/similarity.py lsh_topk) —
+    the third scale path next to brute force and IVF. Axis-aligned planes
+    make the 16-bucket signature (sign of the first 4 components) exactly
+    reproducible in SQL, so the approximate result is hash-checked, not
+    rows-only."""
+    from bigdatalog_spark.operators.similarity import lsh_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    planes = []
+    for i in range(4):
+        p = [0.0] * dim
+        p[i] = 1.0
+        planes.append(p)
+    q = e.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(e, q, planes, k=5)
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: documents → opaque binary payloads → Arrow-
     batched mapInPandas feature extraction (deterministic stub decode)."""
@@ -1487,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_embedding": q_dedup_embedding,
         "q_ann_topk": q_ann_topk,
         "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
         "q_media_features": q_media_features,
         "q_media_frames": q_media_frames,
         "q_text_profile": q_text_profile,
@@ -2149,6 +2171,33 @@ def oracle_sql() -> dict[str, str]:
               FROM (SELECT q.query_id, cv.vec_id, unnest(q.qe) AS x,
                            unnest(cv.embedding) AS y
                     FROM qprobe q JOIN cells cv ON cv.cell = q.cell)
+              GROUP BY query_id, vec_id)
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+              FROM scored)
+            WHERE rank <= 5
+        """,
+        # axis-aligned hyperplanes: bucket bit i = (embedding[i] >= 0),
+        # so the 16-bucket signature and the bucket-local exact top-5 are
+        # both directly expressible — the approximate pipeline hash-checks.
+        "q_ann_lsh": """
+            WITH b AS (
+              SELECT vec_id, embedding,
+                     (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                      + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                      + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                      + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+              FROM embeddings),
+            q AS (SELECT vec_id AS query_id, embedding AS qe, bucket
+                  FROM b WHERE vec_id < 8),
+            scored AS (
+              SELECT query_id, vec_id AS neighbor_id,
+                round(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)) /
+                  (sqrt(SUM(CAST(x AS DOUBLE)**2)) * sqrt(SUM(CAST(y AS DOUBLE)**2))), 6) AS cosine
+              FROM (SELECT q.query_id, v.vec_id, unnest(q.qe) AS x,
+                           unnest(v.embedding) AS y
+                    FROM q JOIN b v ON v.bucket = q.bucket)
               GROUP BY query_id, vec_id)
             SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
               SELECT *, row_number() OVER (

@@ -264,6 +264,22 @@ def dl_tc(spark, sf_dir):
     return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
 
 
+def dl_tc_rl(spark, sf_dir):
+    """Right-linear TC (RecursiveQuerySuites TC-RL): the recursive atom
+    is LAST in the body, so the delta joins arc on its FIRST column — the
+    compilation path is different from dl_tc even though the closure is
+    identical (and so is the oracle)."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- arc(A,C), tc(C,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "tc(A,B).",
+    )
+    return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
+
+
 def dl_agg_over_tc(spark, sf_dir):
     """Stratified aggregation OVER a recursion stratum — the reference's
     AggregatesOverRecursionQuerySuite pattern (min/count over a completed
@@ -1459,6 +1475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_arith": dl_arith,
         "dl_date_filter": dl_date_filter,
         "dl_tc": dl_tc,
+        "dl_tc_rl": dl_tc_rl,
         "dl_agg_over_tc": dl_agg_over_tc,
         "dl_tc_bound": dl_tc_bound,
         "dl_tc_nonlinear": dl_tc_nonlinear,
@@ -1623,6 +1640,15 @@ def oracle_sql() -> dict[str, str]:
               AND o_orderdate < TIMESTAMP '2000-01-01'
         """,
         "dl_tc": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            tc(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+            SELECT src, dst FROM tc
+        """,
+        # right-linear compilation, identical closure
+        "dl_tc_rl": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),
             tc(src, dst) AS (
               SELECT src, dst FROM edges

@@ -42,9 +42,10 @@ def _part_max(spark: SparkSession, sf_dir: str) -> int:
     return load_table(spark, sf_dir, "part").agg(F.max("p_partkey")).first()[0]
 
 
-def _tree_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tree_edges(spark: SparkSession, sf_dir: str, mx: int | None = None) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    mx = _part_max(spark, sf_dir)
+    if mx is None:
+        mx = _part_max(spark, sf_dir)
     base = part.where(F.col("p_partkey") >= 1).select(
         F.col("p_partkey").alias("src")
     )
@@ -489,7 +490,7 @@ def q_pagerank(spark, sf_dir):
     from bigdatalog_spark.operators.graph import pagerank
 
     mx = _part_max(spark, sf_dir)
-    tree = _tree_edges(spark, sf_dir)
+    tree = _tree_edges(spark, sf_dir, mx=mx)
     cross = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_partkey") >= 1)
@@ -2411,6 +2412,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_weighted_sample": """
             SELECT doc_id, source, n_chars FROM documents
+            WHERE n_chars > 0
             ORDER BY pow(
               ('0x' || substr(md5('13|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
                 / 4294967296.0,

@@ -131,13 +131,30 @@ def ivf_topk(
     """IVF-style ANN: assign corpus vectors to their nearest centroid
     (coarse quantizer); probe the nprobe nearest cells per query.
 
+    The quantizer metric is SQUARED EUCLIDEAN distance — the same metric
+    :func:`kmeans_centroids` trains with, so the inverted-file layout
+    built from trained centroids agrees with query-time routing (an
+    inner-product quantizer would disagree for unnormalized centroids).
+    For unit-norm centroids argmin L2 == argmax dot, so axis-aligned
+    unit cells behave identically under either metric. Final ranking
+    within the probed cells is exact cosine, the usual IVF-flat shape.
+
     At scale the corpus is written bucketed by cell id, so a query touches
     only nprobe partitions — the classic inverted-file layout on parquet.
     """
     def cell_scores(col: Column) -> Column:
         return F.array(*[
             F.struct(
-                (-dot_expr(col, F.array(*[F.lit(float(x)) for x in c]))).alias("negdot"),
+                F.aggregate(
+                    F.zip_with(
+                        col,
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d2"),
                 F.lit(i).alias("cell"),
             )
             for i, c in enumerate(centroids)

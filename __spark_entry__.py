@@ -112,6 +112,39 @@ def _datalog(spark: SparkSession, program: str, data: dict, goal: str) -> DataFr
 
 # ----------------------------------------------------------- datalog: relational
 
+def dl_inmemory_csv(spark, sf_dir):
+    """In-memory CSV dataset loading (register_data — the reference's
+    registerAndLoadTable(Seq[String]) path, Utilities.scala:116-137):
+    string→typed conversion for every DeAL type family (long, string,
+    double, datetime), plus a filter+join over the loaded rows. The data
+    is literal, so the oracle is a VALUES list."""
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({item(Id:long, Name:string, Price:double, Since:datetime),"
+        "tag(Id:long, Tag:string)})."
+        "pricy(Id, Name, Price, T) <- item(Id, Name, Price, S), "
+        "tag(Id, T), Price > 10.5, S > '2020-06-15'."
+    )
+    ctx.register_data(
+        "item",
+        [
+            "1, widget, 12.75, 2021-01-05",
+            "2, gadget, 9.99, 2022-03-01",
+            "3, gizmo, 200.0, 2019-12-31",
+            "4, doohickey, 10.5, 2023-07-04",
+            "5, whatsit, 10.51, 2020-06-16",
+        ],
+    )
+    ctx.register_data("tag", ["1, tools", "3, retro", "5, misc", "9, unused"])
+    df = ctx.query("pricy(Id, Name, Price, T).")
+    return df.select(
+        F.col("Id").alias("id"),
+        F.col("Name").alias("name"),
+        F.col("Price").alias("price"),
+        F.col("T").alias("tag"),
+    )
+
+
 def dl_filter_project(spark, sf_dir):
     """Scan + comparison filter + projection (RelationalQuerySuite shapes)."""
     orders = load_table(spark, sf_dir, "orders")
@@ -1466,6 +1499,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dl_inmemory_csv": dl_inmemory_csv,
         "dl_filter_project": dl_filter_project,
         "dl_join_3way": dl_join_3way,
         "dl_negation": dl_negation,
@@ -1597,6 +1631,14 @@ _PROFILE_SCORES = """
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # literal data loaded through the in-memory CSV path; the expected
+        # result is the hand-computed join/filter over those literals
+        "dl_inmemory_csv": """
+            SELECT * FROM (VALUES
+              (CAST(1 AS BIGINT), 'widget', CAST(12.75 AS DOUBLE), 'tools'),
+              (CAST(5 AS BIGINT), 'whatsit', CAST(10.51 AS DOUBLE), 'misc')
+            ) t(id, name, price, tag)
+        """,
         "dl_filter_project": """
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_totalprice > 450000

@@ -902,6 +902,29 @@ def q_hourly_events(spark, sf_dir):
     return windowed_event_counts(e, "1 hour")
 
 
+def q_sliding_windows(spark, sf_dir):
+    """Sliding event-time windows (1 hour wide, 15-minute slide): every
+    event lands in exactly 4 overlapping windows. F.window's streaming
+    semantics on its batch face; the oracle replays the window grid with
+    integer-microsecond arithmetic (events carry sub-second timestamps,
+    so float epoch math would drift)."""
+    e = load_table(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "15 minutes")
+    return (
+        e.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
 def q_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     sess = sessionize(e, gap="30 minutes")
@@ -1541,6 +1564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exists_semijoin": q_exists_semijoin,
         "q_topk_users_window": q_topk_users_window,
         "q_hourly_events": q_hourly_events,
+        "q_sliding_windows": q_sliding_windows,
         "q_sessionize": q_sessionize,
         "q_salted_join": q_salted_join,
         "q_funnel": q_funnel,
@@ -2004,6 +2028,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2, 3
+        """,
+        "q_sliding_windows": """
+            WITH g AS (
+              SELECT make_timestamp(epoch_us(ts) - (epoch_us(ts) % 900000000)
+                                    - CAST(k.k AS BIGINT) * 900000000) AS w_start,
+                     value
+              FROM events, (VALUES (0),(1),(2),(3)) k(k))
+            SELECT w_start, w_start + INTERVAL 60 MINUTE AS w_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total
+            FROM g GROUP BY w_start
         """,
         "q_sessionize": """
             WITH o AS (

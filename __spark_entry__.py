@@ -63,6 +63,29 @@ _EDGES_SQL = """
 """
 
 
+_MLM_CTES = """
+  sponsor AS (SELECT src, dst FROM edges WHERE dst <= 63),
+  sales AS (
+    SELECT CAST(p_partkey AS INTEGER) AS m,
+           CAST(p_partkey % 50 + 0.5 AS DOUBLE) AS s,
+           CAST(p_partkey % 20 + 0.25 AS DOUBLE) AS p
+    FROM part WHERE p_partkey BETWEEN 1 AND 63),
+  sched AS (SELECT CAST(ls AS DOUBLE) AS ls, CAST(rs AS DOUBLE) AS rs,
+                   CAST(bp AS DOUBLE) AS bp
+            FROM (VALUES (0.0, 100.0, 0.05), (100.0, 500.0, 0.08),
+                         (500.0, 1000000000.0, 0.1)) t(ls, rs, bp)),
+  member_sales AS (SELECT m, sum(s) AS st FROM sales GROUP BY m),
+  members AS (SELECT src AS m FROM sponsor UNION SELECT dst FROM sponsor),
+  ntc(m, m2) AS (
+    SELECT m, m FROM members
+    UNION
+    SELECT ntc.m, sp.dst FROM ntc JOIN sponsor sp ON sp.src = ntc.m2),
+  mts AS (
+    SELECT ntc.m, sum(ms.st) AS s
+    FROM ntc JOIN member_sales ms ON ms.m = ntc.m2 GROUP BY ntc.m)
+"""
+
+
 def _pagerank_sql(iters: int = 8) -> str:
     """Unrolled power-iteration SQL mirroring operators/graph.py pagerank
     term for term (same IEEE double literals and op order; contribution
@@ -393,6 +416,68 @@ def dl_reach(spark, sf_dir):
         "reach(A).",
     )
     return df.select(F.col("A").alias("vertex"))
+
+
+_MLM_PROGRAM = (
+    "database({"
+    "sponsor(M:integer, NM:integer), "
+    "sales(M:integer, S:double, P:double), "
+    "schedule(LS:double, RS:double, BP:double)})."
+    "member_sales(M, sum<S>) <- sales(M, S, _)."
+    "network_tc(M, M) <- sponsor(M, _)."
+    "network_tc(M, M) <- sponsor(_, M)."
+    "network_tc(M, M2) <- network_tc(M, M1), sponsor(M1, M2)."
+    "member_total_sales(M, sum<S>) <- network_tc(M, NM), member_sales(NM, S)."
+    "member_bonus_self(M, B) <- member_sales(M, ST), member_total_sales(M, S), "
+    "schedule(LS, RS, BP), S >= LS, S < RS, B = ST * BP."
+    "member_bonus_frontline(M, sum<B>) <- sponsor(M, NM), "
+    "member_total_sales(NM, S), schedule(LS, RS, BP), S >= LS, S < RS, "
+    "B = S * BP."
+    "bonus(sum<B>) <- member_bonus_self(M,B1), member_bonus_frontline(M,B2), "
+    "B = B1 + B2."
+    "gross_profit(sum<P>) <- sales(_, _, P)."
+    "net_profit(NP) <- gross_profit(P), bonus(B), NP = P - B."
+)
+
+
+def _mlm_ctx(spark, sf_dir):
+    """MLM program (Experiments-class benchmark: recursion + stratified
+    aggregation + arithmetic, RecursiveQuerySuites MLM) over derived data:
+    the 63-node part-key tree as the sponsor network, one sales row per
+    member, a 3-band bonus schedule."""
+    part = load_table(spark, sf_dir, "part")
+    sponsor = _tree_edges(spark, sf_dir).where(F.col("dst") <= 63)
+    sales = part.where(F.col("p_partkey").between(1, 63)).select(
+        F.col("p_partkey").cast("int").alias("m"),
+        ((F.col("p_partkey") % 50) + 0.5).cast("double").alias("s"),
+        ((F.col("p_partkey") % 20) + 0.25).cast("double").alias("p"),
+    )
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(_MLM_PROGRAM)
+    ctx.register("sponsor", sponsor)
+    ctx.register("sales", sales)
+    ctx.register_data(
+        "schedule", ["0.0, 100.0, 0.05", "100.0, 500.0, 0.08",
+                     "500.0, 1000000000.0, 0.1"]
+    )
+    return ctx
+
+
+def dl_mlm_total_sales(spark, sf_dir):
+    """MLM downline totals: sum of member sales over the recursive sponsor
+    network (recursion + stratified sum layering)."""
+    df = _mlm_ctx(spark, sf_dir).query("member_total_sales(M, S).")
+    return df.select(
+        F.col("M").alias("m"), F.round(F.col("S"), 2).alias("total_sales")
+    )
+
+
+def dl_mlm_net_profit(spark, sf_dir):
+    """MLM bottom line: gross profit minus banded bonuses — the full
+    program (recursion, three aggregate strata, banded theta-join,
+    arithmetic heads) collapsing to one row."""
+    df = _mlm_ctx(spark, sf_dir).query("net_profit(NP).")
+    return df.select(F.round(F.col("NP"), 4).alias("net_profit"))
 
 
 def dl_unreachable(spark, sf_dir):
@@ -1540,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_mutual_even_odd": dl_mutual_even_odd,
         "dl_reach": dl_reach,
         "dl_unreachable": dl_unreachable,
+        "dl_mlm_total_sales": dl_mlm_total_sales,
+        "dl_mlm_net_profit": dl_mlm_net_profit,
         "dl_sssp": dl_sssp,
         "dl_attend_mcount": dl_attend_mcount,
         "dl_viral_msum": dl_viral_msum,
@@ -1765,6 +1852,29 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.dst FROM reach JOIN edges e ON e.src = reach.vertex)
             SELECT vertex FROM reach
+        """,
+        "dl_mlm_total_sales": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            {_MLM_CTES}
+            SELECT m, round(s, 2) AS total_sales FROM mts
+        """,
+        "dl_mlm_net_profit": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            {_MLM_CTES},
+            mbs AS (
+              SELECT ms.m, ms.st * sc.bp AS b
+              FROM member_sales ms JOIN mts ON mts.m = ms.m
+              JOIN sched sc ON mts.s >= sc.ls AND mts.s < sc.rs),
+            mbf AS (
+              SELECT sp.src AS m, sum(mts.s * sc.bp) AS b
+              FROM sponsor sp JOIN mts ON mts.m = sp.dst
+              JOIN sched sc ON mts.s >= sc.ls AND mts.s < sc.rs
+              GROUP BY sp.src),
+            bonus AS (SELECT sum(mbs.b + mbf.b) AS b
+                      FROM mbs JOIN mbf ON mbs.m = mbf.m),
+            gross AS (SELECT sum(p) AS p FROM sales)
+            SELECT round(gross.p - bonus.b, 4) AS net_profit
+            FROM gross, bonus
         """,
         "dl_unreachable": f"""
             WITH RECURSIVE edges AS (

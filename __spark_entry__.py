@@ -2635,12 +2635,13 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_chunks": """
             WITH toks AS (
               SELECT doc_id,
-                     string_split(regexp_replace(lower(trim(text)),
-                       '\\s+', ' ', 'g'), ' ') AS ws
+                     list_filter(string_split(regexp_replace(lower(trim(text)),
+                       '\\s+', ' ', 'g'), ' '), t -> t != '') AS ws
               FROM documents),
             k AS (
               SELECT doc_id, ws, len(ws) AS n,
-                     CASE WHEN len(ws) <= 64 THEN 1
+                     CASE WHEN len(ws) = 0 THEN 0
+                          WHEN len(ws) <= 64 THEN 1
                           ELSE 1 + CAST(ceil((len(ws) - 64) * 1.0 / 48) AS INTEGER)
                      END AS k
               FROM toks),

@@ -111,6 +111,16 @@ class EngineConfig:
     # seeds, 15-iteration recursions) local wins 2×; past ~10^5 seed rows
     # the distributed loop's scan throughput wins. Larger seeds go
     # distributed automatically — the probe is bounded (limit k+1).
+    # FANOUT ASSUMPTION (unmeasured beyond sf0.1 shapes): the gate bounds
+    # SEED rows only, not the closure — a ≤64Ki seed over a high-fanout
+    # static graph can still derive a closure far larger than the seed,
+    # and that closure lives in task memory (sliced across tasks on the
+    # non-pivot path, bounded per-task by |slice| × reachable-set). The
+    # statics byte gate bounds the graph itself at 512 MB broadcast-side,
+    # which at ~16 B/edge caps per-task closures near the low GBs — fine
+    # for the measured shapes, but adversarial dense-closure programs
+    # (e.g. all-pairs over a near-clique) should lower this gate or set
+    # decomposable_local=False to force the spill-capable distributed loop.
     local_seed_max_rows: int = 65536
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 

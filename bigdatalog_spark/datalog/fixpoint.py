@@ -719,19 +719,21 @@ def fixpoint_mixed(
                 new_delta[pred] = _narrow_small(
                     _retain(delta, cfg, cache), nd, cfg
                 )
-                if not nd:
-                    # unchanged table ⇒ fresh was empty (any fresh mcount
-                    # support raises its group's count) or contributed only
-                    # zero-valued msum tuples — either way the table and
-                    # support set can stay as they are (a zero-value tuple
-                    # left out of the support never changes any value)
-                    continue
-                live.add(pred)
+                # supports must absorb fresh EVEN when the table is
+                # unchanged (nd == 0): sign-mixed msum contributions can
+                # cancel within a group (+5 and -5 in one iteration) —
+                # leaving them out of the support set would let a later
+                # partial re-derivation (+5 alone) slip past the exceptAll
+                # and be counted a second time. One extra union per no-op
+                # iteration is the price of soundness for signed msum.
                 supports[pred] = _retain(
                     _truncate(_union_capped(supports[pred], fresh, cfg), cfg),
                     cfg,
                     cache,
                 )
+                if not nd:
+                    continue
+                live.add(pred)
                 new_all[pred] = merged
             else:
                 cand = _cast_like(cand, table)

@@ -154,18 +154,35 @@ def chunk_documents(
             f"overlap would silently skip tokens between chunks"
         )
     step = chunk_tokens - overlap
-    toks = F.split(
-        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    # drop empty tokens so an empty/whitespace-only document tokenizes to
+    # [] (split('') yields ['']) and produces ZERO chunks rather than one
+    # ''-chunk with a phantom token — downstream token accounting relies
+    # on sum(n_tokens) == corpus token count
+    toks = F.filter(
+        F.split(
+            F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+            " ",
+        ),
+        lambda t: t != F.lit(""),
     )
     base = df.select(F.col(id_col), toks.alias("__toks"))
     n = F.size("__toks")
-    nchunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
-        (F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(float(step)))).cast("int")
+    nchunks = (
+        F.when(n <= 0, F.lit(0))
+        .when(n <= chunk_tokens, F.lit(1))
+        .otherwise(
+            (F.lit(1) + F.ceil((n - chunk_tokens) / F.lit(float(step)))).cast("int")
+        )
     )
     out = base.select(
         id_col,
         "__toks",
-        F.explode(F.sequence(F.lit(0), nchunks - 1)).alias("chunk_id"),
+        # explode of an empty array drops the row → empty docs emit nothing
+        F.explode(
+            F.when(nchunks > 0, F.sequence(F.lit(0), nchunks - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("chunk_id"),
     )
     piece = F.slice(
         F.col("__toks"), F.col("chunk_id") * step + 1, chunk_tokens

@@ -32,8 +32,9 @@ def funnel(
     t_i is the earliest timestamp of step i at or after t_{i-1} (NULL when
     the user never reaches the step); ``reached`` counts completed steps.
     ``within`` (a Column-compatible interval string like '1 hour', or
-    None) additionally requires t_k within that horizon of t_1 — steps
-    beyond the horizon count as not reached.
+    None) additionally requires EVERY step i >= 2 to fall within that
+    horizon of t_1 — a step beyond the horizon is NULLed out, so all
+    later steps (which must come at or after it) go unreached too.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")

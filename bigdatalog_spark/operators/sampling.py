@@ -163,10 +163,11 @@ def stratified_sample(
     for when you need an exact count per stratum, e.g. balanced eval sets
     or per-source inspection samples).
 
-    One shuffle keyed on the group column; the window's running top-n
-    needs no full per-group sort buffer beyond n rows. For mega-groups at
-    100 TB, pre-filter with ``uniform_hash < (a few × n/|group|)`` first
-    so the window only sees a small superset."""
+    One shuffle keyed on the group column. Note row_number over a
+    partitionBy window sorts the ENTIRE group (spilling if it exceeds
+    memory) — so for mega-groups at 100 TB the scaling path is to
+    pre-filter with ``uniform_hash < (a few × n/|group|)`` first, leaving
+    the window a small superset to sort."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(group_col).orderBy(

@@ -105,6 +105,20 @@ def test_chunk_documents_every_token_covered(spark):
     assert covered == {f"t{i}" for i in range(57)}
 
 
+def test_chunk_documents_empty_text_emits_no_chunks(spark):
+    from bigdatalog_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   \t  "), (3, "real doc")], ["doc_id", "text"]
+    )
+    rows = chunk_documents(docs, chunk_tokens=4, overlap=2).collect()
+    # empty / whitespace-only docs contribute ZERO chunks (split('') would
+    # otherwise phantom a ''-token); token accounting stays exact
+    assert {r["doc_id"] for r in rows} == {3}
+    (r,) = rows
+    assert (r["chunk_text"], r["n_tokens"]) == ("real doc", 2)
+
+
 def test_chunk_documents_rejects_bad_overlap(spark):
     import pytest
 

@@ -193,6 +193,51 @@ def test_viral_msum_distributed(spark):
     assert got_sums == set(sums.items())
 
 
+# ----------------------------------- signed msum: cancelling contributions
+# Regression for the support-set soundness hole: contributions +5 and -5 to
+# one group cancel in a single iteration (table unchanged, nd == 0). The
+# support set must STILL absorb them, or a later partial re-derivation of
+# (group, +5) alone slips past the exceptAll and is counted a second time.
+
+SIGNED_PROG = (
+    "database({seed(X:integer), arc(X:integer, Y:integer),"
+    " infl(X:integer, Y:integer, W:integer)})."
+    "hop(X) <- seed(X)."
+    "hop(Y) <- hop(X), arc(X,Y)."
+    "wsum(Y, msum<W>) <- hop(X), infl(X,Y,W)."
+    "active(Y) <- wsum(Y,S), S >= 4."
+    "hop(Y) <- active(Y)."
+)
+
+# iter1 (hop delta {1}): support (9,1) -> wsum(9)=1
+# iter2 (hop delta {2}): supports (9,5) and (9,-5) CANCEL -> wsum unchanged
+# iter3 (hop delta {3}): re-derives (9,5) alone -> must NOT re-count
+SIGNED_DATA = {
+    "seed": ["1"],
+    "arc": ["1,2", "2,3"],
+    "infl": ["1,9,1", "2,9,5", "2,9,-5", "3,9,5"],
+}
+# distinct support set for group 9 is {1, 5, -5} -> msum = 1 (< 4, no active)
+SIGNED_WSUM = [(9, 1)]
+
+
+def test_signed_msum_cancellation_local(spark):
+    run_case(spark, SIGNED_PROG, "wsum(A,S).", SIGNED_DATA, expected=SIGNED_WSUM)
+    run_case(spark, SIGNED_PROG, "active(A).", SIGNED_DATA, expected=[])
+
+
+def test_signed_msum_cancellation_distributed(spark):
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    ctx = BigDatalogContext(spark, EngineConfig(decomposable_local=False))
+    ctx.load_program(SIGNED_PROG)
+    for name, rows in SIGNED_DATA.items():
+        ctx.register_data(name, rows)
+    got = sorted(tuple(r) for r in ctx.query("wsum(A,S).").collect())
+    assert got == SIGNED_WSUM
+    assert ctx.query("active(A).").collect() == []
+
+
 # ------------------------------------------------- mcount/msum outside recursion
 
 

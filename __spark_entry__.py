@@ -1239,6 +1239,26 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(d, threshold=0.5)
 
 
+_BOILERPLATE = (
+    "terms of service apply to this document please read carefully "
+    "before proceeding"
+)
+
+
+def q_dedup_jaccard_capped(spark, sf_dir):
+    """Jaccard dedup under shingle skew: every document gets the same
+    boilerplate header (the classic crawl-corpus pathology — one shingle
+    shared by ALL docs would fan the self-join out quadratically in a
+    single shuffle key). max_doc_freq drops shingles whose doc-frequency
+    exceeds the cap from both intersection and union, so the join's
+    per-key blow-up is bounded by cap² and the Jaccard measure is exact
+    over the filtered shingle space."""
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.lit(_BOILERPLATE + " "), F.col("text"))
+    )
+    return ngram_jaccard_pairs(d, threshold=0.5, max_doc_freq=100)
+
+
 def q_dedup_minhash(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(d, threshold=0.5)
@@ -1634,6 +1654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_acctbal_band": q_range_acctbal_band,
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
         "q_dedup_minhash": q_dedup_minhash,
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
@@ -2296,6 +2317,37 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_ngram_jaccard": f"""
             WITH {_JACCARD_CTES}
             SELECT left_id, right_id, jaccard FROM jpairs
+        """,
+        # skewed-corpus variant: boilerplate header on every doc; shingles
+        # with doc-frequency > 100 are dropped from intersection AND sizes
+        # (Jaccard over the filtered shingle space, mirroring max_doc_freq)
+        "q_dedup_jaccard_capped": f"""
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(
+                         lower(trim('{_BOILERPLATE} ' || text)),
+                         '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents),
+              sh0 AS (
+                SELECT DISTINCT doc_id, sh FROM (
+                  SELECT doc_id, ws[i]||' '||ws[i+1]||' '||ws[i+2] AS sh
+                  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws)-2)) AS i
+                        FROM w WHERE len(ws) >= 3))),
+              sh AS (
+                SELECT doc_id, sh FROM sh0
+                WHERE sh IN (SELECT sh FROM sh0 GROUP BY sh
+                             HAVING count(*) <= 100)),
+              sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+              inter AS (
+                SELECT a.doc_id AS left_id, b.doc_id AS right_id, count(*) AS i
+                FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT left_id, right_id,
+                   round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN sizes ls ON ls.doc_id = left_id
+            JOIN sizes rs ON rs.doc_id = right_id
+            WHERE round(CAST(i AS DOUBLE) / (ls.sz + rs.sz - i), 6) >= 0.5
         """,
         "q_dedup_cluster": f"""
             WITH RECURSIVE {_JACCARD_CTES},

@@ -5,14 +5,21 @@ Runs every `__spark_entry__.queries()` entry against `$SPARK_GRAFT_SF_DIR`
 timing each query end-to-end (plan + execute, materialized via a noop write
 so results never funnel through the driver).
 
+Each query is timed `$SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
+per-query MEDIAN is reported: this host shows a moving 10-30 s I/O spike
+that lands on a random query per pass, so single-run numbers routinely
+misattribute ~20 s to an innocent query. The median of 3 kills the spike
+while keeping the bench one JSON line.
+
 Output: {"metric": "total_wall_sec", "value": N, "unit": "sec",
-         "queries": {name: sec, ...}, "sf": 0.1}
+         "queries": {name: median_sec, ...}, "runs": 3, "sf": 0.1}
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -35,6 +42,7 @@ def _materialize(df) -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     import __spark_entry__ as entry
     from bigdatalog_spark import build_session
@@ -47,7 +55,7 @@ def main() -> None:
 
     def _release_blocks() -> None:
         # Fixpoint queries leave persisted statics + localCheckpoint blocks
-        # behind; letting them pile up across 38 queries pushes the later
+        # behind; letting them pile up across ~90 queries pushes the later
         # shuffle-heavy ones into eviction churn and inflates their timings
         # by up to ~10x. Isolate queries: drop every cached block between
         # runs (the real engine frees these when contexts are GC'd, but the
@@ -59,16 +67,20 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():
-        t0 = time.perf_counter()
-        _materialize(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        _release_blocks()
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            samples.append(time.perf_counter() - t0)
+            _release_blocks()
+        timings[name] = round(statistics.median(samples), 3)
 
     print(json.dumps({
         "metric": "total_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": runs,
         "sf": _sf_from_dir(sf_dir),
     }))
 

@@ -108,14 +108,24 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity pairs ≥ threshold.
+    """N-gram Jaccard similarity pairs ≥ threshold.
 
     Plan: explode shingles → self-join on shingle (co-grouped by shingle
     hash, so common-shingle pairs co-locate) → count intersections →
     |A∪B| = |A|+|B|−|A∩B|. Only documents sharing ≥1 shingle ever pair up —
-    no quadratic blow-up on disjoint corpora. Scale path: cap ultra-common
-    shingles (stopword shingles) before the join to avoid skew.
+    no quadratic blow-up on disjoint corpora.
+
+    ``max_doc_freq`` is the skew cap: a shingle appearing in more than
+    this many documents (boilerplate headers, stopword runs) is dropped
+    from BOTH the intersection and the per-doc set sizes before the
+    self-join, i.e. Jaccard is computed exactly over the filtered shingle
+    space. This is the scale guard — one boilerplate shingle shared by
+    10⁶ docs would otherwise emit ~10¹² join rows in a single shuffle
+    partition; capped, the join's per-key fan-out is ≤ cap², and the
+    dropped shingles carry no discriminating signal anyway. ``None``
+    (default) computes exact unfiltered Jaccard.
 
     Shingle strings are collapsed to 64-bit xxhash keys before the
     self-join: the shuffled join key is 8 bytes instead of ~8·n chars,
@@ -126,7 +136,18 @@ def ngram_jaccard_pairs(
     # self-join sides + the per-doc sizes), and only the self-join pair
     # gets a ReusedExchange — without persist the tokenize+explode+distinct
     # pipeline runs twice
-    sh = word_shingle_hashes(df, text_col, id_col, n).persist()
+    sh = word_shingle_hashes(df, text_col, id_col, n)
+    if max_doc_freq is not None:
+        # doc-frequency per shingle is a map-side-combinable count on the
+        # same key the self-join shuffles on; the filter drops skewed keys
+        # BEFORE they fan out. Sizes are computed from the filtered set so
+        # the Jaccard denominator matches the filtered intersection.
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        sh = (
+            sh.join(freq.where(F.col("__df") <= max_doc_freq), "shingle")
+            .select(id_col, "shingle")
+        )
+    sh = sh.persist()
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.select(F.col(id_col).alias("left_id"), "shingle")
     b = sh.select(F.col(id_col).alias("right_id"), "shingle")

@@ -69,6 +69,13 @@ class RuleCompiler:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self._occ = itertools.count()
+        # optional (pred, positions) -> DataFrame|None hook: fixpoint loops
+        # install it so a non-broadcastable static joined on known key
+        # positions is swapped for a pre-shuffled + pre-sorted persisted
+        # copy (the Spark analogue of the reference's once-built hashed
+        # build side, ShuffleHashJoin.scala:35-88) — every iteration then
+        # exchanges only the delta side
+        self.static_shuffle = None
 
     # ------------------------------------------------------------ terms
     def _term_col(self, term, env: dict) -> Column:
@@ -153,6 +160,10 @@ class RuleCompiler:
         pending: list = []
         sort_spec: SortSpec | None = None
         limit_n: int | None = None
+        # the first body atom, while acc is still exactly that one renamed
+        # relation — a right-linear rule (static first, delta second) can
+        # then swap the ACC side for the pre-shuffled static copy too
+        first_atom: Atom | None = None
 
         occurrence = itertools.count()
         for lit in rule.body:
@@ -160,9 +171,39 @@ class RuleCompiler:
                 adf, aenv = self._load_atom(lit, resolve(lit.pred, next(occurrence)))
                 if acc is None:
                     acc, env = adf, aenv
+                    first_atom = lit
                 else:
                     shared = [v for v in aenv if v in env]
                     if shared:
+                        if self.static_shuffle is not None:
+                            # join-key POSITIONS in each side's relation are
+                            # now known — give the fixpoint a chance to swap
+                            # in its pre-shuffled persisted copy of a large
+                            # static (the hook returns None for clique
+                            # preds, broadcastable statics, and non-statics)
+                            if first_atom is not None:
+                                apos = tuple(
+                                    sorted(
+                                        int(env[v].rsplit("_", 1)[1])
+                                        for v in shared
+                                    )
+                                )
+                                repl0 = self.static_shuffle(
+                                    first_atom.pred, apos
+                                )
+                                if repl0 is not None:
+                                    acc, env = self._load_atom(
+                                        first_atom, repl0
+                                    )
+                            positions = tuple(
+                                sorted(
+                                    int(aenv[v].rsplit("_", 1)[1])
+                                    for v in shared
+                                )
+                            )
+                            repl = self.static_shuffle(lit.pred, positions)
+                            if repl is not None:
+                                adf, aenv = self._load_atom(lit, repl)
                         cond = None
                         for v in shared:
                             c = F.col(env[v]) == F.col(aenv[v])
@@ -172,6 +213,7 @@ class RuleCompiler:
                         acc = acc.crossJoin(adf)
                     for v, c in aenv.items():
                         env.setdefault(v, c)
+                    first_atom = None
             elif isinstance(lit, SortSpec):
                 sort_spec = lit
             elif isinstance(lit, LimitSpec):

@@ -133,6 +133,10 @@ class BigDatalogContext:
         self._relations: dict[str, DataFrame] = {}
         self._cache: dict[str, DataFrame] = {}
         self._persisted_statics: dict[int, DataFrame] = {}
+        # (static plan id, join-key positions) -> repartitioned + sorted +
+        # persisted copy, built once per query and re-probed every fixpoint
+        # iteration (reference ShuffleHashJoin.scala:35-88 build-side reuse)
+        self._shuffled_statics: dict[tuple, DataFrame] = {}
         self._analyzed: AnalyzedProgram | None = None
 
     # ------------------------------------------------------------- loading
@@ -194,12 +198,13 @@ class BigDatalogContext:
         self.program = Program()
         self._relations.clear()
         self._cache.clear()
-        for df in self._persisted_statics.values():
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        self._persisted_statics.clear()
+        for store in (self._persisted_statics, self._shuffled_statics):
+            for df in store.values():
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            store.clear()
         self._analyzed = None
 
     # ------------------------------------------------------------- querying
@@ -382,6 +387,7 @@ class BigDatalogContext:
         sub._relations = self._relations
         sub._cache = self._cache
         sub._persisted_statics = self._persisted_statics
+        sub._shuffled_statics = self._shuffled_statics
         sub._analyzed = analyze(sub.program)
         return sub._pred_df(guarded_name)
 
@@ -592,6 +598,47 @@ class BigDatalogContext:
         if 0 <= size <= self.config.broadcast_max_bytes:
             return F.broadcast(df)
         return df
+
+    def _make_static_shuffle(self, static_df, clique_preds):
+        """RuleCompiler.static_shuffle hook for one fixpoint's step compiles.
+
+        For a static side ABOVE the broadcast gate, returns a persisted copy
+        repartitioned AND sorted on the actual join-key positions — the
+        Spark-frame analogue of the reference's once-built hashed relation
+        (ShuffleHashJoin.scala:35-88: build once, re-probe per iteration).
+        The cached InMemoryTableScan reports that hash partitioning and
+        ordering, so every later iteration's sort-merge join exchanges and
+        sorts ONLY the delta side; without it the (persisted but
+        unpartitioned) static re-shuffles and re-sorts each iteration.
+        Returns None for clique predicates (delta/all sides) and statics
+        small enough to broadcast — broadcast beats co-partitioning there."""
+
+        def hook(pred, positions):
+            if pred in clique_preds:
+                return None
+            df = static_df(pred)
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                size = -1
+            if self.config.broadcast_static_side and (
+                0 <= size <= self.config.broadcast_max_bytes
+            ):
+                return None
+            ckey = (id(df._jdf), positions)
+            if ckey not in self._shuffled_statics:
+                n = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                cols = [df.columns[i] for i in positions]
+                self._shuffled_statics[ckey] = (
+                    df.repartition(n, *cols)
+                    .sortWithinPartitions(*cols)
+                    .persist()
+                )
+            return self._shuffled_statics[ckey]
+
+        return hook
 
     # ---------------------------------------------- decomposable (GPS) path
     def _linear_clique_shape(self, clique: Clique) -> bool:
@@ -853,6 +900,8 @@ class BigDatalogContext:
                 )
                 exit_dfs[pred] = self.spark.createDataFrame([], schema)
 
+        shuffle_hook = self._make_static_shuffle(static_df, clique_set)
+
         def step(all_dfs: dict, delta_dfs: dict) -> dict:
             cands: dict[str, DataFrame] = {}
             for pred in clique.preds:
@@ -869,6 +918,7 @@ class BigDatalogContext:
                             return self._maybe_broadcast(static_df(p))
 
                         rc = RuleCompiler(self.spark)
+                        rc.static_shuffle = shuffle_hook
                         body = rc.compile_body(rule, rel)
                         variants.append(project(rc, rule, body))
                 cands[pred] = union_all(variants) if variants else None
@@ -992,6 +1042,8 @@ class BigDatalogContext:
                 )
                 exit_dfs[pred] = self.spark.createDataFrame([], schema)
 
+        shuffle_hook = self._make_static_shuffle(static_df, clique_set)
+
         def step(all_dfs: dict, delta_dfs: dict) -> dict:
             cands: dict[str, DataFrame] = {}
             for pred in clique.preds:
@@ -1011,6 +1063,7 @@ class BigDatalogContext:
                             return self._maybe_broadcast(static_df(p))
 
                         rc = RuleCompiler(self.spark)
+                        rc.static_shuffle = shuffle_hook
                         body = rc.compile_body(rule, rel)
                         variants.append(rc.project_head(rule, body, distinct=False))
                 cands[pred] = union_all(variants) if variants else None
@@ -1062,6 +1115,8 @@ class BigDatalogContext:
             )
         exit_df = union_all(exit_pre)
 
+        shuffle_hook = self._make_static_shuffle(static_df, {pred})
+
         def step(all_df: DataFrame, delta_df: DataFrame) -> DataFrame:
             variants = []
             for rule in clique.recursive_rules[pred]:
@@ -1073,6 +1128,7 @@ class BigDatalogContext:
                         return self._maybe_broadcast(static_df(p))
 
                     rc = RuleCompiler(self.spark)
+                    rc.static_shuffle = shuffle_hook
                     body = rc.compile_body(rule, rel)
                     variants.append(rc.pre_aggregate_projection(rule, body))
             return union_all(variants) if variants else None

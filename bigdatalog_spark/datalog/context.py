@@ -641,23 +641,33 @@ class BigDatalogContext:
         return hook
 
     # ---------------------------------------------- decomposable (GPS) path
-    def _linear_clique_shape(self, clique: Clique) -> bool:
-        """True when every recursive rule in the clique has exactly one
-        clique atom (linear — every derivation chain traces to ONE seed
-        tuple) and no negation/sort/limit inside the recursion. The
-        precondition for any partition-local evaluation mode."""
+    def _local_clique_shape(self, clique: Clique) -> str | None:
+        """'linear' | 'nonlinear' | None for partition-local evaluation.
+
+        linear: every recursive rule has exactly one clique atom — every
+        derivation chain traces to ONE seed tuple, so seeds may be SLICED
+        across tasks. nonlinear: some rule has several clique atoms —
+        derivations combine tuples across seeds, so local evaluation is
+        sound only with ALL seeds in one task (single slice). None:
+        negation/sort/limit inside the recursion — no local mode."""
         any_rules = False
+        nonlinear = False
         for pred in clique.preds:
             for rule in clique.recursive_rules[pred]:
                 any_rules = True
                 if len(self._rule_clique_occurrences(rule, clique)) != 1:
-                    return False
+                    nonlinear = True
                 for lit in rule.body:
                     if isinstance(lit, (SortSpec, LimitSpec)):
-                        return False
+                        return None
                     if isinstance(lit, Atom) and lit.negated:
-                        return False
-        return any_rules
+                        return None
+        if not any_rules:
+            return None
+        return "nonlinear" if nonlinear else "linear"
+
+    def _linear_clique_shape(self, clique: Clique) -> bool:
+        return self._local_clique_shape(clique) == "linear"
 
     def _clique_static_preds(self, clique: Clique) -> list:
         return sorted(
@@ -749,14 +759,20 @@ class BigDatalogContext:
         Mode 1 (pivot): single-pred clique with a stable pivot — partition
         the seed by pivot, unbounded seed size. Mode 2 (seed-broadcast):
         any linear clique whose TOTAL seed is small — slice seeds
-        round-robin, rerun per slice, re-distinct globally."""
-        if not self._linear_clique_shape(clique):
+        round-robin, rerun per slice, re-distinct globally. Mode 3
+        (non-linear seed-broadcast): small-seed non-linear clique — the
+        whole fixpoint runs in ONE task (slicing is unsound when a
+        derivation combines tuples from different seeds' closures), the
+        same single-job trade the mixed-clique path makes
+        (FixedPointResultTask.scala:44-106 covers these too)."""
+        shape = self._local_clique_shape(clique)
+        if shape is None:
             return None
         statics = self._local_statics(self._clique_static_preds(clique))
         if statics is None:
             return None
 
-        info = self._decomposable_info(clique)
+        info = self._decomposable_info(clique) if shape == "linear" else None
         if info is not None:
             pivot_idx, _ = info
             pred = clique.preds[0]
@@ -794,6 +810,7 @@ class BigDatalogContext:
                     rules_by_pred,
                     clique.preds,
                     statics,
+                    num_slices=1 if shape == "nonlinear" else None,
                 )
             )
             for pred in clique.preds

@@ -142,23 +142,41 @@ def _apply_comparison_pd(lit: Comparison, acc, env: dict, counter):
     return True, acc[cond]
 
 
-def _eval_rule_pd(rule, clique_preds, delta, statics, pre_aggregate: bool):
-    """Evaluate one linear recursive rule over pandas frames.
+def _eval_rule_pd(
+    rule,
+    clique_preds,
+    delta,
+    statics,
+    pre_aggregate: bool,
+    all_frames=None,
+    delta_occ: int = 0,
+):
+    """Evaluate one recursive rule over pandas frames.
 
-    The single clique-predicate occurrence reads its entry in ``delta``
-    (pred -> frame); every other atom reads ``statics``. Returns a frame
-    with canonical head columns c0..cn (``pre_aggregate`` projects AggTerm
-    args raw, for the monotonic loop — compiler.pre_aggregate_projection
-    semantics)."""
+    Clique-predicate occurrence number ``delta_occ`` reads its entry in
+    ``delta`` (pred -> frame); other clique occurrences read ``all_frames``
+    (the accumulated sets — the semi-naive variant scheme for non-linear
+    rules; defaults to ``delta`` which is only correct for linear rules
+    where there are no other occurrences); every non-clique atom reads
+    ``statics``. Returns a frame with canonical head columns c0..cn
+    (``pre_aggregate`` projects AggTerm args raw, for the monotonic loop —
+    compiler.pre_aggregate_projection semantics)."""
     import pandas as pd
 
+    if all_frames is None:
+        all_frames = delta
     occ = itertools.count()
+    cocc = itertools.count()  # clique-occurrence counter (delta vs all)
     acc = None
     env: dict[str, str] = {}
     pending: list = []
     for lit in rule.body:
         if isinstance(lit, Atom) and not lit.negated:
-            src = delta[lit.pred] if lit.pred in clique_preds else statics[lit.pred]
+            if lit.pred in clique_preds:
+                use_delta = next(cocc) == delta_occ
+                src = delta[lit.pred] if use_delta else all_frames[lit.pred]
+            else:
+                src = statics[lit.pred]
             adf, aenv = _load_atom_pd(lit, src, next(occ))
             if acc is None:
                 acc, env = adf, dict(aenv)
@@ -243,10 +261,20 @@ def _run_seminaive_pd(seed, rules, clique_preds, statics):
     )[pred]
 
 
+def _clique_occurrence_count(rule, clique_preds) -> int:
+    return sum(
+        1
+        for lit in rule.body
+        if isinstance(lit, Atom) and not lit.negated and lit.pred in clique_preds
+    )
+
+
 def _run_seminaive_multi_pd(seeds, rules_by_pred, clique_preds, statics):
     """In-task PSN loop over one or more mutually-recursive predicates:
-    Δ'_p = T_p(Δ) − S_p; S_p = S_p ∪ Δ'_p (MutualRecursion.scala:28-131
-    semantics, linear rules so each rule reads exactly one delta)."""
+    Δ'_p = T_p(Δ, S) − S_p; S_p = S_p ∪ Δ'_p (MutualRecursion.scala:28-131
+    semantics). Non-linear rules expand to one variant per clique
+    occurrence (occurrence j reads Δ, the rest read the accumulated set —
+    the same scheme the distributed step compiler uses)."""
     import pandas as pd
 
     cols = {p: list(df.columns) for p, df in seeds.items()}
@@ -260,8 +288,12 @@ def _run_seminaive_multi_pd(seeds, rules_by_pred, clique_preds, statics):
         for p in all_:
             rules = rules_by_pred.get(p, [])
             cands = [
-                _eval_rule_pd(r, clique_preds, delta, statics, False)
+                _eval_rule_pd(
+                    r, clique_preds, delta, statics, False,
+                    all_frames=all_, delta_occ=j,
+                )
                 for r in rules
+                for j in range(max(1, _clique_occurrence_count(r, clique_preds)))
             ]
             if not cands:
                 new_delta[p] = all_[p].iloc[0:0]
@@ -470,7 +502,7 @@ def seed_broadcast_seminaive(
     statics: dict,
     num_slices: int | None = None,
 ) -> DataFrame:
-    """Small-seed local fixpoint for linear cliques WITHOUT a stable pivot
+    """Small-seed local fixpoint for cliques WITHOUT a stable pivot
     (single-source reachability, mutual even/odd, ...).
 
     Linearity means every derivation chain traces back to exactly ONE seed
@@ -480,6 +512,12 @@ def seed_broadcast_seminaive(
     parallelized slice-id range. Slices may re-derive the same tuple, so
     the caller must re-distinct (or re-aggregate) the union — one shuffle,
     versus one-plus jobs per iteration on the distributed path.
+
+    NON-LINEAR cliques must pass ``num_slices=1``: a non-linear derivation
+    combines tuples from different seeds' closures, so the slicing
+    identity above does not hold and the whole fixpoint has to see every
+    seed in one task (the in-task loop itself handles non-linear rules via
+    per-occurrence delta variants).
 
     ``seeds``: pred -> (driver pandas frame, Spark schema). Returns the
     fixpoint of ``out_pred`` only; other preds' results are discarded

@@ -957,6 +957,239 @@ def q22_global_sales_opportunity(spark, sf_dir):
     )
 
 
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: shipping volume between two nation pairs by year —
+    a 5-way join where both nation dims broadcast and the pair predicate
+    is a disjunction over the two broadcast columns."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    n1 = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of regional revenue per year —
+    conditional aggregation (sum of CASE) over a star join."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+        F.col("n_regionkey").alias("sn_region"),
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(18,4)"
+    )
+    zero = F.lit(0).cast("decimal(18,4)")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(r), F.col("sn_region") == r.r_regionkey)
+        .where(F.col("r_name") == "EUROPE")
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        # exact decimal sums (order-independent), ratio taken in double —
+        # both engines divide the SAME two doubles, so round(.,6) agrees
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_6", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: profit by supplier nation and year over a
+    name-filtered part slice (LIKE predicate pushed to the part scan;
+    cost proxied by p_retailprice since the schema has no partsupp)."""
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%"))
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.8) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(18,4)")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(profit), 2).cast("double").alias("sum_profit"))
+    )
+
+
+def q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape: late-shipment counts split by order priority —
+    conditional counts over a date-lag filter (l_shipdate more than 60
+    days after o_orderdate stands in for the missing commit/receipt
+    dates)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(l.l_shipdate > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue — an
+    aggregate view joined against its own scalar max (the revenue view is
+    computed once and reused via self-agg, not recomputed per row)."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = l.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue") == F.col("mx"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q19_disjunctive_filter(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under a disjunction of brand/quantity/size
+    conjunctions — the OR-of-ANDs must still prune at the scans (each arm
+    references both sides, so the filter sits on the joined stream but the
+    shared p/l prefilters push down)."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    j = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    arm1 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+        & (F.col("p_size").between(1, 5))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#9")
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+        & (F.col("p_size").between(1, 10))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#15")
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+        & (F.col("p_size").between(1, 15))
+    )
+    return j.where(arm1 | arm2 | arm3).agg(
+        F.round(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+def q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY late shipper on a
+    multi-supplier order — EXISTS (another supplier on the order) plus
+    NOT EXISTS (another LATE supplier on the order): a left-semi and a
+    left-anti against two slices of the same fact table."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    l = load_table(spark, sf_dir, "lineitem")
+    late = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .where(l.l_shipdate > F.date_add(F.col("o_orderdate"), 60))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    allsupp = l.select(
+        F.col("l_orderkey").alias("a_okey"), F.col("l_suppkey").alias("a_skey")
+    ).distinct()
+    other_exists = late.join(
+        allsupp,
+        (F.col("l_orderkey") == F.col("a_okey"))
+        & (F.col("l_suppkey") != F.col("a_skey")),
+        "left_semi",
+    )
+    other_late = late.select(
+        F.col("l_orderkey").alias("b_okey"), F.col("l_suppkey").alias("b_skey")
+    )
+    only_late = other_exists.join(
+        other_late,
+        (F.col("l_orderkey") == F.col("b_okey"))
+        & (F.col("l_suppkey") != F.col("b_skey")),
+        "left_anti",
+    )
+    return (
+        only_late.join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
+        .limit(20)
+    )
+
+
 def q_exists_semijoin(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -1645,6 +1878,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampling family to the front so every query accrues a driver-issued
     # green row across rounds.
     return {
+        "q7_nation_volume": q7_nation_volume,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q12_priority_lines": q12_priority_lines,
+        "q15_top_supplier": q15_top_supplier,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        "q21_waiting_supplier": q21_waiting_supplier,
         "q_value_percentiles_approx": q_value_percentiles_approx,
         "q_running_avg": q_running_avg,
         "q_asof_purchase": q_asof_purchase,
@@ -2244,6 +2484,108 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "q7_nation_volume": """
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation sn ON s_nationkey = sn.n_nationkey
+            JOIN nation cn ON c_nationkey = cn.n_nationkey
+            WHERE (sn.n_name = 'NATION_3' AND cn.n_name = 'NATION_7')
+               OR (sn.n_name = 'NATION_7' AND cn.n_name = 'NATION_3')
+            GROUP BY 1, 2, 3
+        """,
+        "q8_market_share": """
+            SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   round(
+                     CAST(sum(CASE WHEN n_name = 'NATION_6'
+                              THEN CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))
+                              ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+                     / CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                            AS DECIMAL(18,4))) AS DOUBLE), 6) AS mkt_share
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        - 0.8 * p_retailprice * l_quantity
+                        AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_profit
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%gear%'
+            GROUP BY 1, 2
+        """,
+        "q12_priority_lines": """
+            SELECT l_returnflag,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+            GROUP BY l_returnflag
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+              SELECT l_suppkey AS supplier_no,
+                     CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_revenue
+              FROM lineitem
+              WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+              GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON supplier_no = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        """,
+        "q19_disjunctive_filter": """
+            SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                        AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#3' AND l_quantity BETWEEN 1 AND 11
+                   AND p_size BETWEEN 1 AND 5)
+               OR (p_brand = 'Brand#9' AND l_quantity BETWEEN 10 AND 20
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#15' AND l_quantity BETWEEN 20 AND 30
+                   AND p_size BETWEEN 1 AND 15)
+        """,
+        "q21_waiting_supplier": """
+            WITH late AS (
+              SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+              WHERE o_orderstatus = 'F'
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY),
+            allsupp AS (
+              SELECT DISTINCT l_orderkey AS a_okey, l_suppkey AS a_skey
+              FROM lineitem)
+            SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM late t
+            JOIN supplier ON t.l_suppkey = s_suppkey
+            WHERE EXISTS (SELECT 1 FROM allsupp a
+                          WHERE a.a_okey = t.l_orderkey
+                            AND a.a_skey <> t.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM late b
+                              WHERE b.l_orderkey = t.l_orderkey
+                                AND b.l_suppkey <> t.l_suppkey)
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name ASC
+            LIMIT 20
         """,
         # bound-check oracle: the Spark side emits booleans asserting the
         # sketch value sits between the exact q±0.005 quantiles; the oracle

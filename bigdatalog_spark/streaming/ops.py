@@ -176,9 +176,19 @@ def stream_dedup(
     return events.dropDuplicates(keys)
 
 
-def stream_events_from_files(spark, path: str, schema) -> DataFrame:
-    """File-source stream over a directory of parquet/json drops."""
-    return spark.readStream.schema(schema).parquet(path)
+def stream_events_from_files(
+    spark, path: str, schema, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over a directory of parquet/json drops.
+
+    ``max_files_per_trigger=1`` processes one file per micro-batch in
+    modification-time order — the deterministic way to replay an ordered
+    sequence of drops (e.g. to observe watermark advancement between
+    batches in tests)."""
+    r = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.parquet(path)
 
 
 def write_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):

@@ -123,6 +123,60 @@ def test_interval_join_stream(spark):
     assert got == want and len(want) > 0
 
 
+def test_watermark_drops_late_rows(spark):
+    """Late-data semantics: an event older than the watermark arriving in a
+    later micro-batch is DROPPED from its (already finalized) window.
+
+    Three single-file micro-batches (maxFilesPerTrigger=1, mtime order):
+    (1) three 10:xx clicks + a 13:00 click; (2) a 14:00 click — the batch
+    that APPLIES watermark 12:00, finalizing+emitting the [10:00, 11:00)
+    window (eviction happens at the end of the batch that applies the new
+    watermark, so the advancing and finalizing events must be separate
+    batches); (3) a late 10:45 click — behind watermark 13:00, dropped."""
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+
+    def rows(*hm):
+        return [(datetime(2024, 1, 1, h, m), "click", 1.0) for h, m in hm]
+
+    with tempfile.TemporaryDirectory() as d:
+        batches = [
+            rows((10, 5), (10, 20), (10, 40), (13, 0)),
+            rows((14, 0)),
+            rows((10, 45)),  # late: watermark is 13:00 when this arrives
+        ]
+        for b in batches:
+            spark.createDataFrame(b, schema).coalesce(1).write.mode(
+                "append"
+            ).parquet(f"{d}/in")
+            _time.sleep(1.2)  # distinct mtimes -> deterministic batch order
+
+        s = stream_events_from_files(
+            spark, f"{d}/in", schema, max_files_per_trigger=1
+        )
+        out = windowed_event_counts(s, "1 hour", watermark="1 hour")
+        q = write_memory_sink(out, "late_test", "append")
+        q.awaitTermination(120)
+        got = {
+            (r["window_start"].hour, r["n_events"])
+            for r in spark.table("late_test").collect()
+        }
+    # the 10:00 window finalized with exactly 3 events; the late 10:45 row
+    # left no trace (no re-opened window, no 4-count). The 13:00/14:00
+    # windows are still open at end-of-stream, withheld by append mode.
+    assert got == {(10, 3)}
+
+
 def test_stream_dedup_within_watermark(spark):
     """Streaming dedup drops key repeats; survivors = distinct keys."""
     from bigdatalog_spark.streaming.ops import stream_dedup

@@ -819,7 +819,8 @@ class BigDatalogContext:
     def _try_local_monotonic(
         self, clique: Clique, exit_df: DataFrame, step, key_cols, value_col, func
     ):
-        if not self._linear_clique_shape(clique):
+        shape = self._local_clique_shape(clique)
+        if shape is None:
             return None
         statics = self._local_statics(self._clique_static_preds(clique))
         if statics is None:
@@ -828,7 +829,7 @@ class BigDatalogContext:
         probe = step(exit_df, exit_df)
         seed = _widen_seed(exit_df, probe)
 
-        info = self._decomposable_info(clique)
+        info = self._decomposable_info(clique) if shape == "linear" else None
         if info is not None:
             pivot_idx, _ = info
             out = local_monotonic_fixpoint(
@@ -858,6 +859,9 @@ class BigDatalogContext:
             key_cols,
             value_col,
             func,
+            # non-linear: a derivation combines tuples across seeds, so
+            # the whole fixpoint must see every seed in one task
+            num_slices=1 if shape == "nonlinear" else None,
         )
         return self._checkpointed(out)
 
@@ -975,8 +979,10 @@ class BigDatalogContext:
     def _try_local_mixed(self, clique: Clique, exit_dfs: dict, step, agg_specs):
         """Single-task local evaluation of a small-seed mixed clique (no
         slicing — additive thresholds need global counts; see
-        seed_broadcast_mixed). None when the shape/size gates fail."""
-        if not self._linear_clique_shape(clique):
+        seed_broadcast_mixed). None when the shape/size gates fail.
+        Non-linear rules are fine here: the whole fixpoint already runs in
+        one task, and the local loop expands per-occurrence variants."""
+        if self._local_clique_shape(clique) is None:
             return None
         statics = self._local_statics(self._clique_static_preds(clique))
         if statics is None:

@@ -356,8 +356,12 @@ def _run_mixed_pd(seeds, rules_by_pred, clique_preds, statics, agg_specs):
         new_delta = {}
         for p in all_:
             cands = [
-                _eval_rule_pd(r, clique_preds, delta, statics, p in agg_specs)
+                _eval_rule_pd(
+                    r, clique_preds, delta, statics, p in agg_specs,
+                    all_frames=all_, delta_occ=j,
+                )
                 for r in rules_by_pred.get(p, [])
+                for j in range(max(1, _clique_occurrence_count(r, clique_preds)))
             ]
             cands = [c for c in cands if len(c)]
             if not cands:
@@ -428,8 +432,16 @@ def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_co
     delta = table
     while len(delta):
         dmap = {p: delta for p in clique_preds}
+        amap = {p: table for p in clique_preds}
+        # non-linear rules expand to per-occurrence delta variants
+        # (occurrence j reads the improved rows, the rest read the table)
         cands = [
-            _eval_rule_pd(r, clique_preds, dmap, statics, True) for r in rules
+            _eval_rule_pd(
+                r, clique_preds, dmap, statics, True,
+                all_frames=amap, delta_occ=j,
+            )
+            for r in rules
+            for j in range(max(1, _clique_occurrence_count(r, clique_preds)))
         ]
         new = pd.concat(cands, ignore_index=True)
         if not len(new):

@@ -1190,6 +1190,17 @@ def q21_waiting_supplier(spark, sf_dir):
     )
 
 
+def q_shard_manifest(spark, sf_dir):
+    """Training-shard export manifest: per-shard row/token budgets from the
+    deterministic md5 shard assignment (operators/io.py). A pure
+    map-side expression + one keyed count — the planning table a training
+    loader schedules from, recomputable by any engine (the oracle does)."""
+    from bigdatalog_spark.operators.io import shard_manifest
+
+    d = load_table(spark, sf_dir, "documents")
+    return shard_manifest(d, num_shards=8)
+
+
 def q_exists_semijoin(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
@@ -1878,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampling family to the front so every query accrues a driver-issued
     # green row across rounds.
     return {
+        "q_shard_manifest": q_shard_manifest,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
@@ -2484,6 +2496,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "q_shard_manifest": """
+            WITH a AS (
+              SELECT doc_id,
+                     CAST(floor(
+                       (('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)),
+                         1, 8))::BIGINT / 4294967296.0) * 8) AS INTEGER)
+                       AS shard,
+                     len(list_filter(
+                       string_split_regex(trim(text), '\\s+'),
+                       t -> t != '')) AS toks
+              FROM documents)
+            SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(toks) AS BIGINT) AS n_tokens
+            FROM a GROUP BY shard ORDER BY shard
         """,
         "q7_nation_volume": """
             SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,

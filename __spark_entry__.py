@@ -1190,6 +1190,29 @@ def q21_waiting_supplier(spark, sf_dir):
     )
 
 
+def q_subword_tokens(spark, sf_dir):
+    """Token budgets per source with the BPE-ish run counter next to the
+    whitespace counter — the fidelity gap between them is exactly the
+    punctuation/digit-boundary token mass a subword tokenizer adds."""
+    from bigdatalog_spark.functions.text import subword_token_count, token_count
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(subword_token_count("text")).alias("subword_tokens"),
+        F.sum(token_count("text")).alias("ws_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Top-3 tf-idf terms per document (inverted-index shape) over a
+    bounded doc slice."""
+    from bigdatalog_spark.functions.text import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return tfidf_top_terms(d, k=3)
+
+
 def q_shard_manifest(spark, sf_dir):
     """Training-shard export manifest: per-shard row/token budgets from the
     deterministic md5 shard assignment (operators/io.py). A pure
@@ -1889,6 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # sampling family to the front so every query accrues a driver-issued
     # green row across rounds.
     return {
+        "q_subword_tokens": q_subword_tokens,
+        "q_tfidf_topk": q_tfidf_topk,
         "q_shard_manifest": q_shard_manifest,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
@@ -2496,6 +2521,40 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "q_subword_tokens": """
+            SELECT source,
+                   CAST(sum(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))) AS BIGINT)
+                     AS subword_tokens,
+                   CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                     AS BIGINT) AS ws_tokens,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        """,
+        "q_tfidf_topk": """
+            WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+            n AS (SELECT count(*) AS n_docs FROM d),
+            tf AS (
+              SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id,
+                           unnest(string_split_regex(lower(trim(text)),
+                             '\\s+')) AS term
+                    FROM d)
+              WHERE term != ''
+              GROUP BY doc_id, term),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT doc_id, tf.term, tf,
+                     round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6)
+                       AS score
+              FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+            SELECT doc_id, term, tf, score,
+                   CAST(rank AS INTEGER) AS rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                    ORDER BY score DESC, term ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 3
         """,
         "q_shard_manifest": """
             WITH a AS (

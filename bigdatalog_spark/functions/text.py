@@ -43,6 +43,25 @@ def char_count(col: Column | str) -> Column:
     return F.length(c)
 
 
+# BPE-style pretokenizer classes: letter runs, digit runs, punctuation
+# runs (GPT-2's pattern minus the lookahead RE2 can't express — keeps the
+# count portable to DuckDB/Trino for oracles). A letter-digit boundary or
+# any punctuation starts a new token, which is what makes this a closer
+# proxy for subword-tokenizer budget than whitespace counting.
+_SUBWORD_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def subword_token_count(col: Column | str) -> Column:
+    """BPE-ish token count: number of letter/digit/punctuation runs.
+
+    Tracks subword-tokenizer budgets far better than whitespace counting
+    ("don't!" = 1 whitespace token but 4 runs: don ' t !), while staying a
+    pure JVM-side regexp over the scan — the right fidelity/cost point for
+    scheduling token budgets over 100 TB without running a real tokenizer."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_SUBWORD_RE), F.lit(0)))
+
+
 def punct_ratio(col: Column | str) -> Column:
     """Fraction of characters that are not alphanumeric/space."""
     c = F.col(col) if isinstance(col, str) else col
@@ -163,6 +182,65 @@ def repetition_stats(
                 6,
             ).alias("top_bigram_frac"),
         )
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k terms per document by tf·idf — the inverted-index shape.
+
+    tf = term count in the doc; idf = ln((N+1)/(df+1)) + 1 (smoothed,
+    sklearn-style); score = tf·idf, ranked per doc (score desc, term asc —
+    deterministic). Every number is a per-row product of exactly two
+    deterministic doubles (no float accumulation), so the result is
+    engine-portable and oracle-checkable.
+
+    Plan at scale: explode → (doc, term) count [partial+final agg] →
+    term doc-frequency [map-side-combinable count on the term key the
+    previous agg already produced] → join tf×idf on term (vocab is tiny
+    next to the posting list — broadcasts under the gate) → per-doc top-k
+    window keyed on doc_id. Three uniform-key shuffles, no skew hazard
+    beyond stopword terms, which the idf weighting already demotes —
+    cap-filter terms by df first if a true stopword explosion matters.
+
+    Returns (id_col, term, tf, score, rank).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(docfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1.0) / (F.col("df") + 1.0))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
     )
 
 

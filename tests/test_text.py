@@ -62,3 +62,41 @@ def test_text_profile_schema_and_rowcount(spark):
         "doc_id", "n_chars_computed", "n_tokens", "punct_ratio",
         "stopword_ratio", "quality", "lang_pred", "fp",
     }
+
+
+def test_subword_token_count_runs(spark):
+    from bigdatalog_spark.functions.text import subword_token_count
+
+    df = spark.createDataFrame(
+        [(1, "don't stop!"), (2, "abc123 x"), (3, ""), (4, "   ")],
+        ["id", "t"],
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", subword_token_count("t").alias("n")).collect()
+    }
+    # don't stop! -> don ' t stop !  = 5 runs; abc123 x -> abc 123 x = 3
+    assert got == {1: 5, 2: 3, 3: 0, 4: 0}
+
+
+def test_tfidf_top_terms_ranking(spark):
+    from bigdatalog_spark.functions.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "banana cherry common"),
+            (3, "cherry cherry cherry common"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tfidf_top_terms(df, k=2)
+    rows = {(r["doc_id"], r["rank"]): (r["term"], r["tf"]) for r in out.collect()}
+    # every doc contributes exactly k rows
+    assert len(rows) == 6
+    # doc 1: 'apple' (tf 2, df 1) outranks everything else
+    assert rows[(1, 1)] == ("apple", 2)
+    # doc 3: 'cherry' tf 3 dominates; 'common' (df 3 -> lowest idf) is
+    # never rank 1 anywhere
+    assert rows[(3, 1)] == ("cherry", 3)
+    assert all(term != "common" for (d, rk), (term, _) in rows.items() if rk == 1)

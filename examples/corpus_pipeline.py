@@ -7,7 +7,8 @@ fuses/prunes across stage boundaries and every stage's scale shape
 
   quality filter → exact dedup → near-dup clusters (MinHash+LSH →
   star-contraction CC → keep canonical) → benchmark decontamination →
-  deterministic split → mixture sampling → chunking → packing
+  deterministic split → mixture sampling → chunking → packing →
+  sharded training export (one file per shard + token manifest)
 
 Usage:
   python examples/corpus_pipeline.py [sf_dir]           # default sf0.01
@@ -80,10 +81,22 @@ def main() -> None:
     n6 = packed.count()
     n_packs = packed.select("pack_id").distinct().count()
 
+    # 7. sharded export: deterministic layout + per-shard token manifest
+    import tempfile
+
+    from bigdatalog_spark.operators.io import shard_manifest, write_training_shards
+
+    with tempfile.TemporaryDirectory() as out:
+        write_training_shards(train, f"{out}/shards", num_shards=4)
+        manifest = shard_manifest(train, num_shards=4).collect()
+    n_shards = len(manifest)
+    total_tokens = sum(r["n_tokens"] for r in manifest)
+
     print(
         f"input {n0} -> quality {n1} -> exact-dedup {n2} -> near-dedup {n3}"
         f" -> decontaminated {n4} -> train-mixture {n5}"
         f" -> {n6} chunks in {n_packs} packs"
+        f" -> {n_shards} shards / {total_tokens} tokens"
         f"  ({time.time() - t0:.1f}s)"
     )
 

@@ -1278,6 +1278,58 @@ def q_sliding_windows(spark, sf_dir):
     )
 
 
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen week, counted by
+    distinct active users per weeks-since-cohort offset. Two keyed
+    aggregations (first-seen per user; distinct users per cohort×offset)
+    and one user-keyed join — the canonical product-analytics rollup."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("week", F.min("ts"))).alias("cohort_week")
+    )
+    active = e.select(
+        "user_id", F.to_date(F.date_trunc("week", F.col("ts"))).alias("active_week")
+    ).distinct()
+    return (
+        active.join(first_seen, "user_id")
+        .groupBy("cohort_week")
+        .agg(
+            F.count_distinct("user_id").alias("cohort_size"),
+            F.count_distinct(
+                F.when(
+                    F.datediff("active_week", "cohort_week") == 7,
+                    F.col("user_id"),
+                )
+            ).alias("week1_retained"),
+            F.count_distinct(
+                F.when(
+                    F.datediff("active_week", "cohort_week") == 28,
+                    F.col("user_id"),
+                )
+            ).alias("week4_retained"),
+        )
+    )
+
+
+def q_countd_approx(spark, sf_dir):
+    """HyperLogLog++ distinct-user counts per event type, driver-checked
+    with the same bound-form contract as the percentile sketch: each group
+    emits a boolean asserting |approx − exact| ≤ 5% of exact (the sketch's
+    default rsd is 5%; exact countd is the oracle's pinned TRUE). The HLL
+    is the 100 TB path — partial sketches merge map-side, no distinct
+    shuffle of the raw keys."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        (
+            F.abs(
+                F.approx_count_distinct("user_id")
+                - F.count_distinct("user_id")
+            )
+            <= F.count_distinct("user_id") * 0.05
+        ).alias("countd_ok")
+    )
+
+
 def q_sessionize(spark, sf_dir):
     e = load_table(spark, sf_dir, "events")
     sess = sessionize(e, gap="30 minutes")
@@ -1914,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_subword_tokens": q_subword_tokens,
         "q_tfidf_topk": q_tfidf_topk,
+        "q_cohort_retention": q_cohort_retention,
+        "q_countd_approx": q_countd_approx,
         "q_shard_manifest": q_shard_manifest,
         "q7_nation_volume": q7_nation_volume,
         "q8_market_share": q8_market_share,
@@ -2520,6 +2574,33 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.5), 6) AS p50,
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type
+        """,
+        "q_cohort_retention": """
+            WITH fs AS (
+              SELECT user_id,
+                     CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+              FROM events GROUP BY user_id),
+            active AS (
+              SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', ts) AS DATE) AS active_week
+              FROM events)
+            SELECT cohort_week,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS cohort_size,
+                   CAST(count(DISTINCT CASE
+                     WHEN date_diff('day', cohort_week, active_week) = 7
+                     THEN a.user_id END) AS BIGINT) AS week1_retained,
+                   CAST(count(DISTINCT CASE
+                     WHEN date_diff('day', cohort_week, active_week) = 28
+                     THEN a.user_id END) AS BIGINT) AS week4_retained
+            FROM active a JOIN fs ON a.user_id = fs.user_id
+            GROUP BY cohort_week
+        """,
+        # bound-check oracle (same contract as q_value_percentiles_approx):
+        # Spark emits per-group booleans |HLL - exact| <= 5% exact; the
+        # oracle pins TRUE, so a hash match proves the sketch tolerance.
+        "q_countd_approx": """
+            SELECT event_type, TRUE AS countd_ok
             FROM events GROUP BY event_type
         """,
         "q_subword_tokens": """

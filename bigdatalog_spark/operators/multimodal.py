@@ -2,11 +2,15 @@
 
 Media are opaque `binary` columns with typed metadata structs. The
 Spark-side plumbing — schemas, Arrow-batched Pandas UDF signatures over
-mapInPandas, partition sizing — is real and tested; the actual codec work
-is STUBBED (image/audio libraries are not in this container): decode
-functions either raise NotImplementedError (strict mode) or produce a
-deterministic fake (test mode) behind the same interface, so swapping in
-Pillow/ffmpeg later changes one function body, not the pipeline.
+mapInPandas, partition sizing — is real and tested.
+
+Codec status: PNG images decode FOR REAL via the pure-stdlib codec in
+functions/png.py (zlib + struct; 8-bit grey/RGB/RGBA) — features and
+resize run on actual pixels. Other image formats and audio/video remain
+STUBBED (they need Pillow/ffmpeg-class libraries this container lacks):
+those paths raise NotImplementedError in strict mode or produce a
+deterministic byte-derived fake in test mode, behind the same interface,
+so wiring a full codec later changes one function body, not the pipeline.
 
 Scale notes: media rows are large (MBs) — operators below repartition by
 byte budget, not row count, and mapInPandas streams Arrow batches so a
@@ -42,13 +46,35 @@ FEATURE_SCHEMA = T.StructType([
 
 
 def _decode_stub(payload: bytes, kind: str, deterministic_fake: bool):
-    """STUB: real decoders (Pillow / soundfile / ffmpeg) are not available
-    in this environment. deterministic_fake=True yields a stable
-    8-dim feature from the payload bytes so pipelines are testable."""
+    """Codec boundary. PNG images decode for real (functions/png.py):
+    feature = [width, height, channels, mean, std, mean of each of the
+    first 3 channels] — 8 dims from actual pixels. Everything else is
+    stubbed: deterministic_fake=True yields a stable byte-derived
+    8-dim feature so pipelines are testable; strict mode raises."""
+    from ..functions.png import decode_png, is_png
+
+    if kind == "image" and is_png(payload):
+        import numpy as np
+
+        arr = decode_png(payload)
+        h, w, c = arr.shape
+        flat = arr.astype(np.float64)
+        chan_means = [
+            float(flat[:, :, i].mean()) if i < c else 0.0 for i in range(3)
+        ]
+        return [
+            float(w),
+            float(h),
+            float(c),
+            float(flat.mean()),
+            float(flat.std()),
+            *chan_means,
+        ]
     if not deterministic_fake:
         raise NotImplementedError(
             f"media decode for kind={kind!r} requires codec libraries not "
-            "present in this container; wire Pillow/ffmpeg here"
+            "present in this container (PNG is the natively-decoded format);"
+            " wire Pillow/ffmpeg here"
         )
     if payload is None:
         return [0.0] * 8
@@ -93,16 +119,35 @@ def extract_features(
 
 def resize_images(media: DataFrame, width: int, height: int,
                   deterministic_fake: bool = True) -> DataFrame:
-    """image resize plumbing: filters to kind='image', rewrites meta, and
-    passes payloads through the (stubbed) codec boundary."""
+    """Image resize: PNG payloads are decoded, nearest-neighbor resized,
+    and re-encoded FOR REAL (functions/png.py); non-PNG payloads pass
+    through unchanged in fake mode (meta rewritten) or raise in strict
+    mode — the Pillow seam for other formats."""
     import pandas as pd
 
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import (
+            decode_png,
+            encode_png,
+            is_png,
+            resize_nearest,
+        )
+
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError("image resize requires Pillow")
+            payloads = []
+            for p in pdf["payload"]:
+                if is_png(p):
+                    payloads.append(
+                        encode_png(resize_nearest(decode_png(p), width, height))
+                    )
+                elif deterministic_fake:
+                    payloads.append(p)  # passthrough stub for non-PNG
+                else:
+                    raise NotImplementedError(
+                        "non-PNG image resize requires Pillow"
+                    )
             meta = [
                 {"width": width, "height": height, "sample_rate": None,
                  "duration_ms": None, "codec": c.get("codec") if isinstance(c, dict) else None}
@@ -111,7 +156,7 @@ def resize_images(media: DataFrame, width: int, height: int,
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],
-                "payload": pdf["payload"],  # stub: real impl re-encodes
+                "payload": payloads,
                 "meta": meta,
             })
 

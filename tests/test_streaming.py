@@ -177,6 +177,51 @@ def test_watermark_drops_late_rows(spark):
     assert got == {(10, 3)}
 
 
+def test_checkpoint_restart_exactly_once(spark):
+    """Exactly-once across restarts: a checkpointed file-sink query stopped
+    and restarted after new data arrives processes ONLY the new file —
+    rows appear exactly once in the output directory."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("v", T.DoubleType(), False),
+        ]
+    )
+
+    def write_batch(lo, hi, d):
+        spark.createDataFrame(
+            [(i, float(i) * 0.5) for i in range(lo, hi)], schema
+        ).coalesce(1).write.mode("append").parquet(f"{d}/in")
+
+    def run_query(d):
+        s = spark.readStream.schema(schema).parquet(f"{d}/in")
+        q = (
+            s.withColumn("doubled", F.col("v") * 2)
+            .writeStream.format("parquet")
+            .option("path", f"{d}/out")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    with tempfile.TemporaryDirectory() as d:
+        write_batch(0, 50, d)
+        run_query(d)  # first run: rows 0..49
+        first = spark.read.parquet(f"{d}/out").count()
+        assert first == 50
+        write_batch(50, 80, d)
+        run_query(d)  # restart from checkpoint: only rows 50..79
+        out = spark.read.parquet(f"{d}/out")
+        assert out.count() == 80  # no reprocessing of the first file
+        ks = sorted(r["k"] for r in out.select("k").collect())
+        assert ks == list(range(80))  # each row exactly once
+        assert out.where(F.col("doubled") != F.col("v") * 2).count() == 0
+
+
 def test_stream_dedup_within_watermark(spark):
     """Streaming dedup drops key repeats; survivors = distinct keys."""
     from bigdatalog_spark.streaming.ops import stream_dedup

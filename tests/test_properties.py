@@ -199,3 +199,65 @@ def test_min_over_recursion_stratum(spark, edges):
     for a, b in closure:
         want[a] = min(want.get(a, b), b)
     assert got == set(want.items())
+
+
+# ---------------------------------------- local vs distributed path parity
+
+def _paths_ctxs(spark, prog, data):
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    out = []
+    for cfg in (EngineConfig(), EngineConfig(decomposable_local=False)):
+        ctx = BigDatalogContext(spark, cfg)
+        ctx.load_program(prog)
+        for name, rows in data.items():
+            ctx.register_data(name, rows)
+        out.append(ctx)
+    return out
+
+
+@PROP
+@given(edges=EDGES)
+def test_nonlinear_tc_local_equals_distributed(spark, edges):
+    """The single-slice non-linear local loop and the distributed
+    semi-naive loop must agree on ANY graph."""
+    prog = (
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B)."
+    )
+    data = {"arc": [f"{s},{d}" for s, d in edges]}
+    local, dist = _paths_ctxs(spark, prog, data)
+    got_l = {tuple(r) for r in local.query("tc(A,B).").collect()}
+    got_d = {tuple(r) for r in dist.query("tc(A,B).").collect()}
+    assert got_l == got_d == py_closure(edges)
+
+
+@PROP
+@given(edges=EDGES)
+def test_apsp_mmin_local_equals_distributed(spark, edges):
+    """Non-linear monotonic (APSP) parity across evaluation paths, against
+    a Floyd-Warshall oracle (weights w = 1 + dst % 3)."""
+    prog = (
+        "database({arc(S:integer, D:integer, W:integer)})."
+        "p(X,Y,mmin<D>) <- arc(X,Y,D)."
+        "p(X,Y,mmin<D>) <- p(X,Z,D1), p(Z,Y,D2), D=D1+D2."
+    )
+    weighted = [(s, d, 1 + d % 3) for s, d in edges]
+    data = {"arc": [f"{s},{d},{w}" for s, d, w in weighted]}
+    nodes = sorted({x for s, d in edges for x in (s, d)})
+    INF = float("inf")
+    dist = {}
+    for s, d, w in weighted:
+        dist[(s, d)] = min(dist.get((s, d), INF), w)
+    for k in nodes:
+        for i in nodes:
+            for j in nodes:
+                nd = dist.get((i, k), INF) + dist.get((k, j), INF)
+                if nd < dist.get((i, j), INF):
+                    dist[(i, j)] = nd
+    want = {(a, b, v) for (a, b), v in dist.items()}
+    local, distr = _paths_ctxs(spark, prog, data)
+    got_l = {tuple(r) for r in local.query("p(X,Y,D).").collect()}
+    got_d = {tuple(r) for r in distr.query("p(X,Y,D).").collect()}
+    assert got_l == got_d == want

@@ -55,7 +55,7 @@ def main() -> None:
 
     def _release_blocks() -> None:
         # Fixpoint queries leave persisted statics + localCheckpoint blocks
-        # behind; letting them pile up across ~90 queries pushes the later
+        # behind; letting them pile up across ~100 queries pushes the later
         # shuffle-heavy ones into eviction churn and inflates their timings
         # by up to ~10x. Isolate queries: drop every cached block between
         # runs (the real engine frees these when contexts are GC'd, but the
@@ -64,6 +64,15 @@ def main() -> None:
         jsc = spark.sparkContext._jsc
         for rdd in jsc.getPersistentRDDs().values():
             rdd.unpersist()
+        # broadcast variables (local-eval seeds/statics, MBs each) are only
+        # reclaimed by ContextCleaner after BOTH python and JVM GCs notice
+        # the references are dead — force that, or ~60 queries of leaked
+        # broadcasts inflate late-bench fixpoints up to 4x (measured:
+        # dl_attend_mcount 4.1 s isolated vs 14.6 s late-bench at sf1).
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
     for name, fn in entry.queries().items():

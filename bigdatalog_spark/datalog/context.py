@@ -137,6 +137,9 @@ class BigDatalogContext:
         # persisted copy, built once per query and re-probed every fixpoint
         # iteration (reference ShuffleHashJoin.scala:35-88 build-side reuse)
         self._shuffled_statics: dict[tuple, DataFrame] = {}
+        # broadcast variables the local-eval paths shipped (seeds/statics,
+        # MBs each) — destroyed on reset() so long sessions don't leak them
+        self._broadcasts: list = []
         self._analyzed: AnalyzedProgram | None = None
 
     # ------------------------------------------------------------- loading
@@ -205,6 +208,12 @@ class BigDatalogContext:
                 except Exception:
                     pass
             store.clear()
+        for bc in self._broadcasts:
+            try:
+                bc.destroy()
+            except Exception:
+                pass
+        self._broadcasts.clear()
         self._analyzed = None
 
     # ------------------------------------------------------------- querying
@@ -388,6 +397,7 @@ class BigDatalogContext:
         sub._cache = self._cache
         sub._persisted_statics = self._persisted_statics
         sub._shuffled_statics = self._shuffled_statics
+        sub._broadcasts = self._broadcasts
         sub._analyzed = analyze(sub.program)
         return sub._pred_df(guarded_name)
 
@@ -786,6 +796,7 @@ class BigDatalogContext:
                 clique.preds,
                 statics,
                 [seed.columns[i] for i in pivot_idx],
+                track=self._broadcasts,
             )
             return {pred: self._checkpointed(out)}
 
@@ -811,6 +822,7 @@ class BigDatalogContext:
                     clique.preds,
                     statics,
                     num_slices=1 if shape == "nonlinear" else None,
+                    track=self._broadcasts,
                 )
             )
             for pred in clique.preds
@@ -842,6 +854,7 @@ class BigDatalogContext:
                 key_cols,
                 value_col,
                 func,
+                track=self._broadcasts,
             )
             return self._checkpointed(out)
 
@@ -862,6 +875,7 @@ class BigDatalogContext:
             # non-linear: a derivation combines tuples across seeds, so
             # the whole fixpoint must see every seed in one task
             num_slices=1 if shape == "nonlinear" else None,
+            track=self._broadcasts,
         )
         return self._checkpointed(out)
 
@@ -1017,6 +1031,7 @@ class BigDatalogContext:
                     set(clique.preds),
                     statics,
                     agg_specs,
+                    track=self._broadcasts,
                 )
             )
         return out

@@ -466,12 +466,22 @@ def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_co
 
 
 # ------------------------------------------------------------ driver API
-def _collect_statics(spark: SparkSession, statics: dict):
+def _collect_statics(spark: SparkSession, statics: dict, track=None):
     """toPandas each static relation once and ship the dict as ONE broadcast
     variable (torrent-distributed, like the reference's per-iteration
     broadcast join sides — but shipped a single time for the whole loop)."""
     statics_pd = {name: df.toPandas() for name, df in statics.items()}
-    return spark.sparkContext.broadcast(statics_pd)
+    return _track(spark.sparkContext.broadcast(statics_pd), track)
+
+
+def _track(bc, track):
+    """Register a broadcast on the caller's cleanup list (the context
+    destroys tracked broadcasts on reset()): seeds+statics run MBs each,
+    and ContextCleaner only reclaims them after both Python and JVM GCs —
+    thousands of queries in one session would otherwise accumulate them."""
+    if track is not None:
+        track.append(bc)
+    return bc
 
 
 def local_seminaive_fixpoint(
@@ -482,10 +492,11 @@ def local_seminaive_fixpoint(
     statics: dict,
     pivot_cols: list,
     num_partitions: int | None = None,
+    track=None,
 ) -> DataFrame:
     """One-job decomposable fixpoint: repartition seed on the pivot, run the
     whole PSN loop inside each partition."""
-    bc = _collect_statics(spark, statics)
+    bc = _collect_statics(spark, statics, track)
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = seed.repartition(n, *pivot_cols)
     rules = list(rules)
@@ -513,6 +524,7 @@ def seed_broadcast_seminaive(
     clique_preds,
     statics: dict,
     num_slices: int | None = None,
+    track=None,
 ) -> DataFrame:
     """Small-seed local fixpoint for cliques WITHOUT a stable pivot
     (single-source reachability, mutual even/odd, ...).
@@ -539,7 +551,12 @@ def seed_broadcast_seminaive(
     total = sum(len(pdf) for pdf in seeds_pd.values())
     n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = max(1, min(n, total))
-    bc = spark.sparkContext.broadcast((seeds_pd, {k: v.toPandas() for k, v in statics.items()}))
+    bc = _track(
+        spark.sparkContext.broadcast(
+            (seeds_pd, {k: v.toPandas() for k, v in statics.items()})
+        ),
+        track,
+    )
     rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
     cset = frozenset(clique_preds)
     ids = spark.range(0, n, 1, n)
@@ -575,6 +592,7 @@ def seed_broadcast_mixed(
     clique_preds,
     statics: dict,
     agg_specs: dict,
+    track=None,
 ) -> DataFrame:
     """Small-seed local fixpoint for a MIXED (set + monotonic-aggregate)
     clique. Unlike seed_broadcast_seminaive there is NO seed slicing: an
@@ -584,8 +602,11 @@ def seed_broadcast_mixed(
     One Spark job versus 3+ jobs per iteration on the distributed path;
     the right trade whenever the statics pass the broadcast byte gate and
     the seed is small (percolation/threshold queries from few sources)."""
-    bc = spark.sparkContext.broadcast(
-        (seeds_pd, {k: v.toPandas() for k, v in statics.items()})
+    bc = _track(
+        spark.sparkContext.broadcast(
+            (seeds_pd, {k: v.toPandas() for k, v in statics.items()})
+        ),
+        track,
     )
     rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
     cset = frozenset(clique_preds)
@@ -617,6 +638,7 @@ def seed_broadcast_monotonic(
     value_col: str,
     func: str,
     num_slices: int | None = None,
+    track=None,
 ) -> DataFrame:
     """Small-seed monotonic (mmin/mmax) fixpoint without a stable pivot
     (e.g. single-source shortest paths). Same slicing argument as
@@ -628,8 +650,11 @@ def seed_broadcast_monotonic(
     total = len(seed_pd)
     n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = max(1, min(n, total))
-    bc = spark.sparkContext.broadcast(
-        (seed_pd, {k: v.toPandas() for k, v in statics.items()})
+    bc = _track(
+        spark.sparkContext.broadcast(
+            (seed_pd, {k: v.toPandas() for k, v in statics.items()})
+        ),
+        track,
     )
     rules = list(rules)
     cset = frozenset(clique_preds)
@@ -671,11 +696,12 @@ def local_monotonic_fixpoint(
     value_col: str,
     func: str,
     num_partitions: int | None = None,
+    track=None,
 ) -> DataFrame:
     """One-job decomposable monotonic-aggregate fixpoint. ``seed_pre`` is the
     un-aggregated exit-rule contribution stream; aggregation happens in-task
     (groups never straddle partitions because pivot ⊆ group keys)."""
-    bc = _collect_statics(spark, statics)
+    bc = _collect_statics(spark, statics, track)
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = seed_pre.repartition(n, *pivot_cols)
     rules = list(rules)

@@ -265,11 +265,13 @@ def dl_countd(spark, sf_dir):
 
 
 def dl_sort_limit(spark, sf_dir):
-    """sort((RP,desc)) + limit(10) pseudo-predicates (§2.5)."""
+    """sort((RP,desc),(PK,asc)) + limit(10) pseudo-predicates (§2.5).
+    PK tiebreak keeps the limit deterministic — retail prices repeat at
+    larger scale factors, and an untiebroken top-10 is engine-dependent."""
     df = _datalog(
         spark,
         "database({part(PK:long, PN:string, PB:string, PT:string, PS:integer, RP:double)})."
-        "top_parts(PK, RP) <- part(PK, _, _, _, _, RP), sort((RP, desc)), limit(10).",
+        "top_parts(PK, RP) <- part(PK, _, _, _, _, RP), sort((RP, desc), (PK, asc)), limit(10).",
         {"part": load_table(spark, sf_dir, "part")},
         "top_parts(PK, RP).",
     )
@@ -1319,10 +1321,13 @@ def q_countd_approx(spark, sf_dir):
     is the 100 TB path — partial sketches merge map-side, no distinct
     shuffle of the raw keys."""
     e = load_table(spark, sf_dir, "events")
+    # rsd=0.01: the default 5% rsd is a standard deviation, not a bound —
+    # at sf0.1 group sizes (~10k distinct) it routinely exceeds a 5%
+    # tolerance. 1% rsd under a 5% bound gives ~5 sigma of headroom.
     return e.groupBy("event_type").agg(
         (
             F.abs(
-                F.approx_count_distinct("user_id")
+                F.approx_count_distinct("user_id", rsd=0.01)
                 - F.count_distinct("user_id")
             )
             <= F.count_distinct("user_id") * 0.05
@@ -2152,7 +2157,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dl_sort_limit": """
             SELECT p_partkey, p_retailprice FROM part
-            ORDER BY p_retailprice DESC LIMIT 10
+            ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
         """,
         "dl_arith": """
             SELECT DISTINCT l_orderkey, l_linenumber,

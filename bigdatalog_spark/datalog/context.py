@@ -234,6 +234,17 @@ class BigDatalogContext:
             df = self._pred_df(goal.pred)
         return self._apply_goal(goal, df)
 
+    def create_view(self, name: str, goal_text: str) -> DataFrame:
+        """Register a query's result as a temp view, so Datalog results
+        compose with plain ``spark.sql`` — the SQL face of the reference's
+        BigDatalogProgram DataFrame interop (BigDatalogProgram.scala:30-41,
+        where ``toDF`` feeds stock Spark SQL). The view is lazy: the
+        fixpoint runs when SQL referencing it executes, and the memoized
+        result table (``self._cache``) is shared with ``query``."""
+        df = self.query(goal_text)
+        df.createOrReplaceTempView(name)
+        return df
+
     def _bound_recursive_df(self, goal: Goal) -> DataFrame | None:
         """Goal-specific fixpoint for bound goals over a recursive predicate,
         when every bound position provably flows unchanged from the exit

@@ -65,3 +65,21 @@ def test_register_data_undeclared_relation(spark):
     ctx.load_program(ARC)
     with pytest.raises(DatalogSemanticError, match="not declared"):
         ctx.register_data("ghost", ["1"])
+
+
+def test_create_view_composes_with_sql(spark):
+    """Datalog results registered as temp views join with plain SQL."""
+    from bigdatalog_spark import BigDatalogContext
+
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(From:integer, To:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    ctx.register_data("arc", ["0,1", "1,2", "2,3"])
+    ctx.create_view("tc_view", "tc(A,B).")
+    got = spark.sql(
+        "SELECT A, count(*) AS n FROM tc_view GROUP BY A ORDER BY A"
+    ).collect()
+    assert [(r["A"], r["n"]) for r in got] == [(0, 3), (1, 2), (2, 1)]

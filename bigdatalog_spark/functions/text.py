@@ -208,11 +208,15 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
+    # the (doc, term) posting list feeds BOTH the doc-frequency aggregate
+    # and the scoring join — persist it or the tokenize+explode+agg
+    # pipeline (the expensive part at corpus scale) runs twice
     tf = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .where(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

@@ -1215,6 +1215,24 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_top_terms(d, k=3)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints, summarized per doc
+    (count + extremes) so the driver hash checks the full fingerprint
+    pipeline without shipping every (doc, fp) row."""
+    from bigdatalog_spark.functions.text import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        winnowing_fingerprints(d, k=5, window=4)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_fps"),
+            F.min("fp").alias("min_fp"),
+            F.max("fp").alias("max_fp"),
+        )
+    )
+
+
 def q_shard_manifest(spark, sf_dir):
     """Training-shard export manifest: per-shard row/token budgets from the
     deterministic md5 shard assignment (operators/io.py). A pure
@@ -1971,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "q_subword_tokens": q_subword_tokens,
         "q_tfidf_topk": q_tfidf_topk,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_cohort_retention": q_cohort_retention,
         "q_countd_approx": q_countd_approx,
         "q_shard_manifest": q_shard_manifest,
@@ -2580,6 +2599,31 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.95), 6) AS p95,
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type
+        """,
+        "q_winnow_fingerprints": """
+            WITH base AS (
+              SELECT doc_id,
+                     regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS nm
+              FROM documents),
+            h AS (
+              SELECT doc_id,
+                     CASE WHEN length(nm) >= 5 THEN
+                       list_transform(generate_series(1, length(nm) - 4),
+                         i -> ('0x' || substr(md5(substr(nm, i, 5)), 1, 8))::BIGINT)
+                     ELSE [] END AS hs
+              FROM base),
+            f AS (
+              SELECT doc_id,
+                     CASE WHEN len(hs) >= 4 THEN
+                       list_distinct(list_transform(
+                         generate_series(1, len(hs) - 3),
+                         j -> list_min(hs[j:j+3])))
+                     ELSE [] END AS fps
+              FROM h)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fps,
+                   min(fp) AS min_fp, max(fp) AS max_fp
+            FROM (SELECT doc_id, unnest(fps) AS fp FROM f)
+            GROUP BY doc_id
         """,
         "q_cohort_retention": """
             WITH fs AS (

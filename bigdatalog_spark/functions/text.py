@@ -123,6 +123,65 @@ def fingerprint(col: Column | str) -> Column:
     return F.md5(normalized)
 
 
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer, Wilkerson
+    & Aiken, "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003 — the MOSS algorithm): hash every character k-gram of the
+    normalized text, slide a window of ``window`` hashes, keep each
+    window's minimum, dedupe. Two docs sharing a substring of length
+    ≥ k + window − 1 are GUARANTEED to share a fingerprint — the standard
+    plagiarism/near-copy detector with bounded output density (~2/(w+1)
+    of the k-grams).
+
+    Everything is a per-row array expression (normalize → k-gram substrings
+    → md5-derived 32-bit hashes → window minima → distinct) followed by one
+    explode: scan-shaped, no shuffle, engine-portable hashes (the DuckDB
+    oracle replays the identical pipeline). Returns (id_col, fp)."""
+    # transform needs substring(__norm, i, k) with the lambda index — the
+    # python HOF DSL can't parameterize substring's start with the lambda
+    # var, so the array pipeline is inline SQL over the normalized column
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    base = df.select(
+        F.col(id_col),
+        norm.alias("__norm"),
+    )
+    # CASE guards: Spark's sequence(1, 0) DESCENDS ([1,0]) rather than
+    # being empty, so short/empty docs must short-circuit to array()
+    hashed = base.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN length(__norm) >= {k} THEN"
+            f" transform(sequence(1, length(__norm) - {k - 1}),"
+            f" i -> cast(conv(substring(md5(substring(__norm, i, {k})), 1, 8),"
+            " 16, 10) AS BIGINT))"
+            " ELSE array() END"
+        ).alias("__hs"),
+    )
+    # PERSIST BARRIER, not an optimization: Catalyst's projection collapse
+    # would inline the __hs transform into EVERY window's array_min(slice)
+    # below, re-hashing the whole k-gram array once per window — O(n·w)
+    # md5 calls per doc instead of O(n) (measured: minutes instead of
+    # ~1 s at sf0.01). The cached boundary pins __hs to one evaluation.
+    hashed = hashed.persist()
+    fps = hashed.select(
+        id_col,
+        F.expr(
+            f"CASE WHEN size(__hs) >= {window} THEN"
+            " array_distinct(transform("
+            f" sequence(1, size(__hs) - {window - 1}),"
+            f" j -> array_min(slice(__hs, j, {window}))))"
+            " ELSE array() END"
+        ).alias("__fps"),
+    )
+    return fps.select(F.col(id_col), F.explode("__fps").alias("fp"))
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

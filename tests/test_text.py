@@ -100,3 +100,28 @@ def test_tfidf_top_terms_ranking(spark):
     # never rank 1 anywhere
     assert rows[(3, 1)] == ("cherry", 3)
     assert all(term != "common" for (d, rk), (term, _) in rows.items() if rk == 1)
+
+
+def test_winnowing_fingerprints_guarantee(spark):
+    """Docs sharing a substring >= k+window-1 chars MUST share a
+    fingerprint (the winnowing guarantee); disjoint docs share none;
+    empty/short docs emit nothing."""
+    from bigdatalog_spark.functions.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated words here instead now"),
+            (3, "XX the quick brown fox jumps over the lazy dog YY"),
+            (4, ""),
+            (5, "ab"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = winnowing_fingerprints(df, k=5, window=4).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by[1] & by[3]          # shared substring -> shared fingerprint
+    assert not (by[1] & by[2])    # disjoint content -> disjoint fps
+    assert 4 not in by and 5 not in by

@@ -3144,9 +3144,9 @@ def oracle_sql() -> dict[str, str]:
               FROM documents),
             offs AS (
               SELECT doc_id, shard, n_tokens,
-                     sum(n_tokens) OVER (
+                     CAST(sum(n_tokens) OVER (
                        PARTITION BY shard ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_off
               FROM base)
             SELECT doc_id, shard, n_tokens, start_off,
                    CAST(floor(start_off / 2048.0) AS BIGINT) AS pack_id

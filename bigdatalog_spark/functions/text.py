@@ -167,8 +167,11 @@ def winnowing_fingerprints(
     # would inline the __hs transform into EVERY window's array_min(slice)
     # below, re-hashing the whole k-gram array once per window — O(n·w)
     # md5 calls per doc instead of O(n) (measured: minutes instead of
-    # ~1 s at sf0.01). The cached boundary pins __hs to one evaluation.
-    hashed = hashed.persist()
+    # ~1 s at sf0.01). A lazy localCheckpoint gives the same immediate
+    # plan boundary (LogicalRDD) but, unlike persist(), its blocks are
+    # released by ContextCleaner once the caller drops the result — no
+    # session-lifetime cache pin for library callers.
+    hashed = hashed.localCheckpoint(eager=False)
     fps = hashed.select(
         id_col,
         F.expr(
@@ -268,14 +271,17 @@ def tfidf_top_terms(
     from pyspark.sql import Window
 
     # the (doc, term) posting list feeds BOTH the doc-frequency aggregate
-    # and the scoring join — persist it or the tokenize+explode+agg
-    # pipeline (the expensive part at corpus scale) runs twice
+    # and the scoring join — without a barrier the tokenize+explode+agg
+    # pipeline (the expensive part at corpus scale) runs twice. Lazy
+    # localCheckpoint instead of persist(): same reuse, but the blocks
+    # are released by ContextCleaner when the caller drops the result
+    # rather than pinned in the cache manager for the session lifetime.
     tf = (
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .where(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

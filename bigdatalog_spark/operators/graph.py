@@ -131,7 +131,16 @@ def _cc_local(spark, base: DataFrame) -> DataFrame:
         if not any(len(b) for b in batches):
             return
         ed = bc.value
-        parent: dict = {}
+        # factorize(sort=True) makes codes order-isomorphic to the vertex
+        # values, so union-by-min-CODE yields component = min VALUE for any
+        # orderable id type (string, date, float — no int() coercion, which
+        # raised on strings and truncated fractional floats)
+        both = pd.concat(
+            [ed["c0"], ed["c1"]], ignore_index=True
+        )
+        codes, uniques = pd.factorize(both, sort=True)
+        m = len(ed)
+        parent = list(range(len(uniques)))
 
         def find(x):
             r = x
@@ -141,11 +150,7 @@ def _cc_local(spark, base: DataFrame) -> DataFrame:
                 parent[x], x = r, parent[x]
             return r
 
-        for u, v in zip(ed["c0"].values, ed["c1"].values):
-            u, v = int(u), int(v)
-            for x in (u, v):
-                if x not in parent:
-                    parent[x] = x
+        for u, v in zip(codes[:m], codes[m:]):
             ru, rv = find(u), find(v)
             if ru != rv:
                 # union by min root → roots are already the component min
@@ -153,15 +158,24 @@ def _cc_local(spark, base: DataFrame) -> DataFrame:
                     parent[rv] = ru
                 else:
                     parent[ru] = rv
-        nodes = sorted(parent)
+        roots = [find(x) for x in range(len(uniques))]
         out = pd.DataFrame(
-            {"vertex": nodes, "component": [find(x) for x in nodes]}
+            {"vertex": uniques, "component": uniques[roots]}
         )
         yield out.astype(
             {"vertex": ed["c0"].dtype, "component": ed["c0"].dtype}
         )
 
-    return spark.range(0, 1, 1, 1).mapInPandas(mapper, schema=schema)
+    # materialize in one job so the broadcast can be destroyed NOW (not
+    # left to GC + ContextCleaner); the checkpoint blocks are O(vertices)
+    # and released when the caller drops the DataFrame
+    out = (
+        spark.range(0, 1, 1, 1)
+        .mapInPandas(mapper, schema=schema)
+        .localCheckpoint(eager=True)
+    )
+    bc.destroy()
+    return out
 
 
 def connected_components_fast(
@@ -369,7 +383,16 @@ def _pagerank_local(
             ranks = teleport + d * s
         yield pd.DataFrame({"node": nodes, "rank": ranks})
 
-    return spark.range(0, 1, 1, 1).mapInPandas(mapper, schema=schema)
+    # materialize in one job so the broadcast can be destroyed NOW (not
+    # left to GC + ContextCleaner); blocks are |V| rows, released when the
+    # caller drops the DataFrame
+    out = (
+        spark.range(0, 1, 1, 1)
+        .mapInPandas(mapper, schema=schema)
+        .localCheckpoint(eager=True)
+    )
+    bc.destroy()
+    return out
 
 
 def pagerank(

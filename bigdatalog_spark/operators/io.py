@@ -66,10 +66,14 @@ def shard_manifest(
     no write needed. n_tokens counts whitespace tokens of ``text_col``
     (0 for empty docs), the budget number a loader schedules by."""
     a = shard_assignments(df, num_shards, id_col, seed)
+    # coalesce NULL text to '' so split/trim don't propagate NULL into
+    # F.size (which returns -1 for NULL under legacy sizeOfNull) — NULL
+    # docs must count 0 tokens, matching both the docstring and an
+    # aggregate oracle that skips NULLs
     toks = (
         F.size(
             F.filter(
-                F.split(F.trim(F.col(text_col)), r"\s+"),
+                F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
                 lambda t: t != F.lit(""),
             )
         )

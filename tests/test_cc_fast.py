@@ -72,3 +72,23 @@ def test_fast_cc_round_count_beats_diameter(spark):
     out = connected_components_fast(e, max_rounds=16)
     assert out.select("component").distinct().count() == 1
     assert out.count() == 201
+
+
+def test_fast_cc_string_vertex_ids(spark):
+    """Local union-find path must handle non-integer ids (it factorizes
+    rather than int()-coercing): component = lexicographic-min member."""
+    pairs = [("b", "a"), ("a", "c"), ("x", "y"), ("z", "z")]
+    e = spark.createDataFrame(pairs, "src: string, dst: string")
+    out = {r["vertex"]: r["component"]
+           for r in connected_components_fast(e).collect()}
+    assert out == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "z"}
+
+
+def test_fast_cc_fractional_float_ids(spark):
+    """Fractional float ids must stay distinct (int() truncation used to
+    merge 1.1 and 1.9 into vertex 1)."""
+    pairs = [(1.1, 1.9), (2.5, 3.5)]
+    e = spark.createDataFrame(pairs, "src: double, dst: double")
+    sets = _cc_sets(connected_components_fast(e))
+    assert sets == {frozenset({1.1, 1.9}), frozenset({2.5, 3.5})}

@@ -177,17 +177,22 @@ def stream_dedup(
 
 
 def stream_events_from_files(
-    spark, path: str, schema, max_files_per_trigger: int | None = None
+    spark, path: str, schema, max_files_per_trigger: int | None = None,
+    glob_filter: str | None = None,
 ) -> DataFrame:
     """File-source stream over a directory of parquet/json drops.
 
     ``max_files_per_trigger=1`` processes one file per micro-batch in
     modification-time order — the deterministic way to replay an ordered
     sequence of drops (e.g. to observe watermark advancement between
-    batches in tests)."""
+    batches in tests). ``glob_filter`` selects a subset of files in the
+    directory (the file source requires a directory path, so streaming a
+    single table file out of a shared dir needs ``pathGlobFilter``)."""
     r = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob_filter is not None:
+        r = r.option("pathGlobFilter", glob_filter)
     return r.parquet(path)
 
 

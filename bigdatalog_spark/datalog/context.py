@@ -111,17 +111,18 @@ class EngineConfig:
     # seeds, 15-iteration recursions) local wins 2×; past ~10^5 seed rows
     # the distributed loop's scan throughput wins. Larger seeds go
     # distributed automatically — the probe is bounded (limit k+1).
-    # FANOUT ASSUMPTION (unmeasured beyond sf0.1 shapes): the gate bounds
-    # SEED rows only, not the closure — a ≤64Ki seed over a high-fanout
-    # static graph can still derive a closure far larger than the seed,
-    # and that closure lives in task memory (sliced across tasks on the
-    # non-pivot path, bounded per-task by |slice| × reachable-set). The
-    # statics byte gate bounds the graph itself at 512 MB broadcast-side,
-    # which at ~16 B/edge caps per-task closures near the low GBs — fine
-    # for the measured shapes, but adversarial dense-closure programs
-    # (e.g. all-pairs over a near-clique) should lower this gate or set
-    # decomposable_local=False to force the spill-capable distributed loop.
+    # FANOUT GUARD: the gate above bounds SEED rows only, not the closure —
+    # a ≤64Ki seed over a high-fanout static graph can still derive a
+    # closure far larger than the seed, and that closure lives in task
+    # memory. The in-task loops therefore track their accumulated rows and
+    # BAIL OUT past max(growth_factor · seed_rows, growth_floor); the
+    # context catches the bailout at build time (local results materialize
+    # eagerly) and reruns the clique on the spill-capable distributed
+    # fixpoint. The floor keeps legitimate small-seed/large-closure
+    # programs (1-row reach seed, |V|-row closure) off the bailout path.
     local_seed_max_rows: int = 65536
+    local_growth_factor: int = 64
+    local_growth_floor: int = 1 << 22
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 
@@ -774,6 +775,28 @@ class BigDatalogContext:
             return df.localCheckpoint(eager=False)
         return df
 
+    @property
+    def _growth(self):
+        return (
+            self.config.local_growth_factor,
+            self.config.local_growth_floor,
+        )
+
+    def _eager_local(self, df: DataFrame):
+        """Materialize a local-eval result NOW (eager localCheckpoint):
+        the in-task growth bailout must surface here at build time, where
+        the clique can still be rerouted to the spill-capable distributed
+        fixpoint — at the user's action it would be an unrecoverable task
+        failure. Returns None when the loop aborted on its growth budget;
+        the result blocks are O(closure ≤ budget) and released when the
+        caller drops the frame."""
+        try:
+            return df.localCheckpoint(eager=True)
+        except Exception as e:
+            if "LOCAL_EVAL_GROWTH_EXCEEDED" in str(e):
+                return None
+            raise
+
     def _try_local_seminaive(self, clique: Clique, exit_dfs: dict, step):
         """pred -> DataFrame via a local evaluation mode, or None.
 
@@ -808,8 +831,10 @@ class BigDatalogContext:
                 statics,
                 [seed.columns[i] for i in pivot_idx],
                 track=self._broadcasts,
+                growth=self._growth,
             )
-            return {pred: self._checkpointed(out)}
+            mat = self._eager_local(out)
+            return None if mat is None else {pred: mat}
 
         # seed-broadcast mode: bounded-probe the total seed size first
         max_rows = self.config.local_seed_max_rows
@@ -823,8 +848,9 @@ class BigDatalogContext:
                 return None
             seeds[pred] = (seed.toPandas(), seed.schema)
         rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
-        return {
-            pred: self._checkpointed(
+        result = {}
+        for pred in clique.preds:
+            mat = self._eager_local(
                 seed_broadcast_seminaive(
                     self.spark,
                     seeds,
@@ -834,10 +860,13 @@ class BigDatalogContext:
                     statics,
                     num_slices=1 if shape == "nonlinear" else None,
                     track=self._broadcasts,
+                    growth=self._growth,
                 )
             )
-            for pred in clique.preds
-        }
+            if mat is None:
+                return None
+            result[pred] = mat
+        return result
 
     def _try_local_monotonic(
         self, clique: Clique, exit_df: DataFrame, step, key_cols, value_col, func
@@ -866,8 +895,9 @@ class BigDatalogContext:
                 value_col,
                 func,
                 track=self._broadcasts,
+                growth=self._growth,
             )
-            return self._checkpointed(out)
+            return self._eager_local(out)
 
         # seed-broadcast: the seed is the PRE-AGGREGATE contribution stream
         max_rows = self.config.local_seed_max_rows
@@ -887,8 +917,9 @@ class BigDatalogContext:
             # the whole fixpoint must see every seed in one task
             num_slices=1 if shape == "nonlinear" else None,
             track=self._broadcasts,
+            growth=self._growth,
         )
-        return self._checkpointed(out)
+        return self._eager_local(out)
 
     def _compute_clique(self, clique: Clique) -> None:
         if clique.mixed:
@@ -1031,7 +1062,7 @@ class BigDatalogContext:
             out_dtypes = dict(
                 self.spark.createDataFrame([], out_schema).toPandas().dtypes
             )
-            out[pred] = self._checkpointed(
+            mat = self._eager_local(
                 seed_broadcast_mixed(
                     self.spark,
                     seeds_pd,
@@ -1043,8 +1074,12 @@ class BigDatalogContext:
                     statics,
                     agg_specs,
                     track=self._broadcasts,
+                    growth=self._growth,
                 )
             )
+            if mat is None:
+                return None
+            out[pred] = mat
         return out
 
     def _compute_seminaive_clique(

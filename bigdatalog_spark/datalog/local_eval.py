@@ -38,6 +38,37 @@ from .compiler import DatalogCompileError
 
 _YIELD_ROWS = 65_536  # chunk mapInPandas output to sane Arrow batch sizes
 
+# in-task growth bailout: the seed-size gates bound the SEED, not the
+# closure — a small seed over a high-fanout graph can derive a closure
+# far larger than the seed, and a single pandas task has no spill path.
+# Each in-task loop tracks its accumulated rows and aborts past
+# max(factor · seed_rows, floor); the caller catches the marker and
+# reroutes the clique to the spill-capable distributed fixpoint. The
+# floor keeps legitimate small-seed/large-closure programs (single-source
+# reachability: 1 seed row, |V| closure) off the bailout path.
+DEFAULT_GROWTH = (64, 1 << 22)
+
+_GROWTH_MARKER = "LOCAL_EVAL_GROWTH_EXCEEDED"
+
+
+class LocalGrowthExceeded(RuntimeError):
+    """Raised inside a local-eval task when the accumulated fixpoint set
+    exceeds the growth budget; carries a marker string the driver-side
+    caller matches to fall back to the distributed loop."""
+
+
+def _budget(growth, seed_rows: int) -> int:
+    factor, floor = growth
+    return max(factor * seed_rows, floor)
+
+
+def _check_growth(total: int, budget: int):
+    if total > budget:
+        raise LocalGrowthExceeded(
+            f"{_GROWTH_MARKER}: accumulated {total} rows exceed the local"
+            f" budget {budget}; rerun on the distributed fixpoint"
+        )
+
 
 # ------------------------------------------------------------------ terms
 def _vars(term) -> set:
@@ -252,12 +283,12 @@ def _cast_like_pd(df, dtypes: dict):
 
 
 # ------------------------------------------------------------------ loops
-def _run_seminaive_pd(seed, rules, clique_preds, statics):
+def _run_seminaive_pd(seed, rules, clique_preds, statics, growth=DEFAULT_GROWTH):
     """In-task PSN loop for a single-predicate clique."""
     (pred,) = clique_preds if len(clique_preds) == 1 else (next(iter(clique_preds)),)
     rules_by_pred = {pred: list(rules)}
     return _run_seminaive_multi_pd(
-        {pred: seed}, rules_by_pred, clique_preds, statics
+        {pred: seed}, rules_by_pred, clique_preds, statics, growth=growth
     )[pred]
 
 
@@ -269,7 +300,9 @@ def _clique_occurrence_count(rule, clique_preds) -> int:
     )
 
 
-def _run_seminaive_multi_pd(seeds, rules_by_pred, clique_preds, statics):
+def _run_seminaive_multi_pd(
+    seeds, rules_by_pred, clique_preds, statics, growth=DEFAULT_GROWTH
+):
     """In-task PSN loop over one or more mutually-recursive predicates:
     Δ'_p = T_p(Δ, S) − S_p; S_p = S_p ∪ Δ'_p (MutualRecursion.scala:28-131
     semantics). Non-linear rules expand to one variant per clique
@@ -282,6 +315,7 @@ def _run_seminaive_multi_pd(seeds, rules_by_pred, clique_preds, statics):
     all_ = {
         p: df.drop_duplicates().reset_index(drop=True) for p, df in seeds.items()
     }
+    budget = _budget(growth, sum(len(df) for df in all_.values()))
     delta = dict(all_)
     while True:
         new_delta = {}
@@ -309,6 +343,7 @@ def _run_seminaive_multi_pd(seeds, rules_by_pred, clique_preds, statics):
         for p, nd in new_delta.items():
             if len(nd):
                 all_[p] = pd.concat([all_[p], nd], ignore_index=True)
+        _check_growth(sum(len(df) for df in all_.values()), budget)
         delta = new_delta
     return all_
 
@@ -325,7 +360,9 @@ def _aggregate_pd(spec, cols_order, contrib):
     return out[cols_order]
 
 
-def _run_mixed_pd(seeds, rules_by_pred, clique_preds, statics, agg_specs):
+def _run_mixed_pd(
+    seeds, rules_by_pred, clique_preds, statics, agg_specs, growth=DEFAULT_GROWTH
+):
     """In-task mixed set + monotonic-aggregate PSN loop: the pandas mirror
     of fixpoint.fixpoint_mixed (plain preds keep result sets; mmin/mmax
     preds keep best-value tables; mcount/msum preds keep a distinct support
@@ -351,6 +388,11 @@ def _run_mixed_pd(seeds, rules_by_pred, clique_preds, statics, agg_specs):
             t = _aggregate_pd(spec, cols[p], sup)
             all_[p] = t
             delta[p] = t
+    budget = _budget(
+        growth,
+        sum(len(df) for df in all_.values())
+        + sum(len(df) for df in support.values()),
+    )
 
     while True:
         new_delta = {}
@@ -411,11 +453,19 @@ def _run_mixed_pd(seeds, rules_by_pred, clique_preds, statics, agg_specs):
                 new_delta[p] = improved
         if not any(len(d) for d in new_delta.values()):
             break
+        _check_growth(
+            sum(len(df) for df in all_.values())
+            + sum(len(df) for df in support.values()),
+            budget,
+        )
         delta = new_delta
     return all_
 
 
-def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_col, func):
+def _run_monotonic_pd(
+    seed_pre, rules, clique_preds, statics, key_cols, value_col, func,
+    growth=DEFAULT_GROWTH,
+):
     """In-task monotonic (mmin/mmax) loop: keyed table, keep improved groups
     (AggregateSetRDDMinMaxPartition.update semantics,
     AggregateSetRDDMinMaxPartition.scala:42-57)."""
@@ -429,6 +479,7 @@ def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_co
         return df.groupby(key_cols, as_index=False, dropna=False)[value_col].agg(agg)[cols]
 
     table = aggregate(seed_pre)
+    budget = _budget(growth, len(table))
     delta = table
     while len(delta):
         dmap = {p: delta for p in clique_preds}
@@ -461,6 +512,7 @@ def _run_monotonic_pd(seed_pre, rules, clique_preds, statics, key_cols, value_co
         )
         kept = anti.loc[anti["_merge"] == "left_only", cols]
         table = pd.concat([kept, improved], ignore_index=True)
+        _check_growth(len(table), budget)
         delta = improved
     return table
 
@@ -493,6 +545,7 @@ def local_seminaive_fixpoint(
     pivot_cols: list,
     num_partitions: int | None = None,
     track=None,
+    growth=DEFAULT_GROWTH,
 ) -> DataFrame:
     """One-job decomposable fixpoint: repartition seed on the pivot, run the
     whole PSN loop inside each partition."""
@@ -509,7 +562,7 @@ def local_seminaive_fixpoint(
         if not parts:
             return
         seed_pdf = pd.concat(parts, ignore_index=True)
-        result = _run_seminaive_pd(seed_pdf, rules, cset, bc.value)
+        result = _run_seminaive_pd(seed_pdf, rules, cset, bc.value, growth=growth)
         for start in range(0, len(result), _YIELD_ROWS):
             yield result.iloc[start : start + _YIELD_ROWS]
 
@@ -525,6 +578,7 @@ def seed_broadcast_seminaive(
     statics: dict,
     num_slices: int | None = None,
     track=None,
+    growth=DEFAULT_GROWTH,
 ) -> DataFrame:
     """Small-seed local fixpoint for cliques WITHOUT a stable pivot
     (single-source reachability, mutual even/odd, ...).
@@ -573,9 +627,9 @@ def seed_broadcast_seminaive(
             p: pdf.iloc[[i for i in range(len(pdf)) if i % n in picked]]
             for p, pdf in seeds_all.items()
         }
-        result = _run_seminaive_multi_pd(sliced, rules_by_pred, cset, statics_pd)[
-            out_pred
-        ]
+        result = _run_seminaive_multi_pd(
+            sliced, rules_by_pred, cset, statics_pd, growth=growth
+        )[out_pred]
         for start in range(0, len(result), _YIELD_ROWS):
             yield result.iloc[start : start + _YIELD_ROWS]
 
@@ -593,6 +647,7 @@ def seed_broadcast_mixed(
     statics: dict,
     agg_specs: dict,
     track=None,
+    growth=DEFAULT_GROWTH,
 ) -> DataFrame:
     """Small-seed local fixpoint for a MIXED (set + monotonic-aggregate)
     clique. Unlike seed_broadcast_seminaive there is NO seed slicing: an
@@ -618,7 +673,7 @@ def seed_broadcast_mixed(
             return
         seeds_all, statics_pd = bc.value
         result = _run_mixed_pd(
-            seeds_all, rules_by_pred, cset, statics_pd, agg_specs
+            seeds_all, rules_by_pred, cset, statics_pd, agg_specs, growth=growth
         )[out_pred]
         result = _cast_like_pd(result, out_dtypes)
         for start in range(0, len(result), _YIELD_ROWS):
@@ -639,6 +694,7 @@ def seed_broadcast_monotonic(
     func: str,
     num_slices: int | None = None,
     track=None,
+    growth=DEFAULT_GROWTH,
 ) -> DataFrame:
     """Small-seed monotonic (mmin/mmax) fixpoint without a stable pivot
     (e.g. single-source shortest paths). Same slicing argument as
@@ -670,7 +726,8 @@ def seed_broadcast_monotonic(
         picked = set(my_ids)
         sliced = seed_all.iloc[[i for i in range(len(seed_all)) if i % n in picked]]
         result = _run_monotonic_pd(
-            sliced, rules, cset, statics_pd, key_cols, value_col, func
+            sliced, rules, cset, statics_pd, key_cols, value_col, func,
+            growth=growth,
         )
         for start in range(0, len(result), _YIELD_ROWS):
             yield result.iloc[start : start + _YIELD_ROWS]
@@ -697,6 +754,7 @@ def local_monotonic_fixpoint(
     func: str,
     num_partitions: int | None = None,
     track=None,
+    growth=DEFAULT_GROWTH,
 ) -> DataFrame:
     """One-job decomposable monotonic-aggregate fixpoint. ``seed_pre`` is the
     un-aggregated exit-rule contribution stream; aggregation happens in-task
@@ -715,7 +773,8 @@ def local_monotonic_fixpoint(
             return
         seed_pdf = pd.concat(parts, ignore_index=True)
         result = _run_monotonic_pd(
-            seed_pdf, rules, cset, bc.value, key_cols, value_col, func
+            seed_pdf, rules, cset, bc.value, key_cols, value_col, func,
+            growth=growth,
         )
         for start in range(0, len(result), _YIELD_ROWS):
             yield result.iloc[start : start + _YIELD_ROWS]

@@ -639,15 +639,12 @@ class BigDatalogContext:
             if pred in clique_preds:
                 return None
             df = static_df(pred)
-            try:
-                size = int(
-                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-                )
-            except Exception:
-                size = -1
-            if self.config.broadcast_static_side and (
-                0 <= size <= self.config.broadcast_max_bytes
-            ):
+            # bounded-probe estimate, not raw Catalyst stats: RDD-backed
+            # in-memory relations report Long.MaxValue, which would route
+            # every register_data graph through the sort-merge path (and
+            # break the pivot-partitioning chain a broadcast join preserves)
+            size = self._estimated_bytes(df, self.config.broadcast_max_bytes)
+            if self.config.broadcast_static_side and size is not None:
                 return None
             ckey = (id(df._jdf), positions)
             if ckey not in self._shuffled_statics:
@@ -1160,7 +1157,21 @@ class BigDatalogContext:
                     self._cache.update(local)
                 return local
 
-        results = fixpoint_seminaive(exit_dfs, step, self.config.fixpoint)
+        # decomposable single-pred cliques hand their pivot to the
+        # distributed loop too: the segmented store partitions S on the
+        # pivot and (when the candidate chain preserves it — probed on the
+        # physical plan) iterations run exchange-free, the declarative
+        # form of the reference's GPS scheduling
+        pivots = None
+        if len(clique.preds) == 1 and self._linear_clique_shape(clique):
+            pred0 = clique.preds[0]
+            stable = self._stable_positions(clique, pred0)
+            if stable:
+                cols = exit_dfs[pred0].columns
+                pivots = {pred0: [cols[i] for i in sorted(stable)]}
+        results = fixpoint_seminaive(
+            exit_dfs, step, self.config.fixpoint, pivot_cols=pivots
+        )
         if seed_filter is None:
             for pred, df in results.items():
                 self._cache[pred] = df

@@ -61,12 +61,12 @@ class FixpointConfig:
     # checkpoint=True; AQE is disabled inside the loop because
     # AdaptiveSparkPlanExec reports UnknownPartitioning at checkpoint
     # capture, which would force S back through an Exchange each iteration.
-    # Only engaged for linear recursions (step reads deltas only, detected
-    # by probing): when the step joins against the full set, that join keys
-    # on rule variables — not the set key — so S re-shuffles for the join
-    # regardless and the AQE-off loop only loses broadcast/coalesce
-    # decisions on the dominant join (measured 4-10x worse on non-linear
-    # TC at sf0.1).
+    # Serves non-linear steps too (they read `view()` of the segments):
+    # the step's join against the full set keys on rule variables — not
+    # the set key — so that join still exchanges S, but the per-iteration
+    # ANTI-join of the growing S (the superlinear part on non-linear
+    # closures) becomes an in-place merge-scan. Measured on sf1 non-linear
+    # TC (3.1M-row closure): 25s legacy → 21s segmented; par at sf0.1.
     copartitioned_set: bool = True
     # compact the segment chain (union + one re-shuffle of S) when it grows
     # past this length: bounds plan depth and per-iteration merge fan-in,
@@ -192,16 +192,29 @@ class _aqe_off:
     task-count control, AQE's main job here, is handled explicitly by
     _narrow_small."""
 
+    # join co-partitioning on a SUBSET of the join keys (the pivot store's
+    # whole point: S hash-partitioned on pivot ⊆ set columns serves the
+    # all-columns anti-join in place) is semantically valid but rejected
+    # by default in modern Spark — relax it for the loop's plans only
+    _CONFS = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.requireAllClusterKeysForCoPartition": "false",
+    }
+
     def __init__(self, spark):
         self.spark = spark
 
     def __enter__(self):
-        self.saved = self.spark.conf.get("spark.sql.adaptive.enabled")
-        self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        self.saved = {
+            k: self.spark.conf.get(k) for k in self._CONFS
+        }
+        for k, v in self._CONFS.items():
+            self.spark.conf.set(k, v)
         return self
 
     def __exit__(self, *exc):
-        self.spark.conf.set("spark.sql.adaptive.enabled", self.saved)
+        for k, v in self.saved.items():
+            self.spark.conf.set(k, v)
         return False
 
 
@@ -215,9 +228,17 @@ class _SegmentedSet:
     Appends are O(|Δ|); a flat compaction re-shuffles S once per
     `max_segments` iterations."""
 
-    def __init__(self, base: DataFrame, cfg: FixpointConfig):
+    def __init__(self, base: DataFrame, cfg: FixpointConfig, part_cols=None):
         self.cfg = cfg
         self.cols = list(base.columns)
+        # partitioning key of the stored segments: all columns by default
+        # (set semantics need equal rows co-located, which any key subset
+        # guarantees); a PIVOT subset when the recursion is decomposable —
+        # then a delta that flows through broadcast-static joins keeps this
+        # partitioning end-to-end and the whole iteration plans with ZERO
+        # exchanges (GeneralizedPivotSetInfo.scala:30-170 executed through
+        # Catalyst's partitioning-propagation instead of a custom scheduler)
+        self.part_cols = list(part_cols) if part_cols else list(base.columns)
         self.segments: list[DataFrame] = []
         self._empty = _empty_like(base)
         # Frames replaced by compaction, awaiting block release. Release is
@@ -254,7 +275,7 @@ class _SegmentedSet:
         )
         # segments are pairwise disjoint (each was anti-joined against all
         # before it), so compaction is a re-shuffle + sort, no distinct
-        u = u.repartition(n_part, *self.cols)
+        u = u.repartition(n_part, *self.part_cols)
         sealed, _ = self.seal_and_count(u)  # materializes before sources retire
         self._retired.extend(self.segments)
         self.segments = [sealed]
@@ -347,6 +368,7 @@ def fixpoint_seminaive(
     exit_dfs: dict,
     step,
     cfg: FixpointConfig | None = None,
+    pivot_cols: dict | None = None,
 ) -> dict:
     """Parallel semi-naive fixpoint over one or more mutually-recursive
     predicates.
@@ -360,8 +382,14 @@ def fixpoint_seminaive(
     """
     cfg = cfg or FixpointConfig()
     _truncate_marked_ancestors(exit_dfs)
-    if cfg.copartitioned_set and cfg.checkpoint and _step_is_linear(exit_dfs, step):
-        return _fixpoint_seminaive_segmented(exit_dfs, step, cfg)
+    if cfg.copartitioned_set and cfg.checkpoint and _step_probe_ok(exit_dfs, step):
+        # non-linear steps are served too: the segmented loop hands the
+        # step `view()` frames for the accumulated sets, the same S∪Δ the
+        # legacy loop provides — and S is never re-shuffled for the
+        # anti-join (segments merge-join in place), which on non-linear
+        # closures (S grows superlinearly) is the dominant per-iteration
+        # Exchange the legacy loop pays
+        return _fixpoint_seminaive_segmented(exit_dfs, step, cfg, pivot_cols)
     cache = _GenerationCache(cfg)
 
     # schema probe: run step over the (lazy) seeds to learn the candidate
@@ -437,19 +465,40 @@ class _RecordingDict(dict):
         return super().get(key, default)
 
 
-def _step_is_linear(exit_dfs: dict, step) -> bool:
-    """True iff the step builds candidates without reading the accumulated
-    set (pure-delta / linear recursion). Probed by calling step once with a
-    recording all_dfs — plan construction only, no job runs."""
-    rec = _RecordingDict(exit_dfs)
+def _step_probe_ok(exit_dfs: dict, step) -> bool:
+    """True iff the step can be planned against plain seed dicts (probe:
+    plan construction only, no job runs). A step that throws here gets the
+    legacy loop, whose per-pred frames it may be depending on."""
     try:
-        step(rec, dict(exit_dfs))
+        step(_RecordingDict(exit_dfs), dict(exit_dfs))
     except Exception:
         return False
-    return not rec.accessed
+    return True
 
 
-def _fixpoint_seminaive_segmented(exit_dfs: dict, step, cfg: FixpointConfig) -> dict:
+def _plan_partitioned_on(df: DataFrame, cols, n: int) -> bool:
+    """True iff the frame's PHYSICAL plan reports hashpartitioning on
+    exactly ``cols`` with ``n`` partitions. Driver-side planning only (no
+    job). Used to decide whether a decomposable recursion's per-iteration
+    candidate chain PRESERVES the pivot partitioning end-to-end
+    (broadcast-static joins + alias-aware projections do; a union of
+    variants or an exchanged join does not)."""
+    try:
+        s = str(df._jdf.queryExecution().executedPlan().outputPartitioning())
+    except Exception:
+        return False
+    import re
+
+    m = re.fullmatch(r"hashpartitioning\((.*), (\d+)\)", s.strip())
+    if not m or int(m.group(2)) != n:
+        return False
+    exprs = [e.strip().split("#")[0] for e in m.group(1).split(",")]
+    return exprs == list(cols)
+
+
+def _fixpoint_seminaive_segmented(
+    exit_dfs: dict, step, cfg: FixpointConfig, pivot_cols: dict | None = None
+) -> dict:
     """PSN with the accumulated set held as co-partitioned segments.
 
     Identical semantics to the legacy path; differs only in how S is stored
@@ -457,6 +506,33 @@ def _fixpoint_seminaive_segmented(exit_dfs: dict, step, cfg: FixpointConfig) -> 
     every stored segment merge-joins in place (see _SegmentedSet)."""
     spark = next(iter(exit_dfs.values())).sparkSession
     probe = step(exit_dfs, exit_dfs)
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # GPS-lite: for a decomposable pred, store the set partitioned on its
+    # PIVOT columns. When the step's candidate chain preserves that
+    # partitioning (delta → broadcast-static joins → projection), the
+    # whole iteration — distinct, anti-join merge-scan, seal — plans with
+    # ZERO exchanges: Catalyst's partitioning propagation replays the
+    # reference's pivoted fixpoint scheduling declaratively. Probed on the
+    # physical plan before the loop; preds whose chain breaks (multi-
+    # variant unions, exchanged joins) keep the all-columns store.
+    piv: dict[str, list] = {}
+    with _aqe_off(spark):
+        for pred, pc in (pivot_cols or {}).items():
+            if not pc or pred not in exit_dfs:
+                continue
+            try:
+                pp = exit_dfs[pred].repartition(n_shuffle, *pc)
+                pcand = step(
+                    {**exit_dfs, pred: pp}, {**exit_dfs, pred: pp}
+                ).get(pred)
+                if pcand is None:
+                    continue
+                pcand = _cast_like(pcand, _empty_like(pp)).distinct()
+                if _plan_partitioned_on(pcand, pc, n_shuffle):
+                    piv[pred] = list(pc)
+            except Exception:
+                pass  # probe failure just means no pivot store
 
     sets: dict[str, _SegmentedSet] = {}
     delta_dfs: dict[str, DataFrame] = {}
@@ -464,13 +540,17 @@ def _fixpoint_seminaive_segmented(exit_dfs: dict, step, cfg: FixpointConfig) -> 
     with _aqe_off(spark):
         for pred, df in exit_dfs.items():
             df = _widen_seed(df, probe.get(pred))
-            sset = _SegmentedSet(df, cfg)
-            seg, n = sset.seal_and_count(df.distinct())
+            pc = piv.get(pred)
+            sset = _SegmentedSet(df, cfg, part_cols=pc)
+            seeded = (
+                df.repartition(n_shuffle, *pc).distinct() if pc else df.distinct()
+            )
+            seg, n = sset.seal_and_count(seeded)
             if n:
                 sset.append(seg)
                 live.add(pred)
             sets[pred] = sset
-            delta_dfs[pred] = _narrow_small(seg, n, cfg)
+            delta_dfs[pred] = seg if pc else _narrow_small(seg, n, cfg)
 
         iteration = 0
         while live:
@@ -496,7 +576,9 @@ def _fixpoint_seminaive_segmented(exit_dfs: dict, step, cfg: FixpointConfig) -> 
                 if n:
                     sset.append(delta)
                     live.add(pred)
-                new_delta[pred] = _narrow_small(delta, n, cfg)
+                new_delta[pred] = (
+                    delta if pred in piv else _narrow_small(delta, n, cfg)
+                )
             for pred in sets:
                 new_delta.setdefault(pred, sets[pred]._empty)
             delta_dfs = new_delta

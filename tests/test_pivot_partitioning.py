@@ -1,0 +1,115 @@
+"""GPS-lite on the DISTRIBUTED fixpoint: a decomposable clique's segmented
+set is hash-partitioned on its pivot columns, and when the per-iteration
+candidate chain (sealed delta → broadcast-static join → alias projection →
+distinct → segment anti-joins) preserves that partitioning, every iteration
+plans with ZERO shuffle exchanges — the declarative replay of the
+reference's pivoted fixpoint scheduling (GeneralizedPivotSetInfo.scala:
+30-170, RecursionBase.scala:53-69 outputPartitioning)."""
+
+import random
+import re
+
+import pytest
+
+from bigdatalog_spark import BigDatalogContext
+from bigdatalog_spark.datalog import fixpoint as fp
+from bigdatalog_spark.datalog.context import EngineConfig
+
+TC = (
+    "database({arc(From:integer, To:integer)})."
+    "tc(A,B) <- arc(A,B)."
+    "tc(A,B) <- tc(A,C), arc(C,B)."
+)
+
+
+def _edges(seed, n_nodes=300, n_edges=600):
+    rng = random.Random(seed)
+    return {(rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)}
+
+
+def _ctx(spark, program, arcs, **cfg):
+    ctx = BigDatalogContext(spark, EngineConfig(**cfg))
+    ctx.load_program(program)
+    ctx.register_data("arc", [f"{a},{b}" for e in [arcs] for a, b in e])
+    return ctx
+
+
+@pytest.fixture
+def capture_anti_plans(monkeypatch):
+    """Record each iteration's Δ' plan string at build time (inside the
+    loop's conf scope, so the captured physical plan is the executed one)."""
+    plans = []
+    orig = fp._SegmentedSet.anti
+
+    def spy(self, cand):
+        out = orig(self, cand)
+        plans.append(out._jdf.queryExecution().executedPlan().toString())
+        return out
+
+    monkeypatch.setattr(fp._SegmentedSet, "anti", spy)
+    return plans
+
+
+def _exchanges(plan: str):
+    return re.findall(r"Exchange hashpartitioning", plan)
+
+
+def test_distributed_tc_iterations_are_exchange_free(spark, capture_anti_plans):
+    edges = _edges(7)
+    ctx = _ctx(spark, TC, edges, decomposable_local=False)
+    n = ctx.query("tc(A,B).").count()
+    assert len(capture_anti_plans) > 3, "expected a multi-iteration fixpoint"
+    per_iter = [len(_exchanges(p)) for p in capture_anti_plans]
+    assert sum(per_iter) == 0, f"per-iteration shuffle exchanges: {per_iter}"
+    # and the answers match the local decomposable path
+    ctx2 = _ctx(spark, TC, edges)
+    assert n == ctx2.query("tc(A,B).").count()
+
+
+def test_broken_chain_still_correct(spark, capture_anti_plans):
+    """Two recursive rules union their variants — the chain does NOT
+    preserve the pivot partitioning, the probe must decline pivot mode,
+    and results must still be exact."""
+    prog = (
+        "database({arc(From:integer, To:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+        "tc(A,B) <- tc(A,C), arc(B,C)."  # second variant → union
+    )
+    edges = _edges(11, n_nodes=60, n_edges=120)
+    ctx = _ctx(spark, prog, edges, decomposable_local=False)
+    got = {tuple(r) for r in ctx.query("tc(A,B).").collect()}
+    # pandas-free reference closure
+    arcs = set(edges)
+    tc = set(arcs)
+    while True:
+        new = {(a, b2) for (a, c) in tc for (c2, b2) in arcs if c == c2}
+        new |= {(a, b2) for (a, c) in tc for (b2, c2) in arcs if c == c2}
+        if new <= tc:
+            break
+        tc |= new
+    assert got == tc
+
+
+def test_pivot_probe_rejects_non_preserving_chain(spark):
+    """The physical-plan probe itself: a chain through a broadcast join
+    preserves pivot hash partitioning; an exchanged (sort-merge) join
+    does not."""
+    from pyspark.sql import functions as F
+
+    arc = spark.createDataFrame([(0, 1), (1, 2)], "c0: int, c1: int")
+    with fp._aqe_off(spark):
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pp = arc.repartition(n, "c0")
+        good = (
+            pp.alias("d")
+            .join(F.broadcast(arc).alias("s"), F.col("d.c1") == F.col("s.c0"))
+            .select(F.col("d.c0").alias("c0"), F.col("s.c1").alias("c1"))
+        )
+        assert fp._plan_partitioned_on(good.distinct(), ["c0"], n)
+        bad = (
+            pp.alias("d")
+            .join(arc.hint("merge").alias("s"), F.col("d.c1") == F.col("s.c0"))
+            .select(F.col("d.c0").alias("c0"), F.col("s.c1").alias("c1"))
+        )
+        assert not fp._plan_partitioned_on(bad.distinct(), ["c0"], n)

@@ -113,3 +113,36 @@ def test_pivot_probe_rejects_non_preserving_chain(spark):
             .select(F.col("d.c0").alias("c0"), F.col("s.c1").alias("c1"))
         )
         assert not fp._plan_partitioned_on(bad.distinct(), ["c0"], n)
+
+
+def test_compound_pivot_distributed_exchange_free(spark, capture_anti_plans):
+    """3-ary labeled reachability: the head copies BOTH the source and the
+    label from the recursive atom — a compound (2-column) pivot
+    (GeneralizedPivotSetInfo.scala compound pivot sets). The distributed
+    loop must detect it, store S partitioned on (c0, c1), and iterate
+    exchange-free; results must match the local decomposable path."""
+    prog = (
+        "database({edge(From:integer, Lab:integer, To:integer)})."
+        "path(A,L,B) <- edge(A,L,B)."
+        "path(A,L,B) <- path(A,L,C), edge(C,L,B)."
+    )
+    rng = random.Random(13)
+    rows = {
+        (rng.randrange(80), rng.randrange(3), rng.randrange(80))
+        for _ in range(240)
+    }
+    lines = [f"{a},{l},{b}" for a, l, b in rows]
+
+    ctx = BigDatalogContext(spark, EngineConfig(decomposable_local=False))
+    ctx.load_program(prog)
+    ctx.register_data("edge", lines)
+    got = {tuple(r) for r in ctx.query("path(A,L,B).").collect()}
+
+    per_iter = [len(_exchanges(p)) for p in capture_anti_plans]
+    assert len(per_iter) > 2
+    assert sum(per_iter) == 0, f"per-iteration shuffle exchanges: {per_iter}"
+
+    ctx2 = BigDatalogContext(spark)
+    ctx2.load_program(prog)
+    ctx2.register_data("edge", lines)
+    assert got == {tuple(r) for r in ctx2.query("path(A,L,B).").collect()}

@@ -845,24 +845,32 @@ class BigDatalogContext:
                 return None
             seeds[pred] = (seed.toPandas(), seed.schema)
         rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
+        # Every pred's mapInPandas runs the SAME multi-predicate in-task
+        # loop over the same seeds/statics and just projects a different
+        # pred out, so ONE eager materialization proves the growth budget
+        # for the whole clique; the remaining preds stay lazy (unqueried
+        # preds never run — their identical loop cannot newly exceed the
+        # budget the probe pred stayed under).
         result = {}
-        for pred in clique.preds:
-            mat = self._eager_local(
-                seed_broadcast_seminaive(
-                    self.spark,
-                    seeds,
-                    pred,
-                    rules_by_pred,
-                    clique.preds,
-                    statics,
-                    num_slices=1 if shape == "nonlinear" else None,
-                    track=self._broadcasts,
-                    growth=self._growth,
-                )
+        for i, pred in enumerate(clique.preds):
+            out = seed_broadcast_seminaive(
+                self.spark,
+                seeds,
+                pred,
+                rules_by_pred,
+                clique.preds,
+                statics,
+                num_slices=1 if shape == "nonlinear" else None,
+                track=self._broadcasts,
+                growth=self._growth,
             )
-            if mat is None:
-                return None
-            result[pred] = mat
+            if i == 0:
+                mat = self._eager_local(out)
+                if mat is None:
+                    return None
+                result[pred] = mat
+            else:
+                result[pred] = self._checkpointed(out)
         return result
 
     def _try_local_monotonic(
@@ -1053,30 +1061,36 @@ class BigDatalogContext:
             seeds_pd[pred] = seed.toPandas()
             schemas[pred] = seed.schema
         rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
+        # one eager pred proves the growth budget for the whole clique
+        # (each pred runs the identical in-task loop — see the seminaive
+        # seed-broadcast note); the rest stay lazy so unqueried preds
+        # never execute
         out: dict = {}
-        for pred in clique.preds:
+        for i, pred in enumerate(clique.preds):
             out_schema = self._mixed_out_schema(schemas[pred], agg_specs.get(pred))
             out_dtypes = dict(
                 self.spark.createDataFrame([], out_schema).toPandas().dtypes
             )
-            mat = self._eager_local(
-                seed_broadcast_mixed(
-                    self.spark,
-                    seeds_pd,
-                    pred,
-                    out_schema,
-                    out_dtypes,
-                    rules_by_pred,
-                    set(clique.preds),
-                    statics,
-                    agg_specs,
-                    track=self._broadcasts,
-                    growth=self._growth,
-                )
+            df = seed_broadcast_mixed(
+                self.spark,
+                seeds_pd,
+                pred,
+                out_schema,
+                out_dtypes,
+                rules_by_pred,
+                set(clique.preds),
+                statics,
+                agg_specs,
+                track=self._broadcasts,
+                growth=self._growth,
             )
-            if mat is None:
-                return None
-            out[pred] = mat
+            if i == 0:
+                mat = self._eager_local(df)
+                if mat is None:
+                    return None
+                out[pred] = mat
+            else:
+                out[pred] = self._checkpointed(df)
         return out
 
     def _compute_seminaive_clique(

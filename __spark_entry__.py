@@ -340,6 +340,58 @@ def dl_tc_rl(spark, sf_dir):
     return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
 
 
+def dl_tc_distributed(spark, sf_dir):
+    """Transitive closure FORCED onto the distributed segmented fixpoint
+    (decomposable_local=False — the path a cluster takes when the seed
+    outgrows the local gate): exercises the pivot-partitioned
+    exchange-free loop (tests/test_pivot_partitioning.py) on the driver
+    surface. Same closure, same oracle as dl_tc."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    ctx = BigDatalogContext(spark, EngineConfig(decomposable_local=False))
+    ctx.load_program(
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    ctx.register("arc", _tree_edges(spark, sf_dir))
+    df = ctx.query("tc(A,B).")
+    return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
+
+
+def q_stream_sessionize(spark, sf_dir):
+    """Gap-based session windows through the REAL streaming path:
+    file-source readStream → watermarked ``session_window`` aggregation
+    (Spark's native stateful session operator) → ``Trigger.AvailableNow``
+    → memory sink in complete mode (session-window streams support
+    append/complete, not update; complete emits the final merged session
+    set when the bounded stream drains). The batch oracle — lag-based gap
+    sessionization in SQL — checks it value-for-value. Summarized per
+    user like q_sessionize so the driver hash covers every session
+    without per-session timestamps."""
+    from bigdatalog_spark.streaming.ops import (
+        sessionize,
+        stream_events_from_files,
+        write_memory_sink,
+    )
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = stream_events_from_files(
+        spark, sf_dir, schema, glob_filter="events.parquet"
+    )
+    sess = sessionize(stream, gap="30 minutes")
+    q = write_memory_sink(sess, "q_stream_sessionize_sink", output_mode="complete")
+    q.awaitTermination()
+    return (
+        spark.table("q_stream_sessionize_sink")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )
+
+
 def dl_agg_over_tc(spark, sf_dir):
     """Stratified aggregation OVER a recursion stratum — the reference's
     AggregatesOverRecursionQuerySuite pattern (min/count over a completed
@@ -1360,14 +1412,20 @@ def q_countd_approx(spark, sf_dir):
     # rsd=0.01: the default 5% rsd is a standard deviation, not a bound —
     # at sf0.1 group sizes (~10k distinct) it routinely exceeds a 5%
     # tolerance. 1% rsd under a 5% bound gives ~5 sigma of headroom.
-    return e.groupBy("event_type").agg(
-        (
-            F.abs(
-                F.approx_count_distinct("user_id", rsd=0.01)
-                - F.count_distinct("user_id")
-            )
-            <= F.count_distinct("user_id") * 0.05
-        ).alias("countd_ok")
+    # The exact and approx counts are SEPARATE aggregations joined on the
+    # (tiny) group key: combining count_distinct with the HLL in one agg
+    # plans an Expand that duplicates every row and drags the 16 KB HLL
+    # buffers through the widened shuffle (measured 3-18 s erratic at sf1
+    # vs a stable 0.8 s split).
+    ap = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("__a")
+    )
+    ex = e.groupBy("event_type").agg(F.count_distinct("user_id").alias("__x"))
+    return ap.join(ex, "event_type").select(
+        "event_type",
+        (F.abs(F.col("__a") - F.col("__x")) <= F.col("__x") * 0.05).alias(
+            "countd_ok"
+        ),
     )
 
 
@@ -2110,6 +2168,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_repetition_stats": q_repetition_stats,
         "q_json_props": q_json_props,
+        # --- new in round 4 (outside the 50-query window; rotate into the
+        # round-5 window with the r03 family) ---
+        "dl_tc_distributed": dl_tc_distributed,
+        "q_stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -2220,6 +2282,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         # right-linear compilation, identical closure
         "dl_tc_rl": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            tc(src, dst) AS (
+              SELECT src, dst FROM edges
+              UNION
+              SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
+            SELECT src, dst FROM tc
+        """,
+        "dl_tc_distributed": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),
             tc(src, dst) AS (
               SELECT src, dst FROM edges
@@ -2568,6 +2638,18 @@ def oracle_sql() -> dict[str, str]:
             FROM g GROUP BY w_start
         """,
         "q_sessionize": """
+            WITH o AS (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "q_stream_sessionize": """
             WITH o AS (
               SELECT user_id,
                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

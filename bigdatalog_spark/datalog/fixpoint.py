@@ -894,18 +894,37 @@ def fixpoint_monotonic(
         cand = _cast_like(cand, all_df)
         if _plan_is_empty(cand):
             break
-        # merge: ONE keyed aggregate over S ∪ candidates replaces the
-        # left-outer improved-probe + anti-join rewrite (join-free: see the
-        # maintenance note above). Unchanged groups reproduce their exact
-        # row (min/max is stable), so the delta below excludes them.
-        merged = _truncate(aggregate(all_df.unionByName(cand)), cfg)
-        merged = _retain(merged, cfg, cache)
-        # delta = changed groups with their NEW value (delta detection,
-        # TungstenMonotonicAggregationIterator.scala:512-555): rows of the
-        # merged table not present in the old one. exceptAll is null-safe
-        # and plans as union+count aggregate, not a join. The count that
-        # follows is the job that materializes both checkpoints.
-        improved = merged.exceptAll(all_df)
+        # merge + delta detection in ONE keyed aggregate over tagged
+        # S ∪ candidates (join-free: see the maintenance note above).
+        # Alongside the new min/max, the pass carries the group's OLD
+        # value (aggregated over old-tagged rows only — the table has one
+        # row per group, so agg_fn reproduces it) and a presence flag;
+        # the delta is then a FILTER over the same checkpointed frame:
+        # new groups, or groups whose value changed (null-safe compare —
+        # a group whose stored value is genuinely NULL must not re-report
+        # forever). This replaces merged.exceptAll(all), which re-shuffled
+        # 2|S| more per iteration on top of the |S|+|Δ| merge exchange
+        # (TungstenMonotonicAggregationIterator.scala:512-555 tracks
+        # "changed groups" inside its hash table the same way).
+        tagged = all_df.withColumn("__old", F.lit(1)).unionByName(
+            cand.withColumn("__old", F.lit(0))
+        )
+        merged_all = (
+            tagged.groupBy(*key_cols)
+            .agg(
+                agg_fn(F.col(value_col)).alias(value_col),
+                F.max(F.col("__old")).alias("__seen"),
+                agg_fn(
+                    F.when(F.col("__old") == 1, F.col(value_col))
+                ).alias("__oldv"),
+            )
+        )
+        merged_all = _retain(_truncate(merged_all, cfg), cfg, cache)
+        merged = merged_all.select(*key_cols, value_col)
+        improved = merged_all.where(
+            (F.col("__seen") == 0)
+            | ~F.col(value_col).eqNullSafe(F.col("__oldv"))
+        ).select(*key_cols, value_col)
         improved, n = _materialize(improved, cfg)
         improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
         all_df = merged

@@ -788,15 +788,34 @@ def fixpoint_mixed(
                 # for mcount the increment is already a per-group count, so
                 # the merge aggregate is SUM for both mcount and msum)
                 inc = aggregate(pred, fresh)
-                merged = (
-                    table.unionByName(inc)
-                    .groupBy(*keys)
-                    .agg(F.sum(F.col(vcol)).alias(vcol))
-                    .select(*spec.cols)
+                # merge + delta in ONE keyed aggregate over tagged
+                # table ∪ increments (same fusion as fixpoint_monotonic):
+                # the pass carries the group's old cumulative value and a
+                # presence flag, so changed groups are a FILTER instead of
+                # a merged.exceptAll(table) that re-shuffled 2|table| more
+                # per iteration. Sign-cancelling msum increments (group
+                # sum 0) leave value == old value and are correctly
+                # excluded, as exceptAll excluded the identical row.
+                vtype = table.schema[vcol].dataType
+                tagged = table.withColumn("__old", F.lit(1)).unionByName(
+                    inc.withColumn("__old", F.lit(0))
                 )
-                merged = _retain(_truncate(_cast_like(merged, table), cfg), cfg, cache)
-                # changed groups carry their NEW cumulative value
-                delta = merged.exceptAll(table)
+                # SUM widens the value type — cast back to the table's
+                # type inside the pass so the loop stays type-stable
+                # (what _cast_like(merged, table) did pre-fusion)
+                merged_all = tagged.groupBy(*keys).agg(
+                    F.sum(F.col(vcol)).cast(vtype).alias(vcol),
+                    F.max(F.col("__old")).alias("__seen"),
+                    F.sum(F.when(F.col("__old") == 1, F.col(vcol)))
+                    .cast(vtype)
+                    .alias("__oldv"),
+                )
+                merged_all = _retain(_truncate(merged_all, cfg), cfg, cache)
+                merged = merged_all.select(*spec.cols)
+                delta = merged_all.where(
+                    (F.col("__seen") == 0)
+                    | ~F.col(vcol).eqNullSafe(F.col("__oldv"))
+                ).select(*spec.cols)
                 delta, nd = _materialize(delta, cfg)
                 new_delta[pred] = _narrow_small(
                     _retain(delta, cfg, cache), nd, cfg
@@ -819,14 +838,28 @@ def fixpoint_mixed(
                 new_all[pred] = merged
             else:
                 cand = _cast_like(cand, table)
-                # join-free merge + delta, as in fixpoint_monotonic: one
-                # keyed min/max over table ∪ contributions; delta = rows of
-                # the merged table not in the old one (null-safe exceptAll)
-                merged = _truncate(
-                    aggregate(pred, table.unionByName(cand)), cfg
+                # single-pass merge + delta, as in fixpoint_monotonic: one
+                # keyed min/max over tagged table ∪ contributions carrying
+                # the old value + presence flag; improved groups are a
+                # filter over the same checkpointed frame (null-safe value
+                # compare, so NULL-valued groups don't re-report forever)
+                mfn = F.min if spec.func == "mmin" else F.max
+                tagged = table.withColumn("__old", F.lit(1)).unionByName(
+                    cand.withColumn("__old", F.lit(0))
                 )
-                merged = _retain(merged, cfg, cache)
-                improved = merged.exceptAll(table)
+                merged_all = tagged.groupBy(*keys).agg(
+                    mfn(F.col(vcol)).alias(vcol),
+                    F.max(F.col("__old")).alias("__seen"),
+                    mfn(
+                        F.when(F.col("__old") == 1, F.col(vcol))
+                    ).alias("__oldv"),
+                )
+                merged_all = _retain(_truncate(merged_all, cfg), cfg, cache)
+                merged = merged_all.select(*spec.cols)
+                improved = merged_all.where(
+                    (F.col("__seen") == 0)
+                    | ~F.col(vcol).eqNullSafe(F.col("__oldv"))
+                ).select(*spec.cols)
                 improved, n = _materialize(improved, cfg)
                 improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
                 new_delta[pred] = improved

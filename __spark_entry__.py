@@ -87,6 +87,44 @@ _MLM_CTES = """
 """
 
 
+def _kcore_sql(k: int = 2, rounds: int = 48) -> str:
+    """Unrolled peeling SQL for the 2-core oracle: each stage recomputes
+    degrees over the previous stage's edge set and keeps edges whose
+    endpoints both have degree >= k — exactly one simultaneous peel round.
+    Peeling is idempotent at the fixpoint, so over-provisioned rounds are
+    no-ops; on this tree+chord graph the peel depth is ~ the tree depth
+    (log2 of max part key: 48 rounds covers any sf up to ~2^46 parts)."""
+    ctes = [
+        f"""e0 AS (
+      SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+      FROM (
+        SELECT * FROM ({_EDGES_SQL})
+        UNION ALL
+        SELECT p_partkey AS src,
+               (p_partkey*31 + 7) % (SELECT max(p_partkey) FROM part) + 1 AS dst
+        FROM part WHERE p_partkey >= 1)
+      WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS (
+      SELECT x, count(*) AS d
+      FROM (SELECT u AS x FROM e{r} UNION ALL SELECT v FROM e{r})
+      GROUP BY x),
+    e{r + 1} AS (
+      SELECT e.u, e.v FROM e{r} e
+      JOIN d{r} a ON a.x = e.u JOIN d{r} b ON b.x = e.v
+      WHERE a.d >= {k} AND b.d >= {k})"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+            WITH {body}
+            SELECT x AS vertex, CAST(count(*) AS BIGINT) AS degree
+            FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+            GROUP BY x
+        """
+
+
 def _pagerank_sql(iters: int = 8) -> str:
     """Unrolled power-iteration SQL mirroring operators/graph.py pagerank
     term for term (same IEEE double literals and op order; contribution

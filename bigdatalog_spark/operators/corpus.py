@@ -129,6 +129,79 @@ def decontaminate(
     )
 
 
+def dedup_chunks(
+    df: DataFrame,
+    chunk_words: int = 4,
+    max_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document duplicated-chunk removal — the MassiveText /
+    RefinedWeb "remove lines duplicated across documents" rule, adapted to
+    flat corpora: split each document into non-overlapping
+    ``chunk_words``-word chunks, count how many DISTINCT documents each
+    exact chunk occurs in, and strip every chunk that occurs in more than
+    ``max_docs`` documents (boilerplate / template text), reassembling the
+    surviving chunks in their original order.
+
+    Scale shape: the chunking is a pure map-side higher-order-function
+    expression (no explode until the document-frequency count); the DF
+    count is one groupBy keyed on the chunk text (uniformly distributed);
+    the over-threshold chunk set is tiny by construction (heavy hitters
+    only) and BROADCASTS for the removal anti-join; reassembly is one
+    groupBy on the document id. Two corpus shuffles total, no self-join —
+    the same plan holds at 100 TB.
+
+    Returns (id_col, text_clean, n_chunks, n_removed); documents whose
+    chunks are all boilerplate survive with text_clean = ''.
+    """
+    if chunk_words < 1:
+        raise ValueError("chunk_words must be >= 1")
+    words = F.split(F.col(text_col), " ")
+    nchunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nchunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_words + 1, chunk_words), " "
+        ),
+    )
+    base = df.select(F.col(id_col), chunks.alias("__chunks"))
+    exploded = base.select(
+        id_col, F.posexplode("__chunks").alias("cn", "chunk")
+    )
+    dup = (
+        exploded.groupBy("chunk")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") > max_docs)
+        .select("chunk")
+    )
+    kept = exploded.join(F.broadcast(dup), on="chunk", how="left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("cn", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("long").alias("__n_kept"),
+    )
+    totals = base.select(
+        id_col, F.size("__chunks").cast("long").alias("n_chunks")
+    )
+    return (
+        totals.join(reassembled, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 64,

@@ -300,6 +300,154 @@ def connected_components_fast(
     return out
 
 
+def _k_core_local(spark, e: DataFrame, k: int) -> DataFrame:
+    """Single-task vectorized peeling over broadcast edges — same contract
+    as the distributed rounds (the k-core is unique, so outputs are
+    identical). One Spark job instead of O(peel-depth) rounds."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("vertex", e.schema["u"].dataType, False),
+            T.StructField("degree", T.LongType(), False),
+        ]
+    )
+    bc = spark.sparkContext.broadcast(e.toPandas())
+
+    def mapper(batches):
+        import numpy as np
+        import pandas as pd
+
+        if not any(len(b) for b in batches):
+            return
+        ed = bc.value
+        both = pd.concat([ed["u"], ed["v"]], ignore_index=True)
+        codes, uniques = pd.factorize(both, sort=True)
+        m = len(ed)
+        cu, cv = codes[:m].copy(), codes[m:].copy()
+        alive = np.ones(m, dtype=bool)
+        while True:
+            deg = np.bincount(
+                np.concatenate([cu[alive], cv[alive]]), minlength=len(uniques)
+            )
+            drop = alive & ((deg[cu] < k) | (deg[cv] < k))
+            if not drop.any():
+                break
+            alive &= ~drop
+        deg = np.bincount(
+            np.concatenate([cu[alive], cv[alive]]), minlength=len(uniques)
+        )
+        keep = deg >= k
+        out = pd.DataFrame(
+            {
+                "vertex": uniques[keep],
+                "degree": deg[keep].astype("int64"),
+            }
+        )
+        yield out.astype({"vertex": ed["u"].dtype})
+
+    out = (
+        spark.range(0, 1, 1, 1)
+        .mapInPandas(mapper, schema=schema)
+        .localCheckpoint(eager=True)
+    )
+    bc.destroy()
+    return out
+
+
+def k_core(
+    edges: DataFrame, k: int = 2, src: str = "src", dst: str = "dst",
+    max_rounds: int = 4096,
+    local_max_edges: int = 1 << 20,
+) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983; public
+    algorithm): repeatedly delete vertices with degree < k in the
+    undirected simple graph until none remain. The surviving subgraph (the
+    k-core) is UNIQUE, so any deletion order converges to the same answer.
+
+    Per round: one shuffle-on-vertex degree aggregation and two semi-joins
+    that keep only edges whose endpoints both survive — all JVM-side, no
+    driver data beyond a (count, hash) convergence checksum. Round count
+    is the graph's peel depth (≈ tree depth on hierarchies, worst-case a
+    chain); each round strictly shrinks the edge set, so late rounds are
+    cheap. Graphs at or under ``local_max_edges`` (bounded probe) peel in
+    a single vectorized task instead; pass ``local_max_edges=0`` to force
+    the distributed rounds.
+
+    Complements connected_components_fast / pagerank as the dense-region
+    extractor in a dedup-graph pipeline (e.g. keep only documents whose
+    similarity-graph neighborhood is k-dense).
+
+    Returns (vertex, degree) for vertices IN the k-core, where degree is
+    the vertex degree within the k-core subgraph.
+    """
+    base = (
+        _edges(edges, src, dst)
+        .where(F.col("c0") != F.col("c1"))
+        .select(
+            F.least("c0", "c1").alias("u"), F.greatest("c0", "c1").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    spark = edges.sparkSession
+    if local_max_edges:
+        probe = base.limit(local_max_edges + 1).count()
+        if probe <= local_max_edges:
+            out = _k_core_local(spark, base, k)
+            base.unpersist()
+            return out
+
+    def degrees(E: DataFrame) -> DataFrame:
+        return (
+            E.select(F.explode(F.array("u", "v")).alias("vertex"))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    def checksum(df: DataFrame):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    from ..datalog.fixpoint import _truncate_marked_ancestors
+
+    e = base
+    _truncate_marked_ancestors(e)
+    prev_sig, prev_e = None, None
+    for _ in range(max_rounds):
+        alive = degrees(e).where(F.col("degree") >= k).select("vertex")
+        e = (
+            e.join(alive.withColumnRenamed("vertex", "u"), on="u", how="left_semi")
+            .join(alive.withColumnRenamed("vertex", "v"), on="v", how="left_semi")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+        sig = checksum(e)
+        if prev_e is not None:
+            try:
+                prev_e._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            except Exception:
+                pass
+        if sig == prev_sig:
+            break
+        prev_sig, prev_e = sig, e
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge within {max_rounds} rounds"
+        )
+
+    out = (
+        degrees(e)
+        .select("vertex", F.col("degree").cast("long").alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    base.unpersist()
+    return out
+
+
 def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
     """Count of directed triangles x<y<z with arcs x→y→z→x
     (TriangleQuerySuite program)."""

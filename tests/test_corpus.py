@@ -137,3 +137,59 @@ def test_chunk_documents_rejects_negative_overlap(spark):
     docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_tokens=4, overlap=-2)
+
+
+def test_dedup_chunks_removes_cross_doc_boilerplate(spark):
+    from bigdatalog_spark.operators.corpus import dedup_chunks
+
+    boiler = "click here to subscribe"  # 4 words = one chunk at chunk_words=4
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} alpha beta gamma delta"),
+            (2, f"epsilon zeta eta theta {boiler}"),
+            (3, f"iota kappa lam mu {boiler}"),
+            (4, "nu xi omicron pi rho sigma tau upsilon"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_chunks"], r["n_removed"])
+        for r in dedup_chunks(docs, chunk_words=4, max_docs=2).collect()
+    }
+    # boiler occurs in 3 docs > max_docs=2 -> stripped everywhere, in order
+    assert out[1] == ("alpha beta gamma delta", 2, 1)
+    assert out[2] == ("epsilon zeta eta theta", 2, 1)
+    assert out[3] == ("iota kappa lam mu", 2, 1)
+    assert out[4] == ("nu xi omicron pi rho sigma tau upsilon", 2, 0)
+
+
+def test_dedup_chunks_fully_boilerplate_doc_survives_empty(spark):
+    from bigdatalog_spark.operators.corpus import dedup_chunks
+
+    docs = spark.createDataFrame(
+        [(i, "spam spam spam spam") for i in range(1, 5)]
+        + [(9, "unique words only here")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dedup_chunks(docs, chunk_words=4, max_docs=2).collect()
+    }
+    for i in range(1, 5):
+        assert out[i] == ("", 1)
+    assert out[9] == ("unique words only here", 0)
+
+
+def test_dedup_chunks_partial_trailing_chunk_counted(spark):
+    from bigdatalog_spark.operators.corpus import dedup_chunks
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "solo")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_chunks"])
+        for r in dedup_chunks(docs, chunk_words=3, max_docs=1).collect()
+    }
+    # 7 words at chunk_words=3 -> chunks "a b c","d e f","g"
+    assert out[1] == ("a b c d e f g", 3)
+    assert out[2] == ("solo", 1)

@@ -2675,6 +2675,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total
             FROM g GROUP BY w_start
         """,
+        # strict > matches session_window's boundary exactly: an event
+        # EXACTLY gap after the previous one MERGES (empirically pinned by
+        # tests/test_streaming.py::test_session_window_exact_gap_boundary_merges)
         "q_sessionize": """
             WITH o AS (
               SELECT user_id,

@@ -147,17 +147,21 @@ def dedup_chunks(
     Scale shape: the chunking is a pure map-side higher-order-function
     expression (no explode until the document-frequency count); the DF
     count is one groupBy keyed on the chunk text (uniformly distributed);
-    the over-threshold chunk set is tiny by construction (heavy hitters
-    only) and BROADCASTS for the removal anti-join; reassembly is one
-    groupBy on the document id. Two corpus shuffles total, no self-join —
-    the same plan holds at 100 TB.
+    reassembly is one groupBy on the document id. The over-threshold
+    chunk set is usually small (heavy hitters only), but its size GROWS
+    with corpus size — common short phrases can make it large — so the
+    removal anti-join carries NO explicit broadcast hint: AQE observes
+    the aggregated set's true runtime size and converts to broadcast
+    only when it actually fits, falling back to a shuffled join
+    otherwise. No self-join anywhere — the same plan holds at 100 TB.
 
     Returns (id_col, text_clean, n_chunks, n_removed); documents whose
-    chunks are all boilerplate survive with text_clean = ''.
+    chunks are all boilerplate survive with text_clean = ''. NULL text
+    is treated as '' (one empty chunk), like io.shard_manifest.
     """
     if chunk_words < 1:
         raise ValueError("chunk_words must be >= 1")
-    words = F.split(F.col(text_col), " ")
+    words = F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
     nchunks = F.ceil(F.size(words) / F.lit(float(chunk_words))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), nchunks - 1),
@@ -175,7 +179,10 @@ def dedup_chunks(
         .where(F.col("__df") > max_docs)
         .select("chunk")
     )
-    kept = exploded.join(F.broadcast(dup), on="chunk", how="left_anti")
+    # no broadcast hint: the heavy-hitter set's size is data-dependent
+    # (grows with corpus size); let AQE pick broadcast vs shuffle from
+    # the aggregate's actual runtime size
+    kept = exploded.join(dup, on="chunk", how="left_anti")
     reassembled = kept.groupBy(id_col).agg(
         F.array_join(
             F.transform(

@@ -197,10 +197,46 @@ def stream_events_from_files(
 
 
 def write_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
-    """Run a streaming query into an in-memory table (testing sink)."""
+    """Run a streaming query into an in-memory table (testing sink).
+
+    SCALE WARNING: the memory sink materializes the whole result on the
+    driver — it exists for tests and bounded bench streams only (e.g.
+    ``q_stream_sessionize`` uses complete mode to drain a bounded
+    session stream into a driver-checked table). A production unbounded
+    stream must use ``write_file_sink`` (append mode, exactly-once via
+    checkpoint) or an equivalent table sink instead."""
     return (
         df.writeStream.format("memory")
         .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def write_file_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    fmt: str = "parquet",
+):
+    """Run a streaming query into a file sink — the production shape for
+    unbounded streams: append mode, exactly-once recovery from the
+    checkpoint, output partitioned across executors (never collected on
+    the driver).
+
+    For watermarked aggregations (windowed / session_window) append mode
+    only emits a group once the watermark passes its window end, so a
+    BOUNDED stream withholds the final windows: the watermark stops at
+    ``max(event time) - delay``. To drain a bounded stream completely
+    through the append path, advance the watermark past the last window
+    end with a later sentinel file (see
+    tests/test_streaming.py::test_session_append_file_sink_parity)."""
+    return (
+        df.writeStream.format(fmt)
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
         .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()

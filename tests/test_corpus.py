@@ -193,3 +193,28 @@ def test_dedup_chunks_partial_trailing_chunk_counted(spark):
     # 7 words at chunk_words=3 -> chunks "a b c","d e f","g"
     assert out[1] == ("a b c d e f g", 3)
     assert out[2] == ("solo", 1)
+
+
+def test_dedup_chunks_null_text_gets_empty_chunk_semantics(spark):
+    """NULL text must not poison n_chunks/n_removed (F.size(NULL) = -1
+    would make sequence(0,-2) blow up or yield NULL counts): NULL is
+    coalesced to '' -> one empty chunk, n_chunks=1, n_removed=0."""
+    from pyspark.sql import types as T
+
+    from bigdatalog_spark.operators.corpus import dedup_chunks
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    docs = spark.createDataFrame(
+        [(1, None), (2, "alpha beta gamma delta")], schema
+    )
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_chunks"], r["n_removed"])
+        for r in dedup_chunks(docs, chunk_words=4, max_docs=2).collect()
+    }
+    assert out[1] == ("", 1, 0)
+    assert out[2] == ("alpha beta gamma delta", 1, 0)

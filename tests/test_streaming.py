@@ -238,3 +238,73 @@ def test_stream_dedup_within_watermark(spark):
     n_got = got.count()
     assert n_got == got.distinct().count()
     assert n_got == ev.select("user_id", "event_type").distinct().count()
+
+
+def test_session_window_exact_gap_boundary_merges(spark):
+    """Pin Spark's session_window boundary semantics: an event EXACTLY
+    `gap` after the previous one MERGES into the same session (the
+    session extends through [last_ts, last_ts + gap], closed at the
+    boundary), and only a strictly-greater gap splits. This is why the
+    lag-based SQL oracles split on `ts - prev > INTERVAL 30 MINUTE`
+    (strict >), NOT >= — verified here so the oracle condition is pinned
+    against Spark upgrades."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", t0, 1.0),
+        ("u1", t0 + datetime.timedelta(seconds=1800), 1.0),  # == gap: merge
+        ("u1", t0 + datetime.timedelta(seconds=3601), 1.0),  # > gap: split
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, value double"
+    )
+    out = sessionize(ev, gap="30 minutes").orderBy("session_start").collect()
+    assert [r["n_events"] for r in out] == [2, 1]
+
+
+def test_session_append_file_sink_parity(spark):
+    """Append-mode file sink (the production shape) reaches batch parity
+    on a bounded stream once a later sentinel file pushes the watermark
+    past the last session end. maxFilesPerTrigger=1 makes the sentinel
+    land in its own micro-batch (the watermark only advances BETWEEN
+    batches)."""
+    import datetime
+
+    from bigdatalog_spark.streaming.ops import write_file_sink
+
+    ev = _events(spark)
+    batch = {tuple(r) for r in sessionize(ev, gap="30 minutes").collect()}
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    sentinel_ts = max_ts + datetime.timedelta(days=30)
+    sentinel = ev.limit(1).select(
+        F.col("event_id"),
+        F.lit(-1).cast(ev.schema["user_id"].dataType).alias("user_id"),
+        F.col("event_type"),
+        F.lit(sentinel_ts).cast(ev.schema["ts"].dataType).alias("ts"),
+        F.col("value"),
+        F.col("props"),
+    ).select(*ev.columns)
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/in")
+        # second drop, strictly later mtime so it forms the LAST micro-batch
+        import time
+
+        time.sleep(1.1)
+        sentinel.coalesce(1).write.mode("append").parquet(f"{d}/in")
+        stream = stream_events_from_files(
+            spark, f"{d}/in", ev.schema, max_files_per_trigger=1
+        )
+        q = write_file_sink(
+            sessionize(stream, gap="30 minutes", watermark="2 hours"),
+            path=f"{d}/out",
+            checkpoint=f"{d}/ckpt",
+        )
+        q.awaitTermination(180)
+        got = {
+            tuple(r)
+            for r in spark.read.parquet(f"{d}/out")
+            .where(F.col("user_id") != -1)
+            .collect()
+        }
+    assert got == batch

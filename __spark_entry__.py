@@ -87,15 +87,19 @@ _MLM_CTES = """
 """
 
 
-def _kcore_sql(k: int = 2, rounds: int = 48) -> str:
+def _kcore_sql(k: int = 2, rounds: int = 24) -> str:
     """Unrolled peeling SQL for the 2-core oracle: each stage recomputes
     degrees over the previous stage's edge set and keeps edges whose
     endpoints both have degree >= k — exactly one simultaneous peel round.
     Peeling is idempotent at the fixpoint, so over-provisioned rounds are
     no-ops; on this tree+chord graph the peel depth is ~ the tree depth
-    (log2 of max part key: 48 rounds covers any sf up to ~2^46 parts)."""
+    (log2 of max part key: 24 rounds covers any sf up to ~2^22 parts,
+    i.e. sf ≈ 20). Every CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    and each round references its predecessor several times, so an
+    uninlined chain re-expands multiplicatively (observed as 'too many
+    open files' re-scanning part.parquet)."""
     ctes = [
-        f"""e0 AS (
+        f"""e0 AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       FROM (
         SELECT * FROM ({_EDGES_SQL})
@@ -107,11 +111,11 @@ def _kcore_sql(k: int = 2, rounds: int = 48) -> str:
     ]
     for r in range(rounds):
         ctes.append(
-            f"""d{r} AS (
+            f"""d{r} AS MATERIALIZED (
       SELECT x, count(*) AS d
       FROM (SELECT u AS x FROM e{r} UNION ALL SELECT v FROM e{r})
       GROUP BY x),
-    e{r + 1} AS (
+    e{r + 1} AS MATERIALIZED (
       SELECT e.u, e.v FROM e{r} e
       JOIN d{r} a ON a.x = e.u JOIN d{r} b ON b.x = e.v
       WHERE a.d >= {k} AND b.d >= {k})"""
@@ -713,6 +717,33 @@ def q_pagerank(spark, sf_dir):
     edges = tree.union(cross).where(F.col("src") != F.col("dst")).distinct()
     pr = pagerank(edges, iterations=8, damping=0.85)
     return pr.select("node", F.round("rank", 8).alias("rank"))
+
+
+def q_kcore(spark, sf_dir):
+    """k-core decomposition (operators/graph.py k_core — Seidman 1983
+    iterative peeling) on the part-key tree plus one deterministic
+    cross-link per node (same graph as q_pagerank, so the chords give the
+    tree a non-trivial 2-core). The k-core is the UNIQUE maximal subgraph
+    where every vertex has degree >= k, so any peel order — the engine's
+    simultaneous rounds, the local vectorized path, or the oracle's
+    unrolled per-round SQL — converges to identical (vertex, degree)
+    rows."""
+    from bigdatalog_spark.operators.graph import k_core
+
+    mx = _part_max(spark, sf_dir)
+    tree = _tree_edges(spark, sf_dir, mx=mx)
+    cross = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_partkey") >= 1)
+        .select(
+            F.col("p_partkey").alias("src"),
+            ((F.col("p_partkey") * 31 + 7) % F.lit(mx) + 1).alias("dst"),
+        )
+    )
+    edges = tree.union(cross)
+    return k_core(edges, k=2).select(
+        F.col("vertex").cast("long").alias("vertex"), "degree"
+    )
 
 
 def dl_apsp(spark, sf_dir):
@@ -2096,15 +2127,72 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # dict entries per round. Round 3 verified the dedup/ANN/corpus/sampling
-    # family (now listed last); this round rotates the Datalog/TPC-H/
-    # windowing family back to the front — the engine changed under them
-    # since round 2 (local-eval non-linear path, static build sides,
-    # broadcast lifetime fixes) — and adds q_winnow_fingerprints, whose
-    # fingerprint hash changed this round. q6_forecast_revenue (a single
-    # filter+sum with no engine surface touched since its round-2 green
-    # row) is the one demotion making room.
+    # dict entries per round. The r04 window verified the Datalog/TPC-H/
+    # windowing family (now listed after the window); this round rotates the
+    # dedup/ANN/corpus/sampling family back to the front — the engine changed
+    # under parts of it since its r03 rows (broadcast lifetimes, winnowing/
+    # tfidf checkpointing, shard-manifest NULL fix, dedup_chunks AQE join) —
+    # led by the entries with no driver row yet (q_kcore, new this round;
+    # dl_tc_distributed and q_stream_sessionize, added in r04 outside the
+    # window) and the oracle-fixed q_pack_sequences. Held just past the
+    # window to make room (plain load_table+SQL shapes, zero engine surface
+    # touched since their green r03 rows): q7_nation_volume,
+    # q12_priority_lines, q19_disjunctive_filter — rotate them into r06.
     return {
+        "q_kcore": q_kcore,
+        "dl_tc_distributed": dl_tc_distributed,
+        "q_stream_sessionize": q_stream_sessionize,
+        "q_pack_sequences": q_pack_sequences,
+        "q_subword_tokens": q_subword_tokens,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_cohort_retention": q_cohort_retention,
+        "q_countd_approx": q_countd_approx,
+        "q_shard_manifest": q_shard_manifest,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q_value_percentiles_approx": q_value_percentiles_approx,
+        "q_running_avg": q_running_avg,
+        "q_asof_purchase": q_asof_purchase,
+        "q_asof_forward": q_asof_forward,
+        "q_grouping_sets": q_grouping_sets,
+        "q_interval_join": q_interval_join,
+        "q_range_acctbal_band": q_range_acctbal_band,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        "q_media_features": q_media_features,
+        "q_media_frames": q_media_frames,
+        "q_text_profile": q_text_profile,
+        "q_dedup_cluster": q_dedup_cluster,
+        "q_lang_histogram": q_lang_histogram,
+        "q_quality_filter": q_quality_filter,
+        "q_token_topk": q_token_topk,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_cube_revenue": q_cube_revenue,
+        "q_pii_stats": q_pii_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_hash_split": q_hash_split,
+        "q_mixture_sample": q_mixture_sample,
+        "q_mixture_upsample": q_mixture_upsample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
+        "q_doc_chunks": q_doc_chunks,
+        "q_corpus_shuffle": q_corpus_shuffle,
+        "q_repetition_stats": q_repetition_stats,
+        "q_json_props": q_json_props,
+        # --- previously driver-verified (green r03/r04 rows) ---
+        "q7_nation_volume": q7_nation_volume,
+        "q12_priority_lines": q12_priority_lines,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "dl_inmemory_csv": dl_inmemory_csv,
         "dl_filter_project": dl_filter_project,
@@ -2155,61 +2243,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_rollup_revenue": q_rollup_revenue,
         "q_value_percentiles": q_value_percentiles,
-        # --- previously driver-verified (green r02/r03 rows) ---
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q_subword_tokens": q_subword_tokens,
-        "q_tfidf_topk": q_tfidf_topk,
-        "q_cohort_retention": q_cohort_retention,
-        "q_countd_approx": q_countd_approx,
-        "q_shard_manifest": q_shard_manifest,
-        "q7_nation_volume": q7_nation_volume,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q12_priority_lines": q12_priority_lines,
-        "q15_top_supplier": q15_top_supplier,
-        "q19_disjunctive_filter": q19_disjunctive_filter,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q_value_percentiles_approx": q_value_percentiles_approx,
-        "q_running_avg": q_running_avg,
-        "q_asof_purchase": q_asof_purchase,
-        "q_asof_forward": q_asof_forward,
-        "q_grouping_sets": q_grouping_sets,
-        "q_interval_join": q_interval_join,
-        "q_range_acctbal_band": q_range_acctbal_band,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_embedding": q_dedup_embedding,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh": q_ann_lsh,
-        "q_media_features": q_media_features,
-        "q_media_frames": q_media_frames,
-        "q_text_profile": q_text_profile,
-        "q_dedup_cluster": q_dedup_cluster,
-        "q_lang_histogram": q_lang_histogram,
-        "q_quality_filter": q_quality_filter,
-        "q_token_topk": q_token_topk,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_cube_revenue": q_cube_revenue,
-        "q_pack_sequences": q_pack_sequences,
-        "q_pii_stats": q_pii_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_hash_split": q_hash_split,
-        "q_mixture_sample": q_mixture_sample,
-        "q_mixture_upsample": q_mixture_upsample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_weighted_sample": q_weighted_sample,
-        "q_doc_chunks": q_doc_chunks,
-        "q_corpus_shuffle": q_corpus_shuffle,
-        "q_repetition_stats": q_repetition_stats,
-        "q_json_props": q_json_props,
-        # --- new in round 4 (outside the 50-query window; rotate into the
-        # round-5 window with the r03 family) ---
-        "dl_tc_distributed": dl_tc_distributed,
-        "q_stream_sessionize": q_stream_sessionize,
     }
 
 
@@ -2474,6 +2507,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY v
         """,
         "q_pagerank": _pagerank_sql(8),
+        "q_kcore": _kcore_sql(2, 24),
         "dl_apsp": f"""
             WITH RECURSIVE edges AS (
               SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})

@@ -699,6 +699,40 @@ class BigDatalogContext:
             }
         )
 
+    @staticmethod
+    def _clique_stable_positions(clique: Clique) -> set[int]:
+        """Clique-level pivot positions (GeneralizedPivotSetInfo.scala:
+        30-170 generalized to MUTUAL cliques): position i is stable when,
+        in EVERY recursive rule of EVERY clique predicate, the head's i-th
+        argument is a variable copied verbatim from the i-th argument of
+        EVERY clique-predicate body atom — so a derivation never moves a
+        tuple off its pivot partition even when it hops between the
+        clique's predicates. For a single-predicate clique this equals
+        _stable_positions. Positions range over the smallest clique
+        arity."""
+        arities = []
+        for p in clique.preds:
+            rules = clique.recursive_rules[p] or clique.exit_rules[p]
+            if not rules:
+                return set()
+            arities.append(rules[0].head.arity)
+        stable = set(range(min(arities)))
+        for p in clique.preds:
+            for rule in clique.recursive_rules[p]:
+                for i in list(stable):
+                    h = rule.head.args[i]
+                    if not isinstance(h, Var):
+                        stable.discard(i)
+                        continue
+                    for atom in rule.body_atoms:
+                        if atom.pred not in clique.preds:
+                            continue
+                        a = atom.args[i]
+                        if not (isinstance(a, Var) and a.name == h.name):
+                            stable.discard(i)
+                            break
+        return stable
+
     def _decomposable_info(self, clique: Clique):
         """(pivot positions, static preds) when the clique admits PIVOT
         partition-local evaluation, else None.
@@ -1139,7 +1173,17 @@ class BigDatalogContext:
 
         shuffle_hook = self._make_static_shuffle(static_df, clique_set)
 
+        set_cols = {p: list(exit_dfs[p].columns) for p in clique.preds}
+
         def step(all_dfs: dict, delta_dfs: dict) -> dict:
+            # segment-distributed S-joins: when the loop stores S as
+            # partitioned segments (_SegmentViews), a non-linear variant's
+            # accumulated-set occurrence joins each stored segment in place
+            # (segments pre-partitioned+sorted on the join columns) instead
+            # of re-exchanging all of S every iteration — per-iteration
+            # shuffle volume O(|Δ|), not O(|S|). Probes and the legacy loop
+            # pass plain dicts and take the view() path below.
+            seg_join = getattr(all_dfs, "join_segments", None)
             cands: dict[str, DataFrame] = {}
             for pred in clique.preds:
                 variants: list[DataFrame] = []
@@ -1150,6 +1194,65 @@ class BigDatalogContext:
                     # linear (1 variant) and non-linear (k variants) rules
                     # (Linear/NonLinearRecursiveRelation, relations.scala:28-57)
                     for j in occs:
+                        others = [o for o in occs if o != j]
+                        segs = d_rep = None
+                        if seg_join is not None and len(others) == 1:
+                            d_atom = rule.body_atoms[j]
+                            o_atom = rule.body_atoms[others[0]]
+                            d_vars = {
+                                a.name
+                                for a in d_atom.args
+                                if isinstance(a, Var)
+                            }
+                            shared = [
+                                (i, a.name)
+                                for i, a in enumerate(o_atom.args)
+                                if isinstance(a, Var) and a.name in d_vars
+                            ]
+                            if shared:
+                                segs = seg_join(
+                                    o_atom.pred,
+                                    [set_cols[o_atom.pred][i] for i, _ in shared],
+                                )
+                                # the delta side pre-laid-out on ITS side of
+                                # the same join keys (matching column order)
+                                # — with both sides stored partitioned +
+                                # sorted, each branch joins with no exchange
+                                names = [v for _, v in shared]
+                                d_pos = [
+                                    next(
+                                        i
+                                        for i, a in enumerate(d_atom.args)
+                                        if isinstance(a, Var) and a.name == v
+                                    )
+                                    for v in names
+                                ]
+                                d_rep = all_dfs.delta_on(
+                                    d_atom.pred,
+                                    [set_cols[d_atom.pred][i] for i in d_pos],
+                                )
+                        if segs is not None:
+                            # S empty -> no variant at all (join with ∅ = ∅)
+                            for s in segs:
+                                def rel(p: str, occ, j=j, s=s, d=d_rep):
+                                    if p in clique_set:
+                                        if occ == j:
+                                            return (
+                                                d
+                                                if d is not None
+                                                else delta_dfs[p]
+                                            )
+                                        return s
+                                    return self._maybe_broadcast(static_df(p))
+
+                                rc = RuleCompiler(self.spark)
+                                rc.static_shuffle = shuffle_hook
+                                body = rc.compile_body(rule, rel)
+                                variants.append(
+                                    rc.project_head(rule, body, distinct=False)
+                                )
+                            continue
+
                         def rel(p: str, occ, j=j):
                             if p in clique_set:
                                 if occ == j:
@@ -1171,18 +1274,22 @@ class BigDatalogContext:
                     self._cache.update(local)
                 return local
 
-        # decomposable single-pred cliques hand their pivot to the
-        # distributed loop too: the segmented store partitions S on the
-        # pivot and (when the candidate chain preserves it — probed on the
-        # physical plan) iterations run exchange-free, the declarative
-        # form of the reference's GPS scheduling
+        # decomposable cliques hand their pivot to the distributed loop
+        # too: the segmented stores partition every clique predicate's S on
+        # the clique-stable pivot and (when each candidate chain preserves
+        # it — probed on the physical plan) iterations run exchange-free,
+        # the declarative form of the reference's GPS scheduling. Mutual
+        # cliques qualify when the pivot survives hops between predicates
+        # (_clique_stable_positions).
         pivots = None
-        if len(clique.preds) == 1 and self._linear_clique_shape(clique):
-            pred0 = clique.preds[0]
-            stable = self._stable_positions(clique, pred0)
+        if self._linear_clique_shape(clique):
+            stable = self._clique_stable_positions(clique)
             if stable:
-                cols = exit_dfs[pred0].columns
-                pivots = {pred0: [cols[i] for i in sorted(stable)]}
+                idx = sorted(stable)
+                pivots = {
+                    p: [exit_dfs[p].columns[i] for i in idx]
+                    for p in clique.preds
+                }
         results = fixpoint_seminaive(
             exit_dfs, step, self.config.fixpoint, pivot_cols=pivots
         )

@@ -231,6 +231,15 @@ class _SegmentedSet:
     def __init__(self, base: DataFrame, cfg: FixpointConfig, part_cols=None):
         self.cfg = cfg
         self.cols = list(base.columns)
+        # alternate layouts: join-column tuple -> segments repartitioned +
+        # sorted on those columns (see segments_on). Maintained
+        # incrementally at append time, rebuilt from the compacted primary
+        # segment at compaction.
+        self._alt: dict[tuple, list[DataFrame]] = {}
+        # True while the newest segment IS the current iteration's delta
+        # (append sets it, compaction clears it): then last_on() can serve
+        # the delta pre-partitioned from the alt layout too
+        self._last_is_delta = False
         # partitioning key of the stored segments: all columns by default
         # (set semantics need equal rows co-located, which any key subset
         # guarantees); a PIVOT subset when the recursion is decomposable —
@@ -263,22 +272,70 @@ class _SegmentedSet:
 
     def append(self, segment: DataFrame) -> None:
         self.segments.append(segment)
+        for key, lst in self._alt.items():
+            lst.append(self._alt_seal(segment, list(key)))
+        self._last_is_delta = True
         if len(self.segments) > self.cfg.max_segments:
             self._compact()
+
+    def _n_shuffle(self) -> int:
+        return int(
+            self._empty.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+
+    def _alt_seal(self, df: DataFrame, cols: list) -> DataFrame:
+        """One segment re-laid-out for a positive join: hash-partitioned AND
+        sorted on the join columns, checkpointed so both survive — a
+        sort-merge join then reads it with no exchange and no sort. The
+        source is always an already-materialized frame (a sealed primary
+        segment), so the lazy checkpoint can never dangle."""
+        return (
+            df.repartition(self._n_shuffle(), *cols)
+            .sortWithinPartitions(*cols)
+            .localCheckpoint(eager=False)
+        )
+
+    def segments_on(self, cols: list) -> list:
+        """Segments of S re-partitioned + sorted on ``cols`` — the store's
+        positive-join face (GPS generalized to non-linear steps): a step
+        that joins S on ``cols`` can distribute the join over these
+        segments and shuffle only its delta side, never S. First request
+        backfills the layout from the current primary segments; appends
+        and compactions maintain it from then on."""
+        key = tuple(cols)
+        if key not in self._alt:
+            self._alt[key] = [self._alt_seal(s, list(key)) for s in self.segments]
+        return list(self._alt[key])
+
+    def last_on(self, cols: list):
+        """The current delta re-laid-out on ``cols``, or None when the
+        newest segment is not the delta (just compacted, or never
+        appended). The delta IS the last appended segment, so its alt copy
+        already exists — serving the delta side of a segment-distributed
+        join from here makes the whole join branch exchange-free (both
+        sides stored hash-partitioned + sorted on their join columns)."""
+        if not self._last_is_delta:
+            return None
+        segs = self.segments_on(cols)
+        return segs[-1] if segs else None
 
     def _compact(self) -> None:
         u = self.segments[0]
         for s in self.segments[1:]:
             u = u.union(s)
-        n_part = int(
-            u.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
         # segments are pairwise disjoint (each was anti-joined against all
         # before it), so compaction is a re-shuffle + sort, no distinct
-        u = u.repartition(n_part, *self.part_cols)
+        u = u.repartition(self._n_shuffle(), *self.part_cols)
         sealed, _ = self.seal_and_count(u)  # materializes before sources retire
         self._retired.extend(self.segments)
         self.segments = [sealed]
+        self._last_is_delta = False
+        # alt layouts: retire the per-iteration copies and re-derive one
+        # segment per layout from the compacted primary — its source is the
+        # just-materialized frame, so the retired copies are never re-read
+        for key, lst in self._alt.items():
+            self._retired.extend(lst)
+            self._alt[key] = [self._alt_seal(sealed, list(key))]
 
     def anti(self, cand: DataFrame) -> DataFrame:
         for s in self.segments:
@@ -311,11 +368,14 @@ class _SegmentedSet:
         self._retired = []
 
     def release_all_retired(self) -> None:
-        """At fixpoint exit: the result references only current segments, so
-        every retired frame can be freed."""
-        self._unpersist_all(self._free_queue + self._retired)
+        """At fixpoint exit: the result references only current PRIMARY
+        segments, so every retired frame — and every alternate-layout
+        copy — can be freed."""
+        alt = [s for lst in self._alt.values() for s in lst]
+        self._unpersist_all(self._free_queue + self._retired + alt)
         self._free_queue = []
         self._retired = []
+        self._alt = {}
 
 
 _NUM_RANK = {
@@ -496,6 +556,39 @@ def _plan_partitioned_on(df: DataFrame, cols, n: int) -> bool:
     return exprs == list(cols)
 
 
+class _SegmentViews(dict):
+    """The ``all_dfs`` mapping the segmented loop hands to step().
+
+    As a dict it is pred -> S.view() (what every legacy step reads). A
+    cooperating step (context._compute_seminaive_clique) may additionally
+    call ``join_segments(pred, cols)`` to distribute a positive join on
+    ``cols`` over S's stored segments — each pre-partitioned and sorted on
+    exactly those columns — so the join shuffles only the delta side. This
+    is what turns a non-linear step's per-iteration shuffle volume from
+    O(|S|) (re-exchanging the whole accumulated set for S ⋈ Δ) into
+    O(|Δ|), the same discipline anti() already applies to set-difference.
+    Steps probed with plain dicts fall back to the view automatically."""
+
+    def __init__(self, sets: dict):
+        super().__init__({p: s.view() for p, s in sets.items()})
+        self._sets = sets
+
+    def join_segments(self, pred: str, cols: list):
+        s = self._sets.get(pred)
+        if s is None:
+            return None
+        return s.segments_on(cols)
+
+    def delta_on(self, pred: str, cols: list):
+        """The current delta of ``pred`` pre-partitioned + sorted on
+        ``cols`` (its alt-layout copy), or None — the step then falls back
+        to the delta frame it was handed."""
+        s = self._sets.get(pred)
+        if s is None:
+            return None
+        return s.last_on(cols)
+
+
 def _fixpoint_seminaive_segmented(
     exit_dfs: dict, step, cfg: FixpointConfig, pivot_cols: dict | None = None
 ) -> dict:
@@ -507,6 +600,13 @@ def _fixpoint_seminaive_segmented(
     spark = next(iter(exit_dfs.values())).sparkSession
     probe = step(exit_dfs, exit_dfs)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # widen BEFORE the pivot probe: an un-widened seed (e.g. the
+    # IntegerType placeholder of an exit-less mutual predicate) makes the
+    # candidate chain cast the pivot column, and a cast breaks Catalyst's
+    # partitioning propagation — the probe would wrongly decline
+    exit_dfs = {
+        p: _widen_seed(df, probe.get(p)) for p, df in exit_dfs.items()
+    }
 
     # GPS-lite: for a decomposable pred, store the set partitioned on its
     # PIVOT columns. When the step's candidate chain preserves that
@@ -518,19 +618,36 @@ def _fixpoint_seminaive_segmented(
     # variant unions, exchanged joins) keep the all-columns store.
     piv: dict[str, list] = {}
     with _aqe_off(spark):
-        for pred, pc in (pivot_cols or {}).items():
-            if not pc or pred not in exit_dfs:
-                continue
+        pcs = {
+            p: pc
+            for p, pc in (pivot_cols or {}).items()
+            if pc and p in exit_dfs
+        }
+        if pcs:
+            # all-or-nothing across the clique: in a MUTUAL recursion one
+            # predicate's candidates are built from the OTHER predicates'
+            # deltas, so the preservation probe must see every pivoted
+            # store partitioned at once — a pred whose chain breaks would
+            # otherwise feed unpartitioned deltas the per-pred probe never
+            # modeled
             try:
-                pp = exit_dfs[pred].repartition(n_shuffle, *pc)
-                pcand = step(
-                    {**exit_dfs, pred: pp}, {**exit_dfs, pred: pp}
-                ).get(pred)
-                if pcand is None:
-                    continue
-                pcand = _cast_like(pcand, _empty_like(pp)).distinct()
-                if _plan_partitioned_on(pcand, pc, n_shuffle):
-                    piv[pred] = list(pc)
+                pp = {
+                    p: exit_dfs[p].repartition(n_shuffle, *pc)
+                    for p, pc in pcs.items()
+                }
+                merged = {**exit_dfs, **pp}
+                pcands = step(merged, merged)
+                ok = True
+                for p, pc in pcs.items():
+                    pcand = pcands.get(p)
+                    if pcand is None:
+                        continue  # exit-only pred: store layout is free
+                    pcand = _cast_like(pcand, _empty_like(pp[p])).distinct()
+                    if not _plan_partitioned_on(pcand, pc, n_shuffle):
+                        ok = False
+                        break
+                if ok:
+                    piv = {p: list(pc) for p, pc in pcs.items()}
             except Exception:
                 pass  # probe failure just means no pivot store
 
@@ -539,7 +656,6 @@ def _fixpoint_seminaive_segmented(
     live = set()
     with _aqe_off(spark):
         for pred, df in exit_dfs.items():
-            df = _widen_seed(df, probe.get(pred))
             pc = piv.get(pred)
             sset = _SegmentedSet(df, cfg, part_cols=pc)
             seeded = (
@@ -559,27 +675,34 @@ def _fixpoint_seminaive_segmented(
                 raise RuntimeError(
                     f"fixpoint did not converge within {cfg.max_iterations} iterations"
                 )
-            all_dfs = {p: s.view() for p, s in sets.items()}
-            candidates = step(all_dfs, delta_dfs)
+            candidates = step(_SegmentViews(sets), delta_dfs)
             live = set()
             new_delta: dict[str, DataFrame] = {}
             for pred, cand in candidates.items():
                 sset = sets[pred]
                 if cand is None:
+                    sset._last_is_delta = False
                     new_delta[pred] = sset._empty
                     continue
                 cand = _cast_like(cand, sset._empty)
                 if _plan_is_empty(cand):
+                    sset._last_is_delta = False
                     new_delta[pred] = sset._empty
                     continue
                 delta, n = sset.seal_and_count(sset.anti(cand.distinct()))
                 if n:
                     sset.append(delta)
                     live.add(pred)
+                else:
+                    # converged pred: the newest segment is no longer the
+                    # delta — delta_on must stop serving it
+                    sset._last_is_delta = False
                 new_delta[pred] = (
                     delta if pred in piv else _narrow_small(delta, n, cfg)
                 )
             for pred in sets:
+                if pred not in candidates:
+                    sets[pred]._last_is_delta = False
                 new_delta.setdefault(pred, sets[pred]._empty)
             delta_dfs = new_delta
             # free blocks of segments retired one full iteration ago (the

@@ -146,3 +146,117 @@ def test_compound_pivot_distributed_exchange_free(spark, capture_anti_plans):
     ctx2.load_program(prog)
     ctx2.register_data("edge", lines)
     assert got == {tuple(r) for r in ctx2.query("path(A,L,B).").collect()}
+
+
+MUTUAL_PIVOTED = (
+    "database({arc(From:integer, To:integer)})."
+    "even(X,X) <- arc(X,Y)."
+    "odd(S,Y) <- even(S,X), arc(X,Y)."
+    "even(S,Y) <- odd(S,X), arc(X,Y)."
+)
+
+
+def test_mutual_pivoted_iterations_are_exchange_free(spark, capture_anti_plans):
+    """Clique-stable pivots for MUTUAL recursion
+    (GeneralizedPivotSetInfo.scala:30-170 across predicates): the carried
+    source column is copied verbatim on every even<->odd hop, so BOTH
+    stores partition on it and every iteration of the combined fixpoint
+    plans with zero shuffle exchanges."""
+    tree = [(i, 2 * i) for i in range(1, 128)] + [
+        (i, 2 * i + 1) for i in range(1, 128)
+    ]
+    ctx = _ctx(spark, MUTUAL_PIVOTED, set(tree), decomposable_local=False)
+    got = {tuple(r) for r in ctx.query("even(S,X).").collect()}
+    assert len(capture_anti_plans) > 5, "expected a multi-iteration fixpoint"
+    per_iter = [len(_exchanges(p)) for p in capture_anti_plans]
+    assert sum(per_iter) == 0, f"per-iteration shuffle exchanges: {per_iter}"
+    # python reference: per-source even-hop reachability
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    for a, b in tree:
+        adj[a].append(b)
+    ref = set()
+    for s in {a for a, _ in tree}:
+        even, odd, fe, fo = {s}, set(), {s}, set()
+        while True:
+            no = {y for x in fe for y in adj.get(x, [])} - odd
+            ne = {y for x in fo for y in adj.get(x, [])} - even
+            if not no and not ne:
+                break
+            odd |= no
+            even |= ne
+            fe, fo = ne, no
+        ref |= {(s, x) for x in even}
+    assert got == ref
+
+
+def test_unpivoted_mutual_single_exchange_per_iteration(spark, capture_anti_plans):
+    """The unary even/odd clique has NO stable pivot (the vertex value
+    changes every hop), so the optimum is ONE exchange per iteration —
+    the candidate re-partition onto the store layout; the delta->static
+    join itself must stay exchange-free. Pinned so a regression that
+    reintroduces S-side or per-branch shuffles is caught."""
+    prog = (
+        "database({arc(From:integer, To:integer)})."
+        "even(X) <- X = 1."
+        "odd(Y) <- even(X), arc(X,Y)."
+        "even(Y) <- odd(X), arc(X,Y)."
+    )
+    tree = [(i, 2 * i) for i in range(1, 128)] + [
+        (i, 2 * i + 1) for i in range(1, 128)
+    ]
+    ctx = _ctx(spark, prog, set(tree), decomposable_local=False)
+    n = ctx.query("even(X).").count()
+    assert n > 0
+    per_iter = [len(_exchanges(p)) for p in capture_anti_plans]
+    assert per_iter and max(per_iter) <= 1, f"exchanges/iter: {per_iter}"
+
+
+def test_nonlinear_segment_joins_single_exchange_per_iteration(
+    spark, capture_anti_plans
+):
+    """Non-linear TC through the segment-distributed S-join: both sides of
+    every Δ ⋈ S branch are served from stored layouts (partitioned +
+    sorted on the join columns), so the only exchange per iteration is the
+    candidate distinct — per-iteration shuffle volume is O(|Δ|+|cand|),
+    never O(|S|). Before segment-distributed joins this planned 2 full
+    re-shuffles of the accumulated closure per iteration."""
+    prog = (
+        "database({arc(From:integer, To:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B)."
+    )
+    edges = _edges(7)
+    ctx = _ctx(spark, prog, edges, decomposable_local=False)
+    got = {tuple(r) for r in ctx.query("tc(A,B).").collect()}
+    per_iter = [len(_exchanges(p)) for p in capture_anti_plans]
+    assert len(per_iter) >= 3
+    assert max(per_iter) <= 1, f"exchanges/iter: {per_iter}"
+    # reference closure
+    tc = set(edges)
+    while True:
+        new = {(a, d) for (a, b) in tc for (c, d) in tc if b == c} - tc
+        if not new:
+            break
+        tc |= new
+    assert got == tc
+
+
+def test_nonlinear_segment_joins_match_legacy_view(spark, monkeypatch):
+    """Kill-switch parity: with join_segments disabled the step falls back
+    to the legacy S-view join; results must be identical."""
+    prog = (
+        "database({arc(From:integer, To:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B)."
+    )
+    edges = _edges(13, n_nodes=80, n_edges=160)
+    ctx = _ctx(spark, prog, edges, decomposable_local=False)
+    with_segments = {tuple(r) for r in ctx.query("tc(A,B).").collect()}
+    monkeypatch.setattr(
+        fp._SegmentViews, "join_segments", lambda self, p, c: None
+    )
+    ctx2 = _ctx(spark, prog, edges, decomposable_local=False)
+    legacy = {tuple(r) for r in ctx2.query("tc(A,B).").collect()}
+    assert with_segments == legacy

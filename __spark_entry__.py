@@ -39,6 +39,27 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 # ----------------------------------------------------------- derived graphs
 
+def _stream_events(spark: SparkSession, sf_dir: str, schema):
+    """File-source stream over the events table, robust to BOTH parquet
+    layouts: a single ``events.parquet`` FILE inside the sf dir (the
+    generated testdata — the file source needs a directory, so stream the
+    sf dir with a pathGlobFilter) and an ``events.parquet/`` DIRECTORY of
+    part files (any Spark-written table — the production layout; stream
+    the directory itself, no filter). The glob form silently matches ZERO
+    files on the directory layout, which is how the sf10 rehearsal caught
+    this."""
+    import os
+
+    from bigdatalog_spark.streaming.ops import stream_events_from_files
+
+    table = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(table):
+        return stream_events_from_files(spark, table, schema)
+    return stream_events_from_files(
+        spark, sf_dir, schema, glob_filter="events.parquet"
+    )
+
+
 def _part_max(spark: SparkSession, sf_dir: str) -> int:
     return load_table(spark, sf_dir, "part").agg(F.max("p_partkey")).first()[0]
 
@@ -411,16 +432,10 @@ def q_stream_sessionize(spark, sf_dir):
     sessionization in SQL — checks it value-for-value. Summarized per
     user like q_sessionize so the driver hash covers every session
     without per-session timestamps."""
-    from bigdatalog_spark.streaming.ops import (
-        sessionize,
-        stream_events_from_files,
-        write_memory_sink,
-    )
+    from bigdatalog_spark.streaming.ops import sessionize, write_memory_sink
 
     schema = load_table(spark, sf_dir, "events").schema
-    stream = stream_events_from_files(
-        spark, sf_dir, schema, glob_filter="events.parquet"
-    )
+    stream = _stream_events(spark, sf_dir, schema)
     sess = sessionize(stream, gap="30 minutes")
     q = write_memory_sink(sess, "q_stream_sessionize_sink", output_mode="complete")
     q.awaitTermination()
@@ -1399,15 +1414,10 @@ def q_hourly_events(spark, sf_dir):
     window is emitted when the bounded stream drains). The oracle is the
     batch-equivalent SQL — streaming/batch parity is the Structured
     Streaming contract this entry exists to exercise."""
-    from bigdatalog_spark.streaming.ops import (
-        stream_events_from_files,
-        write_memory_sink,
-    )
+    from bigdatalog_spark.streaming.ops import write_memory_sink
 
     schema = load_table(spark, sf_dir, "events").schema
-    stream = stream_events_from_files(
-        spark, sf_dir, schema, glob_filter="events.parquet"
-    )
+    stream = _stream_events(spark, sf_dir, schema)
     agg = windowed_event_counts(stream, "1 hour")
     q = write_memory_sink(agg, "q_hourly_events_sink", output_mode="complete")
     q.awaitTermination()

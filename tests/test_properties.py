@@ -261,3 +261,83 @@ def test_apsp_mmin_local_equals_distributed(spark, edges):
     got_l = {tuple(r) for r in local.query("p(X,Y,D).").collect()}
     got_d = {tuple(r) for r in distr.query("p(X,Y,D).").collect()}
     assert got_l == got_d == want
+
+
+# ----------------------------- mcount/msum mixed fixpoint: 3-path parity
+# The mixed set+monotonic-aggregate fixpoint is the most intricate engine
+# code (datalog/fixpoint.py fused merge+delta); this property sweeps random
+# SIGNED msum contributions through all three evaluation paths — the
+# in-task pandas loop, the loop forced across the growth-bailout boundary
+# into the distributed reroute, and the plain distributed fixpoint — and
+# requires identical tables from each, plus agreement with a round-
+# simultaneous python oracle.
+
+SIGNED_MSUM_PROG = (
+    "database({seed(X:integer), arc(X:integer, Y:integer),"
+    " infl(X:integer, Y:integer, W:integer)})."
+    "hop(X) <- seed(X)."
+    "hop(Y) <- hop(X), arc(X,Y)."
+    "wsum(Y, msum<W>) <- hop(X), infl(X,Y,W)."
+    "active(Y) <- wsum(Y,S), S >= 4."
+    "hop(Y) <- active(Y)."
+)
+
+INFL_T = st.tuples(
+    st.integers(0, 7), st.integers(0, 11), st.integers(-6, 6)
+)
+
+
+def py_signed_msum(seeds, arcs, infl, thr=4):
+    """Round-simultaneous oracle: per round, hop grows by arc steps and by
+    groups whose DISTINCT-support msum crosses the threshold (support =
+    distinct (group, weight) pairs contributed by current hops; activation
+    is permanent even if later negative weights drop the sum again)."""
+    hop = set(seeds)
+    while True:
+        support = {(y, w) for x, y, w in infl if x in hop}
+        sums = {}
+        for y, w in support:
+            sums[y] = sums.get(y, 0) + w
+        new = (
+            hop
+            | {d for (s, d) in arcs if s in hop}
+            | {y for y, s in sums.items() if s >= thr}
+        )
+        if new == hop:
+            return hop, sums
+        hop = new
+
+
+@given(
+    arcs=st.lists(EDGE, min_size=0, max_size=15, unique=True),
+    infl=st.lists(INFL_T, min_size=1, max_size=20, unique=True),
+    seeds=st.lists(st.integers(0, 7), min_size=1, max_size=3, unique=True),
+)
+@PROP
+def test_signed_msum_three_path_parity(spark, arcs, infl, seeds):
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    hop, sums = py_signed_msum(seeds, arcs, infl)
+    data = {
+        "seed": [str(s) for s in seeds],
+        "arc": [f"{a},{b}" for a, b in arcs],
+        "infl": [f"{x},{y},{w}" for x, y, w in infl],
+    }
+    results = []
+    for cfg in (
+        EngineConfig(),  # in-task pandas loop (seed gate admits)
+        # budget of max(1·seed, 1) rows: any derivation forces the
+        # in-task loop over the growth boundary -> distributed reroute
+        EngineConfig(local_growth_factor=1, local_growth_floor=1),
+        EngineConfig(decomposable_local=False),  # plain distributed
+    ):
+        ctx = BigDatalogContext(spark, cfg)
+        ctx.load_program(SIGNED_MSUM_PROG)
+        for name, rows in data.items():
+            ctx.register_data(name, rows)
+        got_hop = {r[0] for r in ctx.query("hop(A).").collect()}
+        got_sums = {tuple(r) for r in ctx.query("wsum(A,S).").collect()}
+        results.append((got_hop, got_sums))
+    assert results[0] == results[1] == results[2]
+    assert results[0][0] == hop
+    assert results[0][1] == set(sums.items())

@@ -2074,6 +2074,19 @@ def q_doc_chunks(spark, sf_dir):
     return chunk_documents(d, chunk_tokens=64, overlap=16)
 
 
+def q_dedup_chunks(spark, sf_dir):
+    """Cross-document boilerplate removal (operators/corpus.py
+    dedup_chunks): 8-word chunks occurring in more than 2 documents are
+    stripped from every document and the survivors reassembled in order.
+    The removal anti-join carries NO broadcast hint — the heavy-hitter
+    chunk set grows with corpus size, so AQE sizes it at runtime and
+    picks broadcast only when it actually fits."""
+    from bigdatalog_spark.operators.corpus import dedup_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_chunks(d, chunk_words=8, max_docs=2)
+
+
 def q_stratified_sample(spark, sf_dir):
     """Exact-count per-source sample (operators/sampling.py
     stratified_sample): the 20 smallest-hash docs per source — balanced
@@ -2153,6 +2166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_tc_distributed": dl_tc_distributed,
         "q_stream_sessionize": q_stream_sessionize,
         "q_pack_sequences": q_pack_sequences,
+        "q_dedup_chunks": q_dedup_chunks,
         "q_subword_tokens": q_subword_tokens,
         "q_tfidf_topk": q_tfidf_topk,
         "q_cohort_retention": q_cohort_retention,
@@ -2198,8 +2212,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": q_doc_chunks,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_repetition_stats": q_repetition_stats,
-        "q_json_props": q_json_props,
         # --- previously driver-verified (green r03/r04 rows) ---
+        # (q_json_props rotated just past the window to make room for the
+        # never-checked q_dedup_chunks; its r03 row + two judge sweeps
+        # stand, rotate it into r06 with the TPC-H trio below)
+        "q_json_props": q_json_props,
         "q7_nation_volume": q7_nation_volume,
         "q12_priority_lines": q12_priority_lines,
         "q19_disjunctive_filter": q19_disjunctive_filter,
@@ -3462,6 +3479,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(list_slice(ws, chunk_id*48 + 1, chunk_id*48 + 64))
                         AS INTEGER) AS n_tokens
             FROM c
+        """,
+        "q_dedup_chunks": """
+            WITH ws AS (
+              SELECT doc_id, string_split(coalesce(text, ''), ' ') AS w
+              FROM documents),
+            k AS (
+              SELECT doc_id, w,
+                     CAST(ceil(len(w) / 8.0) AS INTEGER) AS k
+              FROM ws),
+            c AS (
+              SELECT doc_id, w,
+                     unnest(generate_series(0, k - 1)) AS cn
+              FROM k),
+            ch AS (
+              SELECT doc_id, cn,
+                     array_to_string(
+                       list_slice(w, cn*8 + 1, cn*8 + 8), ' ') AS chunk
+              FROM c),
+            dup AS (
+              SELECT chunk FROM ch
+              GROUP BY chunk HAVING count(DISTINCT doc_id) > 2),
+            kept AS (
+              SELECT doc_id, cn, chunk FROM ch
+              WHERE chunk NOT IN (SELECT chunk FROM dup)),
+            re AS (
+              SELECT doc_id,
+                     string_agg(chunk, ' ' ORDER BY cn) AS text_clean,
+                     count(*) AS nk
+              FROM kept GROUP BY doc_id)
+            SELECT k.doc_id,
+                   coalesce(re.text_clean, '') AS text_clean,
+                   CAST(k.k AS BIGINT) AS n_chunks,
+                   CAST(k.k - coalesce(re.nk, 0) AS BIGINT) AS n_removed
+            FROM k LEFT JOIN re ON k.doc_id = re.doc_id
         """,
         "q_stratified_sample": """
             SELECT doc_id, source FROM (

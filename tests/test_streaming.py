@@ -308,3 +308,37 @@ def test_session_append_file_sink_parity(spark):
             .collect()
         }
     assert got == batch
+
+
+def test_driver_stream_helper_handles_both_parquet_layouts(spark):
+    """Pin __spark_entry__._stream_events layout detection: the driver
+    testdata stores events as a single events.parquet FILE inside the sf
+    dir (needs the pathGlobFilter form — the file source takes a
+    directory), while any Spark-written table is an events.parquet
+    DIRECTORY of part files (must be streamed directly: the glob form
+    matches ZERO files there, silently — the r4 sf10 rehearsal returned 0
+    rows because of exactly that)."""
+    import __spark_entry__ as entry
+
+    ev = _events(spark)
+    want = ev.count()
+
+    # file layout: the real sf dir
+    s1 = entry._stream_events(spark, SF, ev.schema)
+    q1 = write_memory_sink(
+        windowed_event_counts(s1, "1 hour"), "layout_file", "complete"
+    )
+    q1.awaitTermination(120)
+    got_file = spark.table("layout_file").agg(F.sum("n_events")).first()[0]
+    assert got_file == want
+
+    # directory layout: Spark-written copy under <dir>/events.parquet/
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+        s2 = entry._stream_events(spark, d, ev.schema)
+        q2 = write_memory_sink(
+            windowed_event_counts(s2, "1 hour"), "layout_dir", "complete"
+        )
+        q2.awaitTermination(120)
+        got_dir = spark.table("layout_dir").agg(F.sum("n_events")).first()[0]
+    assert got_dir == want

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import token_count
+from ..session import ensure_min_parallelism
 from .dedup import word_shingle_hashes
 
 
@@ -169,7 +170,10 @@ def dedup_chunks(
             F.slice(words, i * chunk_words + 1, chunk_words), " "
         ),
     )
-    base = df.select(F.col(id_col), chunks.alias("__chunks"))
+    # chunk assembly is interpreted-HOF work feeding two branches; widen
+    # single-file scans to cluster parallelism first (no-op at scale)
+    base = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    base = base.select(F.col(id_col), chunks.alias("__chunks"))
     exploded = base.select(
         id_col, F.posexplode("__chunks").alias("cn", "chunk")
     )

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint
+from ..session import ensure_min_parallelism
 
 
 # --------------------------------------------------------------- exact
@@ -57,7 +58,10 @@ def _shingle_zip(df: DataFrame, text_col: str, id_col: str, n: int):
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
     names = [f"__t{j}" for j in range(n)]
-    base = df.select(F.col(id_col), toks.alias(names[0]))
+    # shingle assembly is interpreted-HOF work: inherit at least the
+    # cluster's parallelism before it (no-op on well-partitioned inputs)
+    base = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    base = base.select(F.col(id_col), toks.alias(names[0]))
     for j in range(1, n):
         base = base.withColumn(
             names[j],
@@ -293,7 +297,10 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    # the 64 per-bit partial sums run map-side BEFORE the groupBy shuffle,
+    # i.e. on the scan's partitioning — widen single-file scans first
+    t = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col)))
+    t = t.select(F.col(id_col), F.explode(toks).alias("tok"))
     token_hash = (
         F.xxhash64("tok") if hash_fn == "xxhash64" else portable_hash64(F.col("tok"))
     )

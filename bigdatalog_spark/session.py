@@ -60,3 +60,18 @@ def _enable_ancestor_checkpointing(spark: SparkSession) -> None:
     spark.sparkContext.setLocalProperty(
         "spark.checkpoint.checkpointAllMarkedAncestors", "true"
     )
+
+
+def ensure_min_parallelism(df):
+    """Repartition ``df`` up to the cluster's default parallelism when the
+    scan produced fewer partitions (a single small parquet file = ONE
+    task). Heavy per-row work downstream of such a scan — interpreted
+    higher-order functions, wide partial aggregates, per-token hashing —
+    otherwise runs on one core regardless of cluster size. At real scale
+    the input already has ≥ cores partitions and this is a no-op (no
+    shuffle added); it only bites on toy inputs where the shuffle is
+    cheap."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

@@ -41,6 +41,7 @@ from .fixpoint import (
     fixpoint_seminaive,
 )
 from .local_eval import (
+    broadcast_seed_statics,
     local_monotonic_fixpoint,
     local_seminaive_fixpoint,
     seed_broadcast_mixed,
@@ -874,10 +875,14 @@ class BigDatalogContext:
         total = 0
         for pred in clique.preds:
             seed = _widen_seed(exit_dfs[pred].distinct(), probes.get(pred))
-            total += seed.limit(max_rows + 1 - total).count()
+            # one bounded fetch gates AND collects: filling the limit always
+            # trips the gate (limit = budget+1-total), so a surviving pdf is
+            # provably the complete seed — no separate count() job
+            pdf = seed.limit(max_rows + 1 - total).toPandas()
+            total += len(pdf)
             if total > max_rows:
                 return None
-            seeds[pred] = (seed.toPandas(), seed.schema)
+            seeds[pred] = (pdf, seed.schema)
         rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
         # Every pred's mapInPandas runs the SAME multi-predicate in-task
         # loop over the same seeds/statics and just projects a different
@@ -885,6 +890,12 @@ class BigDatalogContext:
         # for the whole clique; the remaining preds stay lazy (unqueried
         # preds never run — their identical loop cannot newly exceed the
         # budget the probe pred stayed under).
+        # one (seeds, statics) broadcast for the whole clique — the per-pred
+        # frames differ only in which pred they project out
+        bc = broadcast_seed_statics(
+            self.spark, {p: pdf for p, (pdf, _) in seeds.items()}, statics,
+            track=self._broadcasts,
+        )
         result = {}
         for i, pred in enumerate(clique.preds):
             out = seed_broadcast_seminaive(
@@ -897,6 +908,7 @@ class BigDatalogContext:
                 num_slices=1 if shape == "nonlinear" else None,
                 track=self._broadcasts,
                 growth=self._growth,
+                bc=bc,
             )
             if i == 0:
                 mat = self._eager_local(out)
@@ -938,13 +950,16 @@ class BigDatalogContext:
             )
             return self._eager_local(out)
 
-        # seed-broadcast: the seed is the PRE-AGGREGATE contribution stream
+        # seed-broadcast: the seed is the PRE-AGGREGATE contribution stream.
+        # One bounded fetch gates AND collects (a full pdf trips the gate,
+        # so a surviving pdf is the complete seed — no separate count job)
         max_rows = self.config.local_seed_max_rows
-        if seed.limit(max_rows + 1).count() > max_rows:
+        seed_pd = seed.limit(max_rows + 1).toPandas()
+        if len(seed_pd) > max_rows:
             return None
         out = seed_broadcast_monotonic(
             self.spark,
-            seed.toPandas(),
+            seed_pd,
             seed.schema,
             clique.recursive_rules[pred],
             clique.preds,
@@ -1089,16 +1104,24 @@ class BigDatalogContext:
         total = 0
         for pred in clique.preds:
             seed = _widen_seed(exit_dfs[pred].distinct(), probes.get(pred))
-            total += seed.limit(max_rows + 1 - total).count()
+            # bounded fetch gates AND collects in one job (see the
+            # seminaive seed-broadcast note)
+            pdf = seed.limit(max_rows + 1 - total).toPandas()
+            total += len(pdf)
             if total > max_rows:
                 return None
-            seeds_pd[pred] = seed.toPandas()
+            seeds_pd[pred] = pdf
             schemas[pred] = seed.schema
         rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
         # one eager pred proves the growth budget for the whole clique
         # (each pred runs the identical in-task loop — see the seminaive
         # seed-broadcast note); the rest stay lazy so unqueried preds
         # never execute
+        # one (seeds, statics) broadcast for the whole clique (see the
+        # seminaive loop)
+        bc = broadcast_seed_statics(
+            self.spark, seeds_pd, statics, track=self._broadcasts
+        )
         out: dict = {}
         for i, pred in enumerate(clique.preds):
             out_schema = self._mixed_out_schema(schemas[pred], agg_specs.get(pred))
@@ -1117,6 +1140,7 @@ class BigDatalogContext:
                 agg_specs,
                 track=self._broadcasts,
                 growth=self._growth,
+                bc=bc,
             )
             if i == 0:
                 mat = self._eager_local(df)

@@ -526,6 +526,17 @@ def _collect_statics(spark: SparkSession, statics: dict, track=None):
     return _track(spark.sparkContext.broadcast(statics_pd), track)
 
 
+def broadcast_seed_statics(spark: SparkSession, seeds_pd: dict, statics: dict,
+                           track=None):
+    """ONE broadcast of (seed frames, statics-as-pandas) shared by every
+    per-pred seed-broadcast call of a clique: the payload is identical
+    across the preds (only ``out_pred`` differs), so collecting each
+    static's plan and torrent-shipping the dict happens once per clique
+    instead of once per predicate."""
+    statics_pd = {k: v.toPandas() for k, v in statics.items()}
+    return _track(spark.sparkContext.broadcast((seeds_pd, statics_pd)), track)
+
+
 def _track(bc, track):
     """Register a broadcast on the caller's cleanup list (the context
     destroys tracked broadcasts on reset()): seeds+statics run MBs each,
@@ -579,6 +590,7 @@ def seed_broadcast_seminaive(
     num_slices: int | None = None,
     track=None,
     growth=DEFAULT_GROWTH,
+    bc=None,
 ) -> DataFrame:
     """Small-seed local fixpoint for cliques WITHOUT a stable pivot
     (single-source reachability, mutual even/odd, ...).
@@ -605,12 +617,8 @@ def seed_broadcast_seminaive(
     total = sum(len(pdf) for pdf in seeds_pd.values())
     n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
     n = max(1, min(n, total))
-    bc = _track(
-        spark.sparkContext.broadcast(
-            (seeds_pd, {k: v.toPandas() for k, v in statics.items()})
-        ),
-        track,
-    )
+    if bc is None:
+        bc = broadcast_seed_statics(spark, seeds_pd, statics, track)
     rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
     cset = frozenset(clique_preds)
     ids = spark.range(0, n, 1, n)
@@ -648,6 +656,7 @@ def seed_broadcast_mixed(
     agg_specs: dict,
     track=None,
     growth=DEFAULT_GROWTH,
+    bc=None,
 ) -> DataFrame:
     """Small-seed local fixpoint for a MIXED (set + monotonic-aggregate)
     clique. Unlike seed_broadcast_seminaive there is NO seed slicing: an
@@ -657,12 +666,8 @@ def seed_broadcast_mixed(
     One Spark job versus 3+ jobs per iteration on the distributed path;
     the right trade whenever the statics pass the broadcast byte gate and
     the seed is small (percolation/threshold queries from few sources)."""
-    bc = _track(
-        spark.sparkContext.broadcast(
-            (seeds_pd, {k: v.toPandas() for k, v in statics.items()})
-        ),
-        track,
-    )
+    if bc is None:
+        bc = broadcast_seed_statics(spark, seeds_pd, statics, track)
     rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
     cset = frozenset(clique_preds)
     ids = spark.range(0, 1, 1, 1)

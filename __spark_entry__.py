@@ -2124,6 +2124,31 @@ def q_repetition_stats(spark, sf_dir):
     return repetition_stats(d)
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Streaming exact deduplication — the streaming face of the batch
+    exact-dedup operator: file-source readStream → watermarked
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) →
+    ``Trigger.AvailableNow`` → append-mode memory sink (dedup streams
+    support append; no aggregation state to re-emit). Projecting only the
+    key columns makes the output the distinct key set regardless of which
+    arrival each key kept, so the batch SELECT DISTINCT oracle checks it
+    value-for-value. State is bounded by the watermark (keys evicted once
+    the event-time watermark passes them) — the production property a
+    plain dropDuplicates over an unbounded stream lacks."""
+    from bigdatalog_spark.streaming.ops import stream_dedup, write_memory_sink
+
+    schema = load_table(spark, sf_dir, "events").schema
+    stream = _stream_events(spark, sf_dir, schema).select(
+        "ts", "user_id", "event_type"
+    )
+    deduped = stream_dedup(
+        stream, ["user_id", "event_type"], watermark="1 hour"
+    ).select("user_id", "event_type")
+    q = write_memory_sink(deduped, "q_stream_dedup_sink", output_mode="append")
+    q.awaitTermination()
+    return spark.table("q_stream_dedup_sink")
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: pull props.k out of the events JSON
     column JVM-side (get_json_object — no UDF) and aggregate per event
@@ -2216,6 +2241,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (q_json_props rotated just past the window to make room for the
         # never-checked q_dedup_chunks; its r03 row + two judge sweeps
         # stand, rotate it into r06 with the TPC-H trio below)
+        # (q_stream_dedup added in r05 just past the window — sweep-verified
+        # at sf0.001/0.01; give it its driver row in r06)
+        "q_stream_dedup": q_stream_dedup,
         "q_json_props": q_json_props,
         "q7_nation_volume": q7_nation_volume,
         "q12_priority_lines": q12_priority_lines,
@@ -2762,6 +2790,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM o GROUP BY user_id
+        """,
+        "q_stream_dedup": """
+            SELECT DISTINCT user_id, event_type FROM events
         """,
         "q_salted_join": """
             SELECT l_orderkey, l_quantity, o_orderpriority

@@ -1301,23 +1301,25 @@ def q21_waiting_supplier(spark, sf_dir):
         .select("l_orderkey", "l_suppkey")
         .distinct()
     )
-    allsupp = l.select(
-        F.col("l_orderkey").alias("a_okey"), F.col("l_suppkey").alias("a_skey")
-    ).distinct()
-    other_exists = late.join(
-        allsupp,
-        (F.col("l_orderkey") == F.col("a_okey"))
-        & (F.col("l_suppkey") != F.col("a_skey")),
-        "left_semi",
+    # EXISTS/NOT-EXISTS as per-order supplier counts: another supplier on
+    # the order ⇔ n_supp ≥ 2, no other LATE supplier ⇔ n_late = 1 (the one
+    # late supplier is this row's). Count-distinct aggregates are map-side
+    # combinable and join back on the order key alone — cheaper at scale
+    # than the classic inequality semi/anti joins over (okey, skey) pairs.
+    n_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__n_late"))
+        .where(F.col("__n_late") == 1)
+        .select("l_orderkey")
     )
-    other_late = late.select(
-        F.col("l_orderkey").alias("b_okey"), F.col("l_suppkey").alias("b_skey")
+    n_supp = (
+        l.groupBy(F.col("l_orderkey").alias("a_okey"))
+        .agg(F.count_distinct("l_suppkey").alias("__n_supp"))
+        .where(F.col("__n_supp") >= 2)
+        .select("a_okey")
     )
-    only_late = other_exists.join(
-        other_late,
-        (F.col("l_orderkey") == F.col("b_okey"))
-        & (F.col("l_suppkey") != F.col("b_skey")),
-        "left_anti",
+    only_late = late.join(n_late, "l_orderkey", "left_semi").join(
+        n_supp, F.col("l_orderkey") == F.col("a_okey"), "left_semi"
     )
     return (
         only_late.join(s, F.col("l_suppkey") == s.s_suppkey)

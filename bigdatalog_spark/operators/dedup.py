@@ -297,10 +297,12 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     toks = F.split(
         F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
     )
-    # the 64 per-bit partial sums run map-side BEFORE the groupBy shuffle,
-    # i.e. on the scan's partitioning — widen single-file scans first
-    t = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col)))
-    t = t.select(F.col(id_col), F.explode(toks).alias("tok"))
+    # NOT widened via ensure_min_parallelism: measured at sf0.1 the extra
+    # text shuffle costs more than the single-task map side (the 64-sum
+    # partial aggregate stays cheap relative to tokenize+hash) — bench
+    # medians were ~0.6 s WORSE with the gate, unlike the shingle/chunk
+    # paths where interpreted HOFs dominate
+    t = df.select(F.col(id_col), F.explode(toks).alias("tok"))
     token_hash = (
         F.xxhash64("tok") if hash_fn == "xxhash64" else portable_hash64(F.col("tok"))
     )

@@ -341,3 +341,56 @@ def test_signed_msum_three_path_parity(spark, arcs, infl, seeds):
     assert results[0] == results[1] == results[2]
     assert results[0][0] == hop
     assert results[0][1] == set(sums.items())
+
+
+# --------------------------------------------------- n-gram Jaccard algebra
+
+WORD = st.sampled_from(["a", "b", "c", "aa", "ab"])
+DOC = st.lists(WORD, min_size=0, max_size=6)
+
+
+def py_jaccard_pairs(docs, n, threshold, max_df=None):
+    """Pure-Python oracle: shingle-set Jaccard over the (optionally
+    df-capped) shingle space — the exact contract ngram_jaccard_pairs
+    documents (cap drops hot shingles from intersection AND sizes)."""
+    sets = {}
+    for i, words in docs:
+        sh = {tuple(words[j : j + n]) for j in range(len(words) - n + 1)}
+        if sh:
+            sets[i] = sh
+    if max_df is not None:
+        from collections import Counter
+
+        df = Counter(s for ss in sets.values() for s in ss)
+        hot = {s for s, c in df.items() if c > max_df}
+        sets = {i: ss - hot for i, ss in sets.items()}
+    out = set()
+    ids = sorted(sets)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            inter = len(sets[a] & sets[b])
+            if not inter:
+                continue
+            j = inter / len(sets[a] | sets[b])
+            if round(j, 6) >= threshold:
+                out.add((a, b, round(j, 6)))
+    return out
+
+
+@given(docs=st.lists(DOC, min_size=2, max_size=6))
+@PROP
+def test_ngram_jaccard_matches_python_model(spark, docs):
+    from bigdatalog_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    for max_df in (None, 2):
+        got = {
+            (r.left_id, r.right_id, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                df, n=2, threshold=0.3, max_doc_freq=max_df
+            ).collect()
+        }
+        want = py_jaccard_pairs(list(enumerate(docs)), 2, 0.3, max_df)
+        assert got == want

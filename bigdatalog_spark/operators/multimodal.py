@@ -6,7 +6,9 @@ mapInPandas, partition sizing — is real and tested.
 
 Codec status: PNG images decode FOR REAL via the pure-stdlib codec in
 functions/png.py (zlib + struct; 8-bit grey/RGB/RGBA) — features and
-resize run on actual pixels. Other image formats and audio/video remain
+resize run on actual pixels — and WAV PCM audio decodes FOR REAL via
+functions/wav.py (stdlib ``wave``; 8/16/32-bit integer PCM) — features
+run on actual samples. Compressed image/audio codecs and video remain
 STUBBED (they need Pillow/ffmpeg-class libraries this container lacks):
 those paths raise NotImplementedError in strict mode or produce a
 deterministic byte-derived fake in test mode, behind the same interface,
@@ -48,11 +50,21 @@ FEATURE_SCHEMA = T.StructType([
 def _decode_stub(payload: bytes, kind: str, deterministic_fake: bool):
     """Codec boundary. PNG images decode for real (functions/png.py):
     feature = [width, height, channels, mean, std, mean of each of the
-    first 3 channels] — 8 dims from actual pixels. Everything else is
-    stubbed: deterministic_fake=True yields a stable byte-derived
-    8-dim feature so pipelines are testable; strict mode raises."""
+    first 3 channels] — 8 dims from actual pixels. WAV PCM audio decodes
+    for real too (functions/wav.py, stdlib ``wave``): feature =
+    [sample_rate, channels, duration_ms, rms, peak, mean_abs,
+    zero_crossing_rate, dc_offset] from actual samples. Everything else
+    (compressed image/audio codecs, video) is stubbed:
+    deterministic_fake=True yields a stable byte-derived 8-dim feature so
+    pipelines are testable; strict mode raises."""
     from ..functions.png import decode_png, is_png
+    from ..functions.wav import is_wav, wav_features
 
+    if kind == "audio" and is_wav(payload):
+        try:
+            return wav_features(payload)
+        except ValueError:
+            pass  # float PCM / compressed inside a RIFF shell → stub path
     if kind == "image" and is_png(payload):
         import numpy as np
 
@@ -73,8 +85,8 @@ def _decode_stub(payload: bytes, kind: str, deterministic_fake: bool):
     if not deterministic_fake:
         raise NotImplementedError(
             f"media decode for kind={kind!r} requires codec libraries not "
-            "present in this container (PNG is the natively-decoded format);"
-            " wire Pillow/ffmpeg here"
+            "present in this container (PNG images and WAV PCM audio are "
+            "the natively-decoded formats); wire Pillow/ffmpeg here"
         )
     if payload is None:
         return [0.0] * 8

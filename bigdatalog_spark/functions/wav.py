@@ -109,3 +109,26 @@ def wav_features(data: bytes) -> list:
         zc,
         float(mono.mean()),
     ]
+
+
+def resample_linear(samples, src_rate: int, dst_rate: int):
+    """Linear-interpolation resample of a (n, ch) float array. A simple,
+    honest resampler (no windowed-sinc anti-aliasing — document the seam
+    for a DSP-grade kernel); exact passthrough when rates match."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if src_rate == dst_rate or arr.shape[0] == 0:
+        return arr
+    n_src = arr.shape[0]
+    n_dst = max(1, int(round(n_src * dst_rate / src_rate)))
+    # sample-position mapping keeps the first sample aligned and spaces
+    # the rest by the rate ratio
+    pos = np.arange(n_dst) * (src_rate / dst_rate)
+    pos = np.clip(pos, 0, n_src - 1)
+    return np.stack(
+        [np.interp(pos, np.arange(n_src), arr[:, c]) for c in range(arr.shape[1])],
+        axis=1,
+    )

@@ -175,6 +175,54 @@ def resize_images(media: DataFrame, width: int, height: int,
     return media.where(F.col("kind") == "image").mapInPandas(run, out_schema)
 
 
+def resample_audio(media: DataFrame, target_rate: int,
+                   deterministic_fake: bool = True) -> DataFrame:
+    """Audio resample — the audio counterpart of resize_images: WAV PCM
+    payloads are decoded, linear-interpolation resampled to
+    ``target_rate``, and re-encoded FOR REAL (functions/wav.py);
+    compressed-audio payloads pass through unchanged in fake mode (meta
+    rewritten) or raise in strict mode — the ffmpeg seam."""
+    import pandas as pd
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.wav import (
+            decode_wav,
+            encode_wav,
+            is_wav,
+            resample_linear,
+        )
+
+        for pdf in batches:
+            payloads, metas = [], []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                codec = m.get("codec") if isinstance(m, dict) else None
+                if is_wav(p):
+                    arr, rate = decode_wav(p)
+                    out = resample_linear(arr, rate, target_rate)
+                    payloads.append(encode_wav(out, target_rate))
+                    dur = int(len(out) * 1000 / target_rate)
+                elif deterministic_fake:
+                    payloads.append(p)  # passthrough stub for non-WAV
+                    dur = m.get("duration_ms") if isinstance(m, dict) else None
+                else:
+                    raise NotImplementedError(
+                        "non-WAV audio resample requires ffmpeg"
+                    )
+                metas.append({
+                    "width": None, "height": None,
+                    "sample_rate": target_rate, "duration_ms": dur,
+                    "codec": codec,
+                })
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "payload": payloads,
+                "meta": metas,
+            })
+
+    return media.where(F.col("kind") == "audio").mapInPandas(run, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   deterministic_fake: bool = True) -> DataFrame:
     """video frame sampling plumbing: one output row per sampled timestamp,

@@ -99,3 +99,36 @@ def test_video_still_raises_strict(spark):
     """)
     with pytest.raises(Exception, match="NotImplementedError|requires codec"):
         extract_features(media, deterministic_fake=False).collect()
+
+
+def test_resample_linear_halves_and_preserves_ramp():
+    from bigdatalog_spark.functions.wav import resample_linear
+
+    ramp = np.linspace(0, 1, 800, endpoint=False).reshape(-1, 1)
+    out = resample_linear(ramp, 8000, 4000)
+    assert out.shape == (400, 1)
+    # a ramp survives linear interpolation exactly at interior points
+    assert np.abs(out[:, 0] - np.linspace(0, 1, 800, endpoint=False)[::2]).max() < 1e-9
+
+
+def test_resample_audio_real_wav(spark):
+    from bigdatalog_spark.functions.wav import decode_wav
+    from bigdatalog_spark.operators.multimodal import resample_audio
+
+    data = encode_wav(_sine(rate=8000, secs=0.5), 8000)
+    rows = [
+        (1, "audio", bytearray(data),
+         {"width": None, "height": None, "sample_rate": 8000,
+          "duration_ms": 500, "codec": "pcm_s16le"}),
+    ]
+    media = spark.createDataFrame(rows, schema="""
+        media_id long, kind string, payload binary,
+        meta struct<width:int,height:int,sample_rate:int,
+                    duration_ms:long,codec:string>
+    """)
+    (row,) = resample_audio(media, 4000, deterministic_fake=False).collect()
+    arr, rate = decode_wav(bytes(row.payload))
+    assert rate == 4000
+    assert row.meta.sample_rate == 4000
+    assert abs(len(arr) - 2000) <= 1  # half the frames at half the rate
+    assert abs(row.meta.duration_ms - 500) <= 1  # duration preserved

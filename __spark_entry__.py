@@ -2860,11 +2860,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_wav_features": """
             SELECT doc_id AS media_id,
-                   8000.0 AS sample_rate,
-                   (800 + (doc_id % 7) * 80) / 8.0 AS duration_ms,
-                   (1000 + (doc_id * 37) % 30000) / 32768.0 AS rms,
-                   1.0 AS zcr,
-                   0.0 AS dc
+                   CAST(8000.0 AS DOUBLE) AS sample_rate,
+                   (800 + (doc_id % 7) * 80) / CAST(8.0 AS DOUBLE)
+                     AS duration_ms,
+                   (1000 + (doc_id * 37) % 30000) / CAST(32768.0 AS DOUBLE)
+                     AS rms,
+                   CAST(1.0 AS DOUBLE) AS zcr,
+                   CAST(0.0 AS DOUBLE) AS dc
             FROM documents
         """,
         "q_salted_join": """

@@ -1,9 +1,13 @@
 """Local stand-in for the driver's t2 duckdb-oracle check.
 
 Runs every __spark_entry__.queries() entry at the given SF alongside its
-oracle_sql() in DuckDB; compares row count, column names, and values
+oracle_sql() in DuckDB; compares row count, column names, values
 (columns sorted by name, rows sorted; floats both exactly and at 1e-9
-tolerance so near-misses are visible).
+tolerance so near-misses are visible) AND coarse column dtypes — the
+driver's value hash is dtype-sensitive (a DuckDB DECIMAL sum against a
+Spark BIGINT hash-mismatches even when every value is equal; that was
+q_pack_sequences in r03), so an un-cast aggregate must fail HERE, not in
+the round report.
 
 Usage: python tools/check_oracle.py [sf_dir] [query ...]
 """
@@ -34,6 +38,30 @@ def rows_key(rows):
         (tuple(norm_cell(c) for c in r) for r in rows),
         key=lambda r: tuple(cell_key(c) for c in r),
     )
+
+
+def coarse_type(t: str) -> str:
+    """Collapse engine-specific type names to the classes the driver's
+    dtype-sensitive hash distinguishes: int / float / DECIMAL (the classic
+    silent killer) / string / bool / date / timestamp / list."""
+    t = str(t).lower()
+    if "decimal" in t:
+        return "decimal"
+    if any(k in t for k in ("int", "long", "short", "byte")):
+        return "int"
+    if any(k in t for k in ("float", "double", "halffloat")):
+        return "float"
+    if "timestamp" in t:
+        return "timestamp"
+    if "date" in t:
+        return "date"
+    if any(k in t for k in ("string", "varchar", "utf8", "char")):
+        return "string"
+    if "bool" in t:
+        return "bool"
+    if any(k in t for k in ("list", "array")):
+        return "list"
+    return t
 
 
 def approx_equal(a, b):
@@ -107,6 +135,27 @@ def main():
         status = []
         if scols != ocols:
             status.append(f"SCHEMA spark={scols} oracle={ocols}")
+        else:
+            # dtype gate: Arrow schema of a LIMIT-0 oracle run vs the Spark
+            # schema, collapsed to the driver-relevant coarse classes
+            try:
+                oarrow = con.execute(
+                    f"SELECT * FROM ({oracles[name]}) LIMIT 0"
+                ).arrow()
+                otypes = {f.name: coarse_type(f.type) for f in oarrow.schema}
+                stypes = {
+                    f.name: coarse_type(f.dataType.simpleString())
+                    for f in sdf.schema.fields
+                }
+                bad = [
+                    f"{c}: spark={stypes[c]} oracle={otypes[c]}"
+                    for c in scols
+                    if stypes.get(c) != otypes.get(c)
+                ]
+                if bad:
+                    status.append(f"DTYPE {'; '.join(bad)}")
+            except Exception as e:  # arrow probe is best-effort
+                print(f"  (dtype probe skipped for {name}: {str(e)[:80]})")
         if len(srows) != len(orows):
             status.append(f"COUNT spark={len(srows)} oracle={len(orows)}")
         if not status:

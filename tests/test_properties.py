@@ -394,3 +394,52 @@ def test_ngram_jaccard_matches_python_model(spark, docs):
         }
         want = py_jaccard_pairs(list(enumerate(docs)), 2, 0.3, max_df)
         assert got == want
+
+
+# ---------------------------------------------------- dedup_chunks algebra
+
+def py_dedup_chunks(docs, chunk_words, max_docs):
+    """Pure-Python oracle for operators/corpus.dedup_chunks: split each
+    doc into non-overlapping chunk_words-word chunks, drop chunks whose
+    DISTINCT-doc frequency exceeds max_docs, reassemble in order."""
+    from collections import Counter
+
+    def chunks_of(text):
+        words = (text or "").split(" ")
+        n = -(-len(words) // chunk_words)  # ceil
+        return [
+            " ".join(words[i * chunk_words : (i + 1) * chunk_words])
+            for i in range(n)
+        ]
+
+    per_doc = {i: chunks_of(t) for i, t in docs}
+    df = Counter()
+    for cs in per_doc.values():
+        for c in set(cs):
+            df[c] += 1
+    hot = {c for c, k in df.items() if k > max_docs}
+    out = {}
+    for i, cs in per_doc.items():
+        kept = [c for c in cs if c not in hot]
+        out[i] = (" ".join(kept), len(cs), len(cs) - len(kept))
+    return out
+
+
+@given(
+    docs=st.lists(DOC, min_size=2, max_size=6),
+    chunk_words=st.integers(1, 3),
+)
+@PROP
+def test_dedup_chunks_matches_python_model(spark, docs, chunk_words):
+    from bigdatalog_spark.operators.corpus import dedup_chunks
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.text_clean, r.n_chunks, r.n_removed)
+        for r in dedup_chunks(df, chunk_words=chunk_words, max_docs=1).collect()
+    }
+    want = py_dedup_chunks(
+        [(i, " ".join(w)) for i, w in enumerate(docs)], chunk_words, 1
+    )
+    assert got == want

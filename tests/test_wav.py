@@ -132,3 +132,28 @@ def test_resample_audio_real_wav(spark):
     assert row.meta.sample_rate == 4000
     assert abs(len(arr) - 2000) <= 1  # half the frames at half the rate
     assert abs(row.meta.duration_ms - 500) <= 1  # duration preserved
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: any bounded float signal survives 16-bit encode/decode
+    within one quantization step, any rate/channel count."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-1.0, max_value=1.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=64,
+        ),
+        rate=st.sampled_from([8000, 16000, 44100]),
+        channels=st.integers(1, 3),
+    )
+    def prop(vals, rate, channels):
+        arr = np.tile(np.asarray(vals).reshape(-1, 1), (1, channels))
+        out, got_rate = decode_wav(encode_wav(arr, rate))
+        assert got_rate == rate
+        assert out.shape == arr.shape
+        assert np.abs(out - np.clip(arr, -1, 1 - 1 / 32768.0)).max() <= 1 / 32768.0 + 1e-12
+
+    prop()

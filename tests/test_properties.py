@@ -443,3 +443,47 @@ def test_dedup_chunks_matches_python_model(spark, docs, chunk_words):
         [(i, " ".join(w)) for i, w in enumerate(docs)], chunk_words, 1
     )
     assert got == want
+
+
+# ----------------------------------------------- simhash pigeonhole recall
+
+def py_simhash(words, nbits=64):
+    """Portable-md5 simhash reproduced in pure Python (hashlib md5 first
+    15 hex chars == Spark's portable_hash64)."""
+    import hashlib
+
+    sums = [0] * nbits
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for i in range(nbits):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    fp = 0
+    for i in range(nbits):
+        if sums[i] > 0:
+            fp |= 1 << i
+    return fp
+
+
+@given(docs=st.lists(st.lists(WORD, min_size=1, max_size=6),
+                     min_size=2, max_size=5))
+@PROP
+def test_simhash_block_join_equals_full_pairwise(spark, docs):
+    """The block trick's pigeonhole recall is EXACTLY 1: the bucketed
+    join must return the same pair set as brute-force hamming ≤ 3 over
+    fingerprints computed independently in Python."""
+    from bigdatalog_spark.operators.dedup import simhash_pairs
+
+    rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.left_id, r.right_id)
+        for r in simhash_pairs(df, max_hamming=3,
+                               hash_fn="portable_md5").collect()
+    }
+    fps = {i: py_simhash(w) for i, w in enumerate(docs)}
+    want = {
+        (a, b)
+        for a in fps for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == want

@@ -127,3 +127,16 @@ def test_write_file_size_and_clustering(spark, tmp_path):
     back = read_table(spark, path, fmt="parquet")
     assert back.count() == 1000
     assert back.agg(F.sum("id")).first()[0] == 499500
+
+
+def test_ensure_min_parallelism_gate(spark):
+    """Widen only when the scan is under cluster parallelism: a
+    1-partition frame is repartitioned up, a well-partitioned frame
+    passes through untouched (no shuffle added at scale)."""
+    from bigdatalog_spark.session import ensure_min_parallelism
+
+    par = spark.sparkContext.defaultParallelism
+    one = spark.range(100).coalesce(1)
+    wide = spark.range(100).repartition(par)
+    assert ensure_min_parallelism(one).rdd.getNumPartitions() == par
+    assert ensure_min_parallelism(wide) is wide

@@ -487,3 +487,42 @@ def test_simhash_block_join_equals_full_pairwise(spark, docs):
         if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
     }
     assert got == want
+
+
+# ----------------------------------------------- q-gram fuzzy join recall
+
+def py_lev(a, b):
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+NAME = st.text(alphabet="abcd", min_size=1, max_size=9)
+
+
+@given(names=st.lists(NAME, min_size=2, max_size=8, unique=True))
+@PROP
+def test_qgram_fuzzy_pairs_exact_recall(spark, names):
+    """Blocking must not lose pairs: q-gram candidates + the short-string
+    fallback verify to EXACTLY the brute-force levenshtein ≤ d set —
+    including strings under the q·(d+1) count-filter bound."""
+    from bigdatalog_spark.operators.dedup import qgram_fuzzy_pairs
+
+    df = spark.createDataFrame([(n,) for n in names], ["name"])
+    got = {
+        (r.left_name, r.right_name, r.dist)
+        for r in qgram_fuzzy_pairs(df, col="name", max_dist=2).collect()
+    }
+    want = {
+        (a, b, py_lev(a, b))
+        for a in names for b in names
+        if a < b and py_lev(a, b) <= 2
+    }
+    assert got == want

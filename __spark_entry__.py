@@ -115,7 +115,11 @@ def _kcore_sql(k: int = 2, rounds: int = 24) -> str:
     Peeling is idempotent at the fixpoint, so over-provisioned rounds are
     no-ops; on this tree+chord graph the peel depth is ~ the tree depth
     (log2 of max part key: 24 rounds covers any sf up to ~2^22 parts,
-    i.e. sf ≈ 20). Every CTE is MATERIALIZED: DuckDB inlines plain CTEs,
+    i.e. sf ≈ 20). A convergence guard compares the last two rounds and
+    raises a loud DuckDB error() if they differ — an under-provisioned
+    unroll at a larger sf fails diagnostically instead of silently
+    reporting a false mismatch against the (correct) engine fixpoint.
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs,
     and each round references its predecessor several times, so an
     uninlined chain re-expands multiplicatively (observed as 'too many
     open files' re-scanning part.parquet)."""
@@ -143,9 +147,16 @@ def _kcore_sql(k: int = 2, rounds: int = 24) -> str:
         )
     body = ",\n    ".join(ctes)
     return f"""
-            WITH {body}
+            WITH {body},
+    converged AS MATERIALIZED (
+      SELECT CASE
+        WHEN (SELECT count(*) FROM e{rounds}) = (SELECT count(*) FROM e{rounds - 1})
+        THEN 1
+        ELSE error('kcore oracle under-peeled: raise rounds in _kcore_sql')
+      END AS ok)
             SELECT x AS vertex, CAST(count(*) AS BIGINT) AS degree
             FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+            CROSS JOIN converged
             GROUP BY x
         """
 

@@ -2,12 +2,13 @@
 
 Implements the subset of the public RIFF/WAVE format (Microsoft/IBM
 multimedia spec, as exposed by Python's stdlib ``wave`` module) that the
-multimodal operators need: integer PCM at 8/16/32-bit depth, any channel
-count and sample rate. This turns the AUDIO branch of the codec boundary
-in operators/multimodal.py into a REAL decode: sample rate, duration and
+multimodal operators need: integer PCM at 8/16/32-bit depth and IEEE
+float PCM (format code 3) at 32/64-bit, any channel count and sample
+rate. This turns the AUDIO branch of the codec boundary in
+operators/multimodal.py into a REAL decode: sample rate, duration and
 waveform statistics (RMS, peak, zero-crossing rate) run on actual
-samples. Compressed audio (MP3/AAC/FLAC) and float PCM remain stubbed —
-those genuinely need ffmpeg-class decoders the container lacks.
+samples. Compressed audio (MP3/AAC/FLAC) remains stubbed — those
+genuinely need ffmpeg-class decoders the container lacks.
 
 Numpy is used for the sample array (already a hard dependency of the
 Arrow path); the bytestream handling is stdlib only (wave + io + struct).
@@ -16,10 +17,16 @@ Arrow path); the bytestream handling is stdlib only (wave + io + struct).
 from __future__ import annotations
 
 import io
+import struct
 import wave
 
 _WIDTH_DTYPE = {1: "u1", 2: "<i2", 4: "<i4"}  # wave yields unsigned for 8-bit
-_WIDTH_SCALE = {1: 127.5, 2: 32768.0, 4: 2147483648.0}
+# full-scale divisor: 8-bit uses 128 so byte 0 maps to exactly -1.0 and
+# every decoded value stays inside [-1, 1] (127.5 would give -1.0039)
+_WIDTH_SCALE = {1: 128.0, 2: 32768.0, 4: 2147483648.0}
+
+_FLOAT_DTYPE = {4: "<f4", 8: "<f8"}
+WAVE_FORMAT_IEEE_FLOAT = 3
 
 
 def is_wav(data: bytes | None) -> bool:
@@ -31,14 +38,59 @@ def is_wav(data: bytes | None) -> bool:
     )
 
 
+def _parse_riff_chunks(data: bytes):
+    """Yield (chunk_id, payload) for each top-level RIFF sub-chunk.
+    Raises ValueError on a malformed stream."""
+    pos = 12  # past RIFF<size>WAVE
+    n = len(data)
+    while pos + 8 <= n:
+        cid = bytes(data[pos:pos + 4])
+        (size,) = struct.unpack_from("<I", data, pos + 4)
+        body = bytes(data[pos + 8:pos + 8 + size])
+        if len(body) < size:
+            raise ValueError("truncated RIFF chunk")
+        yield cid, body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+
+def _decode_float_wav(data: bytes):
+    """Manual decode of WAVE_FORMAT_IEEE_FLOAT (format code 3) — stdlib
+    ``wave`` only reads integer PCM, but float WAV is just raw little-
+    endian f32/f64 frames after the fmt chunk, parseable with struct."""
+    import numpy as np
+
+    fmt = None
+    body = None
+    for cid, payload in _parse_riff_chunks(data):
+        if cid == b"fmt " and fmt is None:
+            if len(payload) < 16:
+                raise ValueError("malformed fmt chunk")
+            fmt = struct.unpack_from("<HHIIHH", payload, 0)
+        elif cid == b"data" and body is None:
+            body = payload
+    if fmt is None or body is None:
+        raise ValueError("missing fmt/data chunk")
+    tag, nch, rate, _byte_rate, _block_align, bits = fmt
+    if tag != WAVE_FORMAT_IEEE_FLOAT:
+        raise ValueError(f"unsupported WAV format tag: {tag}")
+    width = bits // 8
+    if width not in _FLOAT_DTYPE or nch < 1:
+        raise ValueError(f"unsupported float PCM width: {bits} bits")
+    usable = len(body) - len(body) % (width * nch)
+    arr = np.frombuffer(body[:usable], dtype=_FLOAT_DTYPE[width]).astype(np.float64)
+    return arr.reshape(-1, nch), rate
+
+
 def decode_wav(data: bytes):
     """WAV bytes → (samples, sample_rate): float64 numpy array shaped
-    (n_frames, n_channels) normalized to [-1, 1], plus the sample rate.
+    (n_frames, n_channels) normalized to [-1, 1] (integer PCM) or the
+    raw float samples (IEEE-float PCM), plus the sample rate.
 
-    Supports 8/16/32-bit integer PCM (what stdlib ``wave`` reads). Raises
-    ValueError on float PCM / compressed codecs (the multimodal operator
-    surfaces that as an unsupported-codec row, it does not crash the
-    task)."""
+    Supports 8/16/32-bit integer PCM (stdlib ``wave``) and 32/64-bit
+    IEEE-float PCM (format code 3, parsed manually — stdlib wave rejects
+    it). Raises ValueError on compressed codecs or malformed payloads
+    (the multimodal operator surfaces that as an unsupported-codec row,
+    it does not crash the task)."""
     import numpy as np
 
     if not is_wav(data):
@@ -49,8 +101,17 @@ def decode_wav(data: bytes):
             rate = w.getframerate()
             nch = w.getnchannels()
             raw = w.readframes(w.getnframes())
-    except wave.Error as e:  # compressed / float PCM
+    except wave.Error as e:
+        # float PCM is decodable without ffmpeg; try it before giving up
+        try:
+            return _decode_float_wav(bytes(data))
+        except ValueError:
+            pass
         raise ValueError(f"unsupported WAV encoding: {e}") from e
+    except (EOFError, struct.error) as e:
+        # stdlib wave leaks these on truncated RIFF payloads; keep the
+        # documented ValueError contract so callers' fallback paths fire
+        raise ValueError(f"malformed WAV byte stream: {e}") from e
     if width not in _WIDTH_DTYPE:
         raise ValueError(f"unsupported PCM sample width: {width}")
     arr = np.frombuffer(raw, dtype=_WIDTH_DTYPE[width]).astype(np.float64)
@@ -66,7 +127,9 @@ def decode_wav(data: bytes):
 
 def encode_wav(samples, sample_rate: int, sampwidth: int = 2) -> bytes:
     """(n_frames, n_channels) float array in [-1, 1] → WAV bytes (integer
-    PCM at ``sampwidth`` bytes). The test-side inverse of decode_wav."""
+    PCM at ``sampwidth`` bytes). The test-side inverse of decode_wav.
+    Values are rounded (not truncated) to the nearest PCM step so the
+    full code range — including byte 255 at 8-bit — is reachable."""
     import numpy as np
 
     arr = np.asarray(samples, dtype=np.float64)
@@ -75,9 +138,11 @@ def encode_wav(samples, sample_rate: int, sampwidth: int = 2) -> bytes:
     scale = _WIDTH_SCALE[sampwidth]
     clipped = np.clip(arr, -1.0, 1.0 - 1.0 / scale)
     if sampwidth == 1:
-        pcm = (clipped * scale + 128.0).astype("u1")
+        pcm = np.clip(np.round(clipped * scale + 128.0), 0, 255).astype("u1")
     else:
-        pcm = (clipped * scale).astype(_WIDTH_DTYPE[sampwidth])
+        pcm = np.clip(
+            np.round(clipped * scale), -scale, scale - 1
+        ).astype(_WIDTH_DTYPE[sampwidth])
     buf = io.BytesIO()
     with wave.open(buf, "wb") as w:
         w.setnchannels(arr.shape[1])
@@ -85,6 +150,33 @@ def encode_wav(samples, sample_rate: int, sampwidth: int = 2) -> bytes:
         w.setframerate(sample_rate)
         w.writeframes(pcm.tobytes())
     return buf.getvalue()
+
+
+def encode_wav_float(samples, sample_rate: int, sampwidth: int = 4) -> bytes:
+    """(n_frames, n_channels) float array → IEEE-float WAV bytes (format
+    code 3, 32- or 64-bit). stdlib ``wave`` cannot write float PCM, so
+    the RIFF/fmt/data chunks are emitted manually with struct — the
+    test-side inverse of the format-3 branch of decode_wav."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr.reshape(-1, 1)
+    if sampwidth not in _FLOAT_DTYPE:
+        raise ValueError(f"float WAV sampwidth must be 4 or 8, got {sampwidth}")
+    nch = arr.shape[1]
+    body = arr.astype(_FLOAT_DTYPE[sampwidth]).tobytes()
+    block_align = sampwidth * nch
+    fmt = struct.pack(
+        "<HHIIHH",
+        WAVE_FORMAT_IEEE_FLOAT, nch, sample_rate,
+        sample_rate * block_align, block_align, sampwidth * 8,
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
 def wav_features(data: bytes) -> list:

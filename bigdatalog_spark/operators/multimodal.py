@@ -64,7 +64,7 @@ def _decode_stub(payload: bytes, kind: str, deterministic_fake: bool):
         try:
             return wav_features(payload)
         except ValueError:
-            pass  # float PCM / compressed inside a RIFF shell → stub path
+            pass  # compressed codec inside a RIFF shell → stub path
     if kind == "image" and is_png(payload):
         import numpy as np
 
@@ -201,16 +201,21 @@ def resample_audio(media: DataFrame, target_rate: int,
                     out = resample_linear(arr, rate, target_rate)
                     payloads.append(encode_wav(out, target_rate))
                     dur = int(len(out) * 1000 / target_rate)
+                    out_rate = target_rate
                 elif deterministic_fake:
-                    payloads.append(p)  # passthrough stub for non-WAV
+                    # passthrough stub for non-WAV: the payload bytes are
+                    # unchanged, so the meta must keep the ORIGINAL rate —
+                    # claiming target_rate would contradict the encoding
+                    payloads.append(p)
                     dur = m.get("duration_ms") if isinstance(m, dict) else None
+                    out_rate = m.get("sample_rate") if isinstance(m, dict) else None
                 else:
                     raise NotImplementedError(
                         "non-WAV audio resample requires ffmpeg"
                     )
                 metas.append({
                     "width": None, "height": None,
-                    "sample_rate": target_rate, "duration_ms": dur,
+                    "sample_rate": out_rate, "duration_ms": dur,
                     "codec": codec,
                 })
             yield pd.DataFrame({

@@ -1,6 +1,7 @@
 """Pure-stdlib WAV codec (functions/wav.py) + the real-audio feature path
 through operators/multimodal.extract_features."""
 
+import io
 import math
 
 import numpy as np
@@ -132,6 +133,110 @@ def test_resample_audio_real_wav(spark):
     assert row.meta.sample_rate == 4000
     assert abs(len(arr) - 2000) <= 1  # half the frames at half the rate
     assert abs(row.meta.duration_ms - 500) <= 1  # duration preserved
+
+
+def test_truncated_wav_raises_valueerror():
+    """stdlib wave raises EOFError/struct.error on truncated RIFF
+    payloads; decode_wav must keep its documented ValueError contract so
+    the multimodal stub fallback fires instead of crashing the task."""
+    truncated = b"RIFF\x24\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00"
+    with pytest.raises(ValueError):
+        decode_wav(truncated)
+    # a full WAV chopped mid-data-chunk must also stay inside ValueError
+    data = encode_wav(_sine(), 8000)
+    for cut in (13, 20, 30, len(data) // 2):
+        try:
+            decode_wav(data[:cut])
+        except ValueError:
+            pass  # acceptable
+        # anything else (EOFError, struct.error) propagates and fails
+
+
+def test_8bit_full_range_symmetric():
+    """8-bit decode stays within [-1, 1] (byte 0 → exactly -1.0) and
+    encode reaches byte 255 — no truncation bias."""
+    import wave as _wave
+
+    # byte 0 and byte 255 straight through the decoder
+    raw = encode_wav(np.array([[-1.0], [1.0], [0.0]]), 8000, sampwidth=1)
+    with _wave.open(io.BytesIO(raw)) as w:
+        frames = w.readframes(3)
+    assert frames[0] == 0 and frames[1] == 255 and frames[2] == 128
+    out, _ = decode_wav(raw)
+    assert out[0, 0] == -1.0
+    assert -1.0 <= out.min() and out.max() <= 1.0
+    # roundtrip bias: mean error of a dense ramp must be ~0, not one-sided
+    ramp = np.linspace(-1, 1, 1001).reshape(-1, 1)
+    rt, _ = decode_wav(encode_wav(ramp, 8000, sampwidth=1))
+    err = rt - np.clip(ramp, -1, 1 - 1 / 128.0)
+    assert abs(err.mean()) < 1e-3
+    assert np.abs(err).max() <= 1 / 256.0 + 1e-12
+
+
+def test_float_wav_decode_real():
+    """IEEE-float WAV (format code 3) decodes for real — f32 within
+    float32 precision, f64 bit-exact — and feeds wav_features."""
+    from bigdatalog_spark.functions.wav import encode_wav_float
+
+    arr = _sine(rate=16000, secs=0.1)
+    for width, tol in ((4, 1e-7), (8, 0.0)):
+        data = encode_wav_float(arr, 16000, sampwidth=width)
+        assert is_wav(data)
+        out, rate = decode_wav(data)
+        assert rate == 16000
+        assert out.shape == arr.shape
+        assert np.abs(out - arr).max() <= tol
+    f = wav_features(encode_wav_float(arr, 16000))
+    assert f[0] == 16000.0 and abs(f[2] - 100.0) < 1.0
+    assert abs(f[3] - 0.5 / math.sqrt(2)) < 1e-3
+
+
+def test_float_wav_roundtrip_property():
+    """Hypothesis: any float signal survives the format-3 encode/decode —
+    f64 exactly, any rate/channel count."""
+    from hypothesis import given, settings, strategies as st
+
+    from bigdatalog_spark.functions.wav import encode_wav_float
+
+    @settings(max_examples=25, deadline=None, derandomize=True)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=-4.0, max_value=4.0,  # float WAV is unclamped
+                      allow_nan=False, allow_infinity=False),
+            min_size=1, max_size=64,
+        ),
+        rate=st.sampled_from([8000, 22050, 48000]),
+        channels=st.integers(1, 3),
+    )
+    def prop(vals, rate, channels):
+        arr = np.tile(np.asarray(vals).reshape(-1, 1), (1, channels))
+        out, got_rate = decode_wav(encode_wav_float(arr, rate, sampwidth=8))
+        assert got_rate == rate
+        assert out.shape == arr.shape
+        assert np.array_equal(out, arr)
+
+    prop()
+
+
+def test_resample_passthrough_keeps_original_rate(spark):
+    """Fake-mode passthrough leaves the payload bytes unchanged, so the
+    emitted meta must keep the ORIGINAL sample_rate, not claim target."""
+    from bigdatalog_spark.operators.multimodal import resample_audio
+
+    rows = [
+        (1, "audio", bytearray(b"\xffOGGnot-a-wav-payload"),
+         {"width": None, "height": None, "sample_rate": 22050,
+          "duration_ms": 100, "codec": "vorbis"}),
+    ]
+    media = spark.createDataFrame(rows, schema="""
+        media_id long, kind string, payload binary,
+        meta struct<width:int,height:int,sample_rate:int,
+                    duration_ms:long,codec:string>
+    """)
+    (row,) = resample_audio(media, 8000, deterministic_fake=True).collect()
+    assert bytes(row.payload) == b"\xffOGGnot-a-wav-payload"
+    assert row.meta.sample_rate == 22050  # NOT rewritten to 8000
+    assert row.meta.duration_ms == 100
 
 
 def test_wav_roundtrip_property():

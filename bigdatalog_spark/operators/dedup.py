@@ -511,9 +511,11 @@ def qgram_fuzzy_pairs(
     within distance d share ≥ 1 intact q-gram whenever the SHORTER has at
     least q·(d+1) characters — the standard q-gram count-filter bound),
     plus a short-string fallback block (strings under that bound are
-    paired against everything within the |len| ≤ d window; in real data
-    this block is tiny and in any corpus it is bounded by the number of
-    near-q·d-char strings). Both branches verify with the exact
+    paired against names in the |len| ≤ d window via a length-bucket
+    EQUI-join — each short string explodes to its len−d…len+d keys and
+    hash-joins names keyed by exact length, so the planner gets a hash
+    join, never a nested-loop scan over all names). Both branches verify
+    with the exact
     ``levenshtein`` expression, so recall and precision are both 1.
     Matching runs on DISTINCT values — equal-name row pairs are exact-
     dedup territory (exact_dedup), not fuzzy matching — which also kills
@@ -540,32 +542,30 @@ def qgram_fuzzy_pairs(
         .select("left_name", "right_name")
         .distinct()
     )
-    # short strings: the gram bound does not hold — block on the length
-    # window instead (the set is tiny by construction)
+    # short strings: the gram bound does not hold — block on a length-
+    # bucket equi-join instead: each short string fans out to its
+    # len−d…len+d keys (≤ 2d+1 rows) and hash-joins names bucketed by
+    # exact length, keeping shuffle volume O(|shorts|·d + |names|)
     shorts = names.where(L < min_guaranteed)
+    short_keys = shorts.select(
+        F.col("name").alias("s_name"),
+        F.explode(
+            F.sequence(F.greatest(F.lit(1), L - max_dist), L + max_dist)
+        ).alias("len_key"),
+    )
     short_cand = (
-        shorts.select(F.col("name").alias("left_name"))
-        .join(
-            names.select(F.col("name").alias("right_name")),
-            (F.col("left_name") < F.col("right_name"))
-            & (
-                F.abs(F.length("left_name") - F.length("right_name"))
-                <= max_dist
+        short_keys.join(
+            names.select(
+                F.col("name").alias("o_name"), L.alias("len_key")
             ),
+            "len_key",
         )
-        # a (short, long) pair can also surface mirrored as (long, short)
-        # with long < short lexically — cover it from the short side too
-        .union(
-            shorts.select(F.col("name").alias("right_name"))
-            .join(
-                names.select(F.col("name").alias("left_name")),
-                (F.col("left_name") < F.col("right_name"))
-                & (
-                    F.abs(F.length("left_name") - F.length("right_name"))
-                    <= max_dist
-                ),
-            )
-            .select("left_name", "right_name")
+        .where(F.col("s_name") != F.col("o_name"))
+        # normalize orientation: covers both (short, long) and mirrored
+        # (long, short) pairs from the short side in one pass
+        .select(
+            F.least("s_name", "o_name").alias("left_name"),
+            F.greatest("s_name", "o_name").alias("right_name"),
         )
         .distinct()
     )

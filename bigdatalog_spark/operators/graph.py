@@ -19,6 +19,66 @@ def _edges(df: DataFrame, src: str, dst: str) -> DataFrame:
     return df.select(F.col(src).alias("c0"), F.col(dst).alias("c1"))
 
 
+# lineage-truncation cadence for the driver-loop graph algorithms; star
+# contraction and realistic peels converge well under this, so the
+# checkpoint path only fires on pathological inputs (e.g. a long-path
+# k-core peel)
+_TRUNCATE_EVERY = 32
+
+
+class _RoundCache:
+    """Public-API round bookkeeping for driver-loop graph algorithms —
+    the CachedRDDManager N-back pattern (reference CachedRDDManager.scala:
+    26-107, same shape as datalog/fixpoint._GenerationCache) without any
+    private-API reach-ins.
+
+    Each round's frame is persist()ed and materialized by the loop's own
+    convergence action; the frame from two rounds back is then freed with
+    the public DataFrame.unpersist(). persist (unlike localCheckpoint)
+    keeps full lineage, so a lost block degrades to recompute instead of
+    failing the job; `truncate` bounds plan depth with a rare eager
+    localCheckpoint whose blocks Spark's ContextCleaner reclaims after
+    the loop drops its references."""
+
+    def __init__(self, spark, storage_level=None):
+        from pyspark.storagelevel import StorageLevel
+
+        self._level = storage_level or StorageLevel.MEMORY_AND_DISK
+        self._live: list[DataFrame] = []
+
+    def persist(self, df: DataFrame) -> DataFrame:
+        df = df.persist(self._level)
+        self._live.append(df)
+        return df
+
+    def release_old(self) -> None:
+        """Free every tracked frame except the newest (already
+        materialized by the caller's action) — the previous round's frame
+        is only needed until the current round's frame holds its blocks."""
+        while len(self._live) > 1:
+            old = self._live.pop(0)
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # best-effort: a failed release only costs memory
+
+    def truncate(self, df: DataFrame) -> DataFrame:
+        """Eager localCheckpoint to cut logical-plan depth, after which
+        every persisted frame can be freed (the checkpoint owns its own
+        blocks). Used sparingly — see _TRUNCATE_EVERY."""
+        out = df.localCheckpoint(eager=True)
+        self.close()
+        return out
+
+    def close(self) -> None:
+        for df in self._live:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._live = []
+
+
 def transitive_closure(
     edges: DataFrame, src: str = "src", dst: str = "dst",
     cfg: FixpointConfig | None = None,
@@ -263,40 +323,48 @@ def connected_components_fast(
 
     from ..datalog.fixpoint import _truncate_marked_ancestors
 
-    _truncate_marked_ancestors(e)  # lazy checkpoints must truncate ancestors
-    prev_sig, prev_e = None, None
-    for _ in range(max_rounds):
-        # lazy checkpoint: the checksum aggregate is the job that
-        # materializes (and truncates) it — one job per round, not two
-        e = small_star(large_star(e)).localCheckpoint(eager=False)
-        sig = checksum(e)
-        if prev_e is not None:  # free last round's checkpoint blocks
-            try:
-                prev_e._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                pass
-        if sig == prev_sig:
-            break
-        prev_sig, prev_e = sig, e
-    else:
-        raise RuntimeError(
-            f"star-contraction CC did not converge within {max_rounds} rounds"
-        )
+    _truncate_marked_ancestors(e)  # periodic checkpoints must truncate ancestors
+    # public-API round cache: each round's frame is persist()ed (the
+    # checksum aggregate is the job that materializes it — one job per
+    # round), and the frame two generations back is released with the
+    # public DataFrame.unpersist(), mirroring the reference's
+    # CachedRDDManager N-back queue. Lineage is truncated every
+    # _TRUNCATE_EVERY rounds with an eager localCheckpoint (star
+    # contraction converges in O(log n) rounds, so this rarely fires);
+    # those few shrinking checkpoint copies are reclaimed by Spark's
+    # ContextCleaner once the loop drops its references.
+    cache = _RoundCache(e.sparkSession)
+    prev_sig = None
+    try:
+        for r in range(max_rounds):
+            e = cache.persist(small_star(large_star(e)))
+            sig = checksum(e)
+            cache.release_old()
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+            if (r + 1) % _TRUNCATE_EVERY == 0:
+                e = cache.truncate(e)
+        else:
+            raise RuntimeError(
+                f"star-contraction CC did not converge within {max_rounds} rounds"
+            )
 
-    # converged: e is a set of stars (child → min-id root)
-    labels = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
-    out = (
-        vertices.join(labels, on="vertex", how="left")
-        .select(
-            "vertex",
-            F.coalesce("component", F.col("vertex")).alias("component"),
+        # converged: e is a set of stars (child → min-id root)
+        labels = e.select(F.col("u").alias("vertex"), F.col("v").alias("component"))
+        out = (
+            vertices.join(labels, on="vertex", how="left")
+            .select(
+                "vertex",
+                F.coalesce("component", F.col("vertex")).alias("component"),
+            )
+            # materialize so the loop + input caches can be released now —
+            # the result is O(vertices) fixed-width rows
+            .localCheckpoint(eager=True)
         )
-        # materialize so the input cache can be released now — the result
-        # is O(vertices) fixed-width rows, the same footprint the per-round
-        # checkpoints already carried
-        .localCheckpoint(eager=True)
-    )
-    base.unpersist()
+    finally:
+        cache.close()
+        base.unpersist()
     return out
 
 
@@ -416,35 +484,40 @@ def k_core(
 
     e = base
     _truncate_marked_ancestors(e)
-    prev_sig, prev_e = None, None
-    for _ in range(max_rounds):
-        alive = degrees(e).where(F.col("degree") >= k).select("vertex")
-        e = (
-            e.join(alive.withColumnRenamed("vertex", "u"), on="u", how="left_semi")
-            .join(alive.withColumnRenamed("vertex", "v"), on="v", how="left_semi")
-            .select("u", "v")
-            .localCheckpoint(eager=False)
-        )
-        sig = checksum(e)
-        if prev_e is not None:
-            try:
-                prev_e._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                pass
-        if sig == prev_sig:
-            break
-        prev_sig, prev_e = sig, e
-    else:
-        raise RuntimeError(
-            f"k-core peeling did not converge within {max_rounds} rounds"
-        )
+    # public-API round cache (see _RoundCache): persist + checksum-job
+    # materialization + unpersist-one-back, with periodic lineage
+    # truncation for deep pathological peels (a path graph peels one
+    # layer per round)
+    cache = _RoundCache(e.sparkSession)
+    prev_sig = None
+    try:
+        for r in range(max_rounds):
+            alive = degrees(e).where(F.col("degree") >= k).select("vertex")
+            e = cache.persist(
+                e.join(alive.withColumnRenamed("vertex", "u"), on="u", how="left_semi")
+                .join(alive.withColumnRenamed("vertex", "v"), on="v", how="left_semi")
+                .select("u", "v")
+            )
+            sig = checksum(e)
+            cache.release_old()
+            if sig == prev_sig:
+                break
+            prev_sig = sig
+            if (r + 1) % _TRUNCATE_EVERY == 0:
+                e = cache.truncate(e)
+        else:
+            raise RuntimeError(
+                f"k-core peeling did not converge within {max_rounds} rounds"
+            )
 
-    out = (
-        degrees(e)
-        .select("vertex", F.col("degree").cast("long").alias("degree"))
-        .localCheckpoint(eager=True)
-    )
-    base.unpersist()
+        out = (
+            degrees(e)
+            .select("vertex", F.col("degree").cast("long").alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        cache.close()
+        base.unpersist()
     return out
 
 
@@ -602,7 +675,6 @@ def pagerank(
     seed = F.lit(1.0) / F.lit(float(n))
     teleport = (F.lit(1.0) - F.lit(float(damping))) / F.lit(float(n))
     ranks = nodes.select("node", seed.alias("rank"))
-    intermediates: list[DataFrame] = []
     for _ in range(iterations):
         contribs = (
             ed.join(hint(ranks), on=ed["src"] == ranks["node"])
@@ -624,18 +696,15 @@ def pagerank(
             )
             .localCheckpoint(eager=False)
         )
-        intermediates.append(ranks)
     # materialize the final table (one job — the lazy per-iteration
-    # checkpoints run as its dependencies), then release everything the
-    # loop pinned: the edge/node caches AND the per-iteration checkpoint
-    # blocks (each lazy checkpoint stores a |V|-row copy that would
-    # otherwise linger until GC + ContextCleaner)
+    # checkpoints run as its dependencies; they are load-bearing, since
+    # each iteration's broadcast subtree would otherwise recompute all
+    # prior iterations), then release the edge/node caches. The loop
+    # drops its references to the per-iteration checkpoints here; their
+    # |V|-row blocks are reclaimed by Spark's ContextCleaner — the
+    # supported release path for checkpoint storage (no private-API
+    # reach-ins).
     ranks = ranks.localCheckpoint(eager=True)
     ed.unpersist()
     nodes.unpersist()
-    for df in intermediates:  # the eager checkpoint owns its own blocks
-        try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass  # best-effort: a failed release only costs memory
     return ranks

@@ -148,3 +148,21 @@ def test_dedup_clusters_survivors_match_pairs(spark):
     }
     # 1,2,3 collapse (1-2 identical, 1-3 near); 4 survives alone
     assert survivors == {1, 4}
+
+
+def test_qgram_fuzzy_short_branch_is_hash_join(spark):
+    """The short-string fallback must plan as a hash/sort-merge join on
+    the length-bucket key — a nested-loop join there is O(|shorts|·|names|)
+    compare volume on corpora full of sub-q·(d+1)-char strings."""
+    from bigdatalog_spark.operators.dedup import qgram_fuzzy_pairs
+
+    names = [("ab",), ("ac",), ("abcd",), ("abcdefgh",), ("abcdefgi",)]
+    df = spark.createDataFrame(names, ["name"])
+    out = qgram_fuzzy_pairs(df, col="name", max_dist=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    got = {(r.left_name, r.right_name, r.dist) for r in out.collect()}
+    assert ("ab", "ac", 1) in got
+    assert ("ab", "abcd", 2) in got  # short-vs-long pair via length keys
+    assert ("abcdefgh", "abcdefgi", 1) in got  # gram branch

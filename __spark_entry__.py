@@ -460,6 +460,97 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_sessionize_append(spark, sf_dir):
+    """Session windows through the PRODUCTION streaming shape: file-source
+    readStream → watermarked ``session_window`` → APPEND-mode parquet file
+    sink with exactly-once checkpointing (streaming/ops.py:write_file_sink).
+    Unlike q_stream_sessionize (complete-mode memory sink — drains ALL
+    session state to the driver every trigger, bench-only by design),
+    append mode emits each session exactly once, when the watermark closes
+    it: state volume is watermark-bounded and the sink is distributed —
+    the 100 TB shape. A sentinel row far past max(ts), staged as a
+    strictly-later file so it forms the final micro-batch, pushes the
+    watermark past the last session end and drains the bounded stream
+    (watermarks only advance BETWEEN micro-batches; see
+    tests/test_streaming.py::test_session_append_file_sink_parity).
+    Result is summarized per user; sentinel rows filtered out. Oracle:
+    the same lag-based gap sessionization as q_sessionize."""
+    import datetime
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from bigdatalog_spark.streaming.ops import (
+        sessionize,
+        stream_events_from_files,
+        write_file_sink,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    schema = events.schema
+    d = tempfile.mkdtemp(prefix="sess_append_")
+    try:
+        in_dir = os.path.join(d, "in")
+        os.makedirs(in_dir)
+        # stage the input files by symlink (no data copy; the file source
+        # stats through the link, so data keeps its old mtime and the
+        # sentinel written below is strictly newer)
+        src = os.path.join(sf_dir, "events.parquet")
+        files = (
+            sorted(_glob.glob(os.path.join(src, "*.parquet")))
+            if os.path.isdir(src) else [src]
+        )
+        for i, f in enumerate(files):
+            os.symlink(f, os.path.join(in_dir, f"data_{i:05d}.parquet"))
+
+        max_ts = events.agg(F.max("ts")).first()[0]
+        sentinel_ts = max_ts + datetime.timedelta(days=365)
+        sentinel = events.limit(1).select(
+            F.col("event_id"),
+            F.lit(sentinel_ts).cast(schema["ts"].dataType).alias("ts"),
+            F.lit(-1).cast(schema["user_id"].dataType).alias("user_id"),
+            F.col("event_type"),
+            F.col("value"),
+            F.col("props"),
+        ).select(*[f.name for f in schema.fields])
+        # the data links keep their targets' (old) mtimes, so the sentinel
+        # written now is strictly newer; the small sleep only guards against
+        # a just-generated sf dir landing in the same FileStreamSource
+        # millisecond
+        time.sleep(0.1)
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "sentinel")
+        )
+        (part,) = _glob.glob(os.path.join(d, "sentinel", "*.parquet"))
+        shutil.copy(part, os.path.join(in_dir, "zz_sentinel.parquet"))
+
+        # all data files in micro-batch 1, the sentinel alone in batch 2
+        stream = stream_events_from_files(
+            spark, in_dir, schema, max_files_per_trigger=max(1, len(files))
+        )
+        q = write_file_sink(
+            sessionize(stream, gap="30 minutes"),
+            path=os.path.join(d, "out"),
+            checkpoint=os.path.join(d, "ckpt"),
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(os.path.join(d, "out"))
+            .where(F.col("user_id") >= 0)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_sessions"),
+                F.sum("n_events").alias("n_events"),
+            )
+            # materialize before the temp sink dir is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def dl_agg_over_tc(spark, sf_dir):
     """Stratified aggregation OVER a recursion stratum — the reference's
     AggregatesOverRecursionQuerySuite pattern (min/count over a completed
@@ -2264,18 +2355,85 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # dict entries per round. The r04 window verified the Datalog/TPC-H/
-    # windowing family (now listed after the window); this round rotates the
-    # dedup/ANN/corpus/sampling family back to the front — the engine changed
-    # under parts of it since its r03 rows (broadcast lifetimes, winnowing/
-    # tfidf checkpointing, shard-manifest NULL fix, dedup_chunks AQE join) —
-    # led by the entries with no driver row yet (q_kcore, new this round;
-    # dl_tc_distributed and q_stream_sessionize, added in r04 outside the
-    # window) and the oracle-fixed q_pack_sequences. Held just past the
-    # window to make room (plain load_table+SQL shapes, zero engine surface
-    # touched since their green r03 rows): q7_nation_volume,
-    # q12_priority_lines, q19_disjunctive_filter — rotate them into r06.
+    # dict entries per round. The r05 window verified the dedup/ANN/corpus/
+    # sampling family plus the then-new rows (now listed after the window).
+    # The r06 window leads with the three entries that have never had a
+    # driver row (q_stream_dedup, q_wav_features, q_fuzzy_names — added
+    # after the r05 window froze), the four r03-stale rows (q_json_props,
+    # q7/q12/q19), and the brand-new q_stream_sessionize_append (the
+    # production append-sink streaming shape); then the whole dl_* Datalog
+    # family — the fixpoint engine changed under their r04 rows (segment-
+    # distributed S-joins, clique-stable mutual pivots, local-eval job
+    # budget) — plus q_cc_fast/q_pagerank (graph loop caching rewritten
+    # this round) and the most engine-adjacent r04 window/TPC-H rows.
+    # Everything after the window holds a green row ≤ 1 round old.
     return {
+        # --- never driver-checked (added post-r05-window) ---
+        "q_stream_dedup": q_stream_dedup,
+        "q_wav_features": q_wav_features,
+        "q_fuzzy_names": q_fuzzy_names,
+        # --- r03-stale rows ---
+        "q_json_props": q_json_props,
+        "q7_nation_volume": q7_nation_volume,
+        "q12_priority_lines": q12_priority_lines,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        # --- new this round: production streaming shape ---
+        "q_stream_sessionize_append": q_stream_sessionize_append,
+        # --- Datalog family (engine changed under their r04 rows) ---
+        "dl_inmemory_csv": dl_inmemory_csv,
+        "dl_filter_project": dl_filter_project,
+        "dl_join_3way": dl_join_3way,
+        "dl_negation": dl_negation,
+        "dl_union_distinct": dl_union_distinct,
+        "dl_agg_multi": dl_agg_multi,
+        "dl_countd": dl_countd,
+        "dl_sort_limit": dl_sort_limit,
+        "dl_arith": dl_arith,
+        "dl_date_filter": dl_date_filter,
+        "dl_tc": dl_tc,
+        "dl_tc_rl": dl_tc_rl,
+        "dl_agg_over_tc": dl_agg_over_tc,
+        "dl_tc_bound": dl_tc_bound,
+        "dl_tc_nonlinear": dl_tc_nonlinear,
+        "dl_mutual_even_odd": dl_mutual_even_odd,
+        "dl_reach": dl_reach,
+        "dl_unreachable": dl_unreachable,
+        "dl_mlm_total_sales": dl_mlm_total_sales,
+        "dl_mlm_net_profit": dl_mlm_net_profit,
+        "dl_sssp": dl_sssp,
+        "dl_attend_mcount": dl_attend_mcount,
+        "dl_viral_msum": dl_viral_msum,
+        "dl_cc": dl_cc,
+        "dl_apsp": dl_apsp,
+        "dl_same_generation": dl_same_generation,
+        "dl_sg_bound": dl_sg_bound,
+        "dl_triangle_count": dl_triangle_count,
+        "dl_pymk": dl_pymk,
+        # --- graph loops rewritten this round (public persist queue) ---
+        "q_cc_fast": q_cc_fast,
+        "q_pagerank": q_pagerank,
+        # --- r04-row window/TPC-H family ---
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_hourly_events": q_hourly_events,
+        "q_sessionize": q_sessionize,
+        "q_sliding_windows": q_sliding_windows,
+        "q_topk_users_window": q_topk_users_window,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_order_revenue": q3_order_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q14_promo_share": q14_promo_share,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        # ---------------- end of the 50-entry r06 window ----------------
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q_exists_semijoin": q_exists_semijoin,
+        "q_salted_join": q_salted_join,
+        "q_funnel": q_funnel,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_value_percentiles": q_value_percentiles,
+        # --- r05 window (fresh green rows) ---
         "q_kcore": q_kcore,
         "dl_tc_distributed": dl_tc_distributed,
         "q_stream_sessionize": q_stream_sessionize,
@@ -2326,70 +2484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": q_doc_chunks,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_repetition_stats": q_repetition_stats,
-        # --- previously driver-verified (green r03/r04 rows) ---
-        # (q_json_props rotated just past the window to make room for the
-        # never-checked q_dedup_chunks; its r03 row + two judge sweeps
-        # stand, rotate it into r06 with the TPC-H trio below)
-        # (q_stream_dedup + q_wav_features + q_fuzzy_names added in r05 just
-        # past the window — sweep-verified at sf0.001/0.01; give them driver
-        # rows in r06)
-        "q_stream_dedup": q_stream_dedup,
-        "q_wav_features": q_wav_features,
-        "q_fuzzy_names": q_fuzzy_names,
-        "q_json_props": q_json_props,
-        "q7_nation_volume": q7_nation_volume,
-        "q12_priority_lines": q12_priority_lines,
-        "q19_disjunctive_filter": q19_disjunctive_filter,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "dl_inmemory_csv": dl_inmemory_csv,
-        "dl_filter_project": dl_filter_project,
-        "dl_join_3way": dl_join_3way,
-        "dl_negation": dl_negation,
-        "dl_union_distinct": dl_union_distinct,
-        "dl_agg_multi": dl_agg_multi,
-        "dl_countd": dl_countd,
-        "dl_sort_limit": dl_sort_limit,
-        "dl_arith": dl_arith,
-        "dl_date_filter": dl_date_filter,
-        "dl_tc": dl_tc,
-        "dl_tc_rl": dl_tc_rl,
-        "dl_agg_over_tc": dl_agg_over_tc,
-        "dl_tc_bound": dl_tc_bound,
-        "dl_tc_nonlinear": dl_tc_nonlinear,
-        "dl_mutual_even_odd": dl_mutual_even_odd,
-        "dl_reach": dl_reach,
-        "dl_unreachable": dl_unreachable,
-        "dl_mlm_total_sales": dl_mlm_total_sales,
-        "dl_mlm_net_profit": dl_mlm_net_profit,
-        "dl_sssp": dl_sssp,
-        "dl_attend_mcount": dl_attend_mcount,
-        "dl_viral_msum": dl_viral_msum,
-        "dl_cc": dl_cc,
-        "q_cc_fast": q_cc_fast,
-        "q_pagerank": q_pagerank,
-        "dl_apsp": dl_apsp,
-        "dl_same_generation": dl_same_generation,
-        "dl_sg_bound": dl_sg_bound,
-        "dl_triangle_count": dl_triangle_count,
-        "dl_pymk": dl_pymk,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_order_revenue": q3_order_revenue,
-        "q5_region_revenue": q5_region_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q14_promo_share": q14_promo_share,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q_exists_semijoin": q_exists_semijoin,
-        "q_topk_users_window": q_topk_users_window,
-        "q_hourly_events": q_hourly_events,
-        "q_sliding_windows": q_sliding_windows,
-        "q_sessionize": q_sessionize,
-        "q_salted_join": q_salted_join,
-        "q_funnel": q_funnel,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_value_percentiles": q_value_percentiles,
     }
 
 
@@ -2872,6 +2966,18 @@ def oracle_sql() -> dict[str, str]:
             FROM o GROUP BY user_id
         """,
         "q_stream_sessionize": """
+            WITH o AS (
+              SELECT user_id,
+                CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_sess
+              FROM events)
+            SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM o GROUP BY user_id
+        """,
+        "q_stream_sessionize_append": """
             WITH o AS (
               SELECT user_id,
                 CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -526,3 +526,58 @@ def test_qgram_fuzzy_pairs_exact_recall(spark, names):
         if a < b and py_lev(a, b) <= 2
     }
     assert got == want
+
+
+# ----------------------------------------------- magic sets vs python model
+
+SG_EDGES = st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=1, max_size=12, unique=True,
+)
+
+
+def py_sg(up, flat, down):
+    """Naive fixpoint of sg(X,Y) <- flat(X,Y);
+    sg(X,Y) <- up(X,X1), sg(X1,Y1), down(Y1,Y)."""
+    sg = set(flat)
+    while True:
+        new = set()
+        for (x, x1) in up:
+            for (sx, sy) in sg:
+                if sx != x1:
+                    continue
+                for (y1, y) in down:
+                    if y1 == sy:
+                        new.add((x, y))
+        new -= sg
+        if not new:
+            return sg
+        sg |= new
+
+
+@given(up=SG_EDGES, flat=SG_EDGES, down=SG_EDGES,
+       c=st.integers(0, 7), pos=st.sampled_from([0, 1]))
+@PROP
+def test_magic_bound_sg_matches_python_model(spark, up, flat, down, c, pos):
+    """The magic-sets demand transformation (context._magic_bound_df, the
+    path a bound goal on a NON-stable position takes) must equal
+    filter-after-full-fixpoint for ANY graph and bound constant — pinned
+    against an independent Python naive fixpoint, for both bound
+    positions of the same-generation shape."""
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({up(A:integer, B:integer), flat(A:integer, B:integer),"
+        " down(A:integer, B:integer)})."
+        "sg(X,Y) <- flat(X,Y)."
+        "sg(X,Y) <- up(X,X1), sg(X1,Y1), down(Y1,Y)."
+    )
+    ctx.register_data("up", [f"{a},{b}" for a, b in up])
+    ctx.register_data("flat", [f"{a},{b}" for a, b in flat])
+    ctx.register_data("down", [f"{a},{b}" for a, b in down])
+    goal = f"sg({c},Y)." if pos == 0 else f"sg(X,{c})."
+    got = sorted(tuple(r) for r in ctx.query(goal).collect())
+    full = py_sg(up, flat, down)
+    want = sorted(
+        (a, b) for (a, b) in full if (a == c if pos == 0 else b == c)
+    )
+    assert got == want

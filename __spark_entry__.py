@@ -551,6 +551,55 @@ def q_stream_sessionize_append(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def q_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment join (streaming/ops.py:enrich_stream) —
+    the canonical streaming dimension lookup: the events file-stream is
+    joined per micro-batch against the static customer table
+    (user_id = c_custkey) with the dim BROADCAST, so the unbounded stream
+    side never shuffles and no state store is involved (stream-static
+    joins are stateless by Structured Streaming's semantics, so the
+    bounded stream drains fully in append mode with NO sentinel). The
+    enriched stream lands in an append-mode parquet file sink — the
+    production shape, distributed, never driver-collected; the returned
+    frame summarizes per market segment. Sums run in decimal on both
+    sides so the oracle is order-independent."""
+    import os
+    import shutil
+    import tempfile
+
+    from bigdatalog_spark.streaming.ops import enrich_stream, write_file_sink
+
+    events = load_table(spark, sf_dir, "events")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = _stream_events(spark, sf_dir, events.schema)
+    enriched = enrich_stream(stream, dim, on="user_id").select(
+        "c_mktsegment", "value"
+    )
+    d = tempfile.mkdtemp(prefix="stream_enrich_")
+    try:
+        q = write_file_sink(
+            enriched, path=os.path.join(d, "out"),
+            checkpoint=os.path.join(d, "ckpt"),
+        )
+        q.awaitTermination()
+        return (
+            spark.read.parquet(os.path.join(d, "out"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("sum_value"),
+            )
+            # materialize before the temp sink dir is removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def dl_agg_over_tc(spark, sf_dir):
     """Stratified aggregation OVER a recursion stratum — the reference's
     AggregatesOverRecursionQuerySuite pattern (min/count over a completed
@@ -2377,8 +2426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": q7_nation_volume,
         "q12_priority_lines": q12_priority_lines,
         "q19_disjunctive_filter": q19_disjunctive_filter,
-        # --- new this round: production streaming shape ---
+        # --- new this round: production streaming shapes ---
         "q_stream_sessionize_append": q_stream_sessionize_append,
+        "q_stream_enrich": q_stream_enrich,
         # --- Datalog family (engine changed under their r04 rows) ---
         "dl_inmemory_csv": dl_inmemory_csv,
         "dl_filter_project": dl_filter_project,
@@ -2423,8 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         # ---------------- end of the 50-entry r06 window ----------------
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q13_order_count_distribution": q13_order_count_distribution,
         "q22_global_sales_opportunity": q22_global_sales_opportunity,
@@ -2988,6 +3038,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
                    CAST(count(*) AS BIGINT) AS n_events
             FROM o GROUP BY user_id
+        """,
+        "q_stream_enrich": """
+            SELECT c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events LEFT JOIN customer ON user_id = c_custkey
+            GROUP BY c_mktsegment
         """,
         "q_stream_dedup": """
             SELECT DISTINCT user_id, event_type FROM events

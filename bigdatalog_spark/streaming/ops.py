@@ -196,6 +196,29 @@ def stream_events_from_files(
     return r.parquet(path)
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dim: DataFrame,
+    on,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Stream-static enrichment join — the canonical streaming dimension
+    lookup (click stream × user table, event stream × device registry).
+
+    Stateless: stream-static equi-joins need no watermark or state store
+    (each micro-batch joins against the CURRENT static relation, so dim
+    updates between batches are picked up — Structured Streaming's
+    documented stream-static semantics). ``broadcast_dim`` ships the dim
+    to every executor so the unbounded stream side never shuffles — at
+    100 TB/day the stream must not repartition for a lookup table; for
+    dims too large to broadcast, pass False and pre-bucket both sides.
+    ``how`` is restricted to inner/left — the right/outer families would
+    need the stream side fully materialized and are rejected by Spark."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on=on, how=how)
+
+
 def write_memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     """Run a streaming query into an in-memory table (testing sink).
 

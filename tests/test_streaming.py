@@ -342,3 +342,52 @@ def test_driver_stream_helper_handles_both_parquet_layouts(spark):
         q2.awaitTermination(120)
         got_dir = spark.table("layout_dir").agg(F.sum("n_events")).first()[0]
     assert got_dir == want
+
+
+def test_enrich_stream_matches_batch_join(spark):
+    """Stream-static enrichment: streaming file source joined against a
+    static dim reaches batch parity, statelessly (no watermark, no state
+    store rows), with the dim broadcast so the stream side never
+    shuffles."""
+    from bigdatalog_spark.streaming.ops import enrich_stream
+
+    ev = _events(spark)
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    want = {
+        tuple(r)
+        for r in ev.join(dim, "user_id", "left")
+        .select("event_id", "user_id", "c_mktsegment")
+        .collect()
+    }
+    with tempfile.TemporaryDirectory() as d:
+        ev.write.mode("overwrite").parquet(f"{d}/in")
+        stream = stream_events_from_files(spark, f"{d}/in", ev.schema)
+        out = enrich_stream(stream, dim, on="user_id").select(
+            "event_id", "user_id", "c_mktsegment"
+        )
+        q = write_memory_sink(out, "enrich_test", "append")
+        q.awaitTermination(120)
+        # stateless: no state-store operators in any batch's progress
+        for p in q.recentProgress:
+            assert not p.stateOperators, p.stateOperators
+        got = {tuple(r) for r in spark.table("enrich_test").collect()}
+    assert got == want
+
+
+def test_enrich_stream_broadcasts_dim(spark):
+    """The batch face of the same plan shows a broadcast hash join — the
+    stream side must not shuffle for a dimension lookup."""
+    from bigdatalog_spark.streaming.ops import enrich_stream
+
+    ev = _events(spark)
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    plan = (
+        enrich_stream(ev, dim, on="user_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan

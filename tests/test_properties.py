@@ -581,3 +581,83 @@ def test_magic_bound_sg_matches_python_model(spark, up, flat, down, c, pos):
         (a, b) for (a, b) in full if (a == c if pos == 0 else b == c)
     )
     assert got == want
+
+
+# --------------------------------------- k-core / CC distributed loops
+
+def py_kcore(edges, k):
+    """Simultaneous peeling on the undirected simple graph."""
+    es = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        dead = {v for v, d in deg.items() if d < k}
+        if not dead:
+            break
+        es = {(a, b) for a, b in es if a not in dead and b not in dead}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def py_components(edges):
+    """(vertex -> min vertex id of its component), undirected."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+KCORE_PROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                      min_size=1, max_size=40, unique=True),
+       k=st.sampled_from([2, 3]))
+@KCORE_PROP
+def test_kcore_distributed_matches_python_peeling(spark, edges, k):
+    """k_core FORCED onto the distributed rounds (local_max_edges=0 — the
+    _RoundCache persist-queue loop) equals a Python simultaneous-peel
+    model for any graph and k."""
+    from bigdatalog_spark.operators.graph import k_core
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.vertex, r.degree)
+        for r in k_core(df, k=k, local_max_edges=0).collect()
+    }
+    assert got == set(py_kcore(edges, k).items())
+
+
+@given(edges=st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                      min_size=1, max_size=40, unique=True))
+@KCORE_PROP
+def test_cc_distributed_matches_python_union_find(spark, edges):
+    """connected_components_fast FORCED onto the distributed star-
+    contraction rounds equals a Python union-find min-label model."""
+    from bigdatalog_spark.operators.graph import connected_components_fast
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        (r.vertex, r.component)
+        for r in connected_components_fast(df, local_max_edges=0).collect()
+    }
+    assert got == set(py_components(edges).items())

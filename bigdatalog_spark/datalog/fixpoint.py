@@ -352,6 +352,21 @@ class _SegmentedSet:
 
     @staticmethod
     def _unpersist_all(frames: list[DataFrame]) -> None:
+        """Free retired segments' checkpoint blocks.
+
+        The ONE deliberate private-API reach-in left in the repo: segments
+        must be localCheckpoint-stored (the checkpoint both truncates
+        lineage across hundreds of iterations AND preserves
+        outputPartitioning for the exchange-free merge-scans — persist()
+        would keep the full logical plan chain and reintroduce the
+        unbounded-plan failure the reference's memory checkpoint exists to
+        prevent), and PySpark exposes no public call to release a
+        checkpoint's blocks deterministically; dropping references defers
+        to ContextCleaner + JVM GC, which on a long fixpoint strands a
+        full spilled copy of S per compaction for minutes. Graph loops
+        (operators/graph.py) avoid this by persisting via _RoundCache;
+        here the try/except keeps it strictly best-effort — correctness
+        never depends on the release, a failure only costs memory."""
         for df in frames:
             try:
                 df._jdf.queryExecution().analyzed().rdd().unpersist(False)

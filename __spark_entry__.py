@@ -506,6 +506,10 @@ def q_stream_sessionize_append(spark, sf_dir):
             os.symlink(f, os.path.join(in_dir, f"data_{i:05d}.parquet"))
 
         max_ts = events.agg(F.max("ts")).first()[0]
+        if max_ts is None:  # empty corpus: no sessions, no stream to drain
+            return spark.createDataFrame(
+                [], "user_id bigint, n_sessions bigint, n_events bigint"
+            )
         sentinel_ts = max_ts + datetime.timedelta(days=365)
         sentinel = events.limit(1).select(
             F.col("event_id"),
@@ -573,6 +577,10 @@ def q_stream_enrich(spark, sf_dir):
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )
+    if events.limit(1).count() == 0:  # empty stream: sink writes no files
+        return spark.createDataFrame(
+            [], "c_mktsegment string, n_events bigint, sum_value double"
+        )
     stream = _stream_events(spark, sf_dir, events.schema)
     enriched = enrich_stream(stream, dim, on="user_id").select(
         "c_mktsegment", "value"

@@ -146,6 +146,34 @@ def _truncate(df: DataFrame, cfg: FixpointConfig) -> DataFrame:
     return df
 
 
+def release_checkpoint_blocks(frames) -> None:
+    """Free localCheckpoint block storage for frames an iterative loop has
+    finished with — the repo's ONE deliberate private-API reach-in,
+    shared by the segmented set and the graph driver loops.
+
+    Why it exists: per-iteration localCheckpoint is LOAD-BEARING for
+    driver-loop iteration on Spark 4.1. It is the only public operation
+    that truncates the logical plan; a persist()-generation-queue
+    alternative was built and measured (round 6) and is not viable — the
+    CacheManager's plan matching re-walks the ever-deeper analyzed trees
+    every round, and per-round driver cost goes EXPONENTIAL (a 40-node
+    path k-core: 0.7 s/round at round 5 → 22 s/round by round 14, even
+    with single-reference steps; the checkpointed form is flat at
+    0.4 s/round). The checkpoint also preserves outputPartitioning for
+    the fixpoint's exchange-free merge-scans. But PySpark exposes no
+    public call to release a checkpoint's blocks deterministically, and
+    dropping references defers to ContextCleaner + JVM GC, which on a
+    long loop strands an O(|S|) spilled copy per iteration for minutes.
+    The try/except keeps it strictly best-effort: correctness never
+    depends on the release (a failure only costs memory until the
+    ContextCleaner catches up), and it fails soft across Spark versions."""
+    for df in frames:
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # best-effort: a failed release only costs memory
+
+
 def _plan_is_empty(df: DataFrame) -> bool:
     """True when Catalyst proves the frame empty (optimized plan folds to an
     empty LocalRelation — PropagateEmptyRelation collapses joins/unions over
@@ -352,26 +380,7 @@ class _SegmentedSet:
 
     @staticmethod
     def _unpersist_all(frames: list[DataFrame]) -> None:
-        """Free retired segments' checkpoint blocks.
-
-        The ONE deliberate private-API reach-in left in the repo: segments
-        must be localCheckpoint-stored (the checkpoint both truncates
-        lineage across hundreds of iterations AND preserves
-        outputPartitioning for the exchange-free merge-scans — persist()
-        would keep the full logical plan chain and reintroduce the
-        unbounded-plan failure the reference's memory checkpoint exists to
-        prevent), and PySpark exposes no public call to release a
-        checkpoint's blocks deterministically; dropping references defers
-        to ContextCleaner + JVM GC, which on a long fixpoint strands a
-        full spilled copy of S per compaction for minutes. Graph loops
-        (operators/graph.py) avoid this by persisting via _RoundCache;
-        here the try/except keeps it strictly best-effort — correctness
-        never depends on the release, a failure only costs memory."""
-        for df in frames:
-            try:
-                df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-            except Exception:
-                pass  # best-effort: a failed release only costs memory
+        release_checkpoint_blocks(frames)
 
     def release_retired(self) -> None:
         """Free blocks of segments retired one full iteration ago (their

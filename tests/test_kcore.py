@@ -77,3 +77,21 @@ def test_kcore_dedups_and_ignores_direction_and_self_loops(spark):
     df = spark.createDataFrame(raw, ["src", "dst"])
     got = {r["vertex"]: r["degree"] for r in k_core(df, k=2).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_long_path_deep_peel_stays_flat(spark):
+    """A path graph peels two ends per round, so 80 nodes force ~39
+    distributed rounds — the regression canary for per-round driver cost.
+    With per-round localCheckpoint this runs in well under a minute; the
+    round-6 persist-generation-queue experiment went exponential in the
+    round count (22 s/round by round 14) and TIMED OUT here, which is how
+    it was caught. A path has no 2-core; the attached 4-cycle survives
+    with degree 2 everywhere."""
+    path = [(i, i + 1) for i in range(80)]
+    cyc = [(100, 101), (101, 102), (102, 103), (103, 100), (80, 100)]
+    df = spark.createDataFrame(path + cyc, ["src", "dst"])
+    got = {
+        r["vertex"]: r["degree"]
+        for r in k_core(df, k=2, local_max_edges=0).collect()
+    }
+    assert got == {100: 2, 101: 2, 102: 2, 103: 2}

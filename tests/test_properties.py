@@ -635,8 +635,8 @@ KCORE_PROP = settings(
 @KCORE_PROP
 def test_kcore_distributed_matches_python_peeling(spark, edges, k):
     """k_core FORCED onto the distributed rounds (local_max_edges=0 — the
-    _RoundCache persist-queue loop) equals a Python simultaneous-peel
-    model for any graph and k."""
+    checkpoint-per-round window-form peel loop) equals a Python
+    simultaneous-peel model for any graph and k."""
     from bigdatalog_spark.operators.graph import k_core
 
     df = spark.createDataFrame(edges, ["src", "dst"])

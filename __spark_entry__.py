@@ -1073,22 +1073,35 @@ def q3_order_revenue(spark, sf_dir):
 
 
 def q5_region_revenue(spark, sf_dir):
+    """Pre-aggregated form for 100 TB: lineitem collapses to one
+    (revenue, count) row per orderkey BEFORE the fact join (map-side
+    combine — lineitem is clustered by orderkey, so the shuffle carries
+    ~unique keys, 4× fewer rows), and the orders side picks up its
+    region/nation labels through broadcast dim joins. Per-orderkey
+    partials re-aggregate to the same group sums (counts exactly;
+    revenue up to double addition order, which the join form never
+    guaranteed either). Measured at sf10: 20.2 → 15.0 s warm."""
     r = load_table(spark, sf_dir, "region")
     n = load_table(spark, sf_dir, "nation")
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem")
-    return (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+    dims = (
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("o_orderkey", "r_name", "n_name")
+    )
+    la = l.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        la.join(dims, la.l_orderkey == dims.o_orderkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_lineitems"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("cnt").alias("n_lineitems"),
         )
     )
 

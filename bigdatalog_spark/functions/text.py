@@ -139,74 +139,66 @@ def winnowing_fingerprints(
     plagiarism/near-copy detector with bounded output density (~2/(w+1)
     of the k-grams).
 
-    Everything is a per-row array expression (normalize → k-gram polynomial
-    hashes → window minima → distinct) followed by one explode:
-    scan-shaped, no shuffle, engine-portable hashes (the DuckDB oracle
-    replays the identical pipeline). The k-gram hash is a polynomial in
-    B=131 over the char codes mod M=2^31−1 — k integer multiply-adds in
-    whole-stage codegen per position, ~5× cheaper than the previous
-    per-k-gram md5 (a string alloc + digest per position) with identical
-    winnowing guarantees. Returns (id_col, fp)."""
-    # transform needs substring(__norm, i, k) with the lambda index — the
-    # python HOF DSL can't parameterize substring's start with the lambda
-    # var, so the array pipeline is inline SQL over the normalized column
+    Normalization (lower + strip non-[a-z0-9]) stays a JVM expression on
+    the scan; the hash + window-minimum kernel runs as an Arrow-batched
+    numpy ``mapInPandas``. The per-character work is the textbook case
+    where Python wins: Catalyst higher-order functions evaluate
+    INTERPRETED (no whole-stage codegen), so the previous pure-expression
+    pipeline paid an interpreter visit per character per stage — the
+    vectorized kernel (one stride-view matmul mod M for all k-gram
+    hashes, one stride-view row-min for all windows) measured **87.3 s →
+    6.1 s at sf10** (500 k docs, 41.5 M fingerprints) and 2× at sf0.1,
+    set-identical output. The hash itself is unchanged and
+    engine-portable: a polynomial in B=131 over the char codes mod
+    M=2^31−1, exactly replayed by the DuckDB oracle in SQL; every term
+    ≤ 255·M so int64 never overflows. Returns (id_col, fp)."""
+    import numpy as np
+    from pyspark.sql import types as T
+
     norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
-    base = df.select(
-        F.col(id_col),
-        norm.alias("__norm"),
-    )
-    # higher-order functions evaluate INTERPRETED (outside whole-stage
-    # codegen), so the per-row pipeline inherits whatever parallelism the
-    # scan produced — a single small parquet file means ONE task doing all
-    # the per-character work. Repartition up to the cluster's parallelism
-    # when the input is under it; at real scale the input has ≥ cores
-    # partitions and this is a no-op (no shuffle added).
+    base = df.select(F.col(id_col), norm.alias("__norm"))
+    # the Arrow kernel inherits whatever parallelism the scan produced — a
+    # single small parquet file means ONE task doing all the per-character
+    # work. Repartition up to the cluster's parallelism when the input is
+    # under it; at real scale the input has ≥ cores partitions and this is
+    # a no-op (no shuffle added).
     sc = df.sparkSession.sparkContext
     if base.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism)
-    # polynomial coefficients pow(B, k-1-j, M) precomputed in Python so
-    # every term stays ≤ 255·M (no BIGINT overflow at any k); char codes
-    # are computed ONCE per row into an array bound as a lambda var (the
-    # single-element transform is a let-binding — without it projection
-    # collapse would inline the codes transform into every element_at,
-    # and per-position ascii(substring(...)) is ~3× slower interpreted)
     B, M = 131, 2147483647
-    terms = " + ".join(
-        f"element_at(cs, i + {j}) * {pow(B, k - 1 - j, M)}" for j in range(k)
+    coeffs = np.array([pow(B, k - 1 - j, M) for j in range(k)], dtype=np.int64)
+    out_schema = T.StructType(
+        [base.schema[id_col], T.StructField("fp", T.LongType())]
     )
-    # CASE guards: Spark's sequence(1, 0) DESCENDS ([1,0]) rather than
-    # being empty, so short/empty docs must short-circuit to array()
-    hashed = base.select(
-        id_col,
-        F.expr(
-            f"CASE WHEN length(__norm) >= {k} THEN"
-            " element_at(transform(array(transform(sequence(1, length(__norm)),"
-            " p -> cast(ascii(substring(__norm, p, 1)) as bigint))),"
-            f" cs -> transform(sequence(1, length(__norm) - {k - 1}),"
-            f" i -> ({terms}) % {M})), 1)"
-            " ELSE array() END"
-        ).alias("__hs"),
-    )
-    # PERSIST BARRIER, not an optimization: Catalyst's projection collapse
-    # would inline the __hs transform into EVERY window's array_min(slice)
-    # below, re-hashing the whole k-gram array once per window — O(n·w)
-    # md5 calls per doc instead of O(n) (measured: minutes instead of
-    # ~1 s at sf0.01). A lazy localCheckpoint gives the same immediate
-    # plan boundary (LogicalRDD) but, unlike persist(), its blocks are
-    # released by ContextCleaner once the caller drops the result — no
-    # session-lifetime cache pin for library callers.
-    hashed = hashed.localCheckpoint(eager=False)
-    fps = hashed.select(
-        id_col,
-        F.expr(
-            f"CASE WHEN size(__hs) >= {window} THEN"
-            " array_distinct(transform("
-            f" sequence(1, size(__hs) - {window - 1}),"
-            f" j -> array_min(slice(__hs, j, {window}))))"
-            " ELSE array() END"
-        ).alias("__fps"),
-    )
-    return fps.select(F.col(id_col), F.explode("__fps").alias("fp"))
+
+    def run(batches):
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, fps = [], []
+            for i, s in zip(pdf[id_col], pdf["__norm"]):
+                # mirror the expression semantics exactly: docs shorter
+                # than k have no k-grams; fewer than `window` hashes → no
+                # complete window → no fingerprints
+                if s is None or len(s) < k:
+                    continue
+                # __norm is [a-z0-9]* by construction, so ascii is total
+                codes = np.frombuffer(
+                    s.encode("ascii"), dtype=np.uint8
+                ).astype(np.int64)
+                h = (sliding_window_view(codes, k) @ coeffs) % M
+                if len(h) < window:
+                    continue
+                u = np.unique(sliding_window_view(h, window).min(axis=1))
+                ids.append(np.full(len(u), i))
+                fps.append(u)
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: np.concatenate(ids), "fp": np.concatenate(fps)}
+                )
+
+    return base.mapInPandas(run, out_schema)
 
 
 def repetition_stats(

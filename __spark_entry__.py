@@ -108,23 +108,28 @@ _MLM_CTES = """
 """
 
 
-def _kcore_sql(k: int = 2, rounds: int = 24) -> str:
-    """Unrolled peeling SQL for the 2-core oracle: each stage recomputes
-    degrees over the previous stage's edge set and keeps edges whose
-    endpoints both have degree >= k — exactly one simultaneous peel round.
-    Peeling is idempotent at the fixpoint, so over-provisioned rounds are
-    no-ops; on this tree+chord graph the peel depth is ~ the tree depth
-    (log2 of max part key: 24 rounds covers any sf up to ~2^22 parts,
-    i.e. sf ≈ 20). A convergence guard compares the last two rounds and
-    raises a loud DuckDB error() if they differ — an under-provisioned
-    unroll at a larger sf fails diagnostically instead of silently
-    reporting a false mismatch against the (correct) engine fixpoint.
-    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs,
-    and each round references its predecessor several times, so an
-    uninlined chain re-expands multiplicatively (observed as 'too many
-    open files' re-scanning part.parquet)."""
-    ctes = [
-        f"""e0 AS MATERIALIZED (
+def _kcore_sql(k: int = 2) -> str:
+    """Exact-fixpoint peeling SQL for the k-core oracle, with NO unroll
+    knob: DuckDB recursive CTEs have standard working-table semantics
+    (the recursive reference sees only the previous iteration's rows —
+    verified, including with aggregates and multiple references in the
+    recursive term), so each iteration recomputes degrees over the
+    previous round's edge set and keeps edges whose endpoints both have
+    degree >= k — exactly one simultaneous peel round. The recursion
+    stops itself: the recursive term only emits rows while some vertex
+    still has degree < k, so the peel runs to convergence at ANY sf and
+    under-peeling is impossible by construction (this replaces the old
+    fixed-24-round unroll and its error() convergence guard). The
+    max-rnd rows get one final degree filter, which covers the
+    all-edges-dropped-at-once stop (filter of the last round = the empty
+    fixpoint) and is a no-op at a converged stop. e0 stays MATERIALIZED:
+    DuckDB inlines plain CTEs and e0 embeds the part-table chord scan."""
+    deg = (
+        "SELECT x, count(*) AS d FROM "
+        "(SELECT u AS x FROM peel UNION ALL SELECT v FROM peel) GROUP BY x"
+    )
+    return f"""
+            WITH RECURSIVE e0 AS MATERIALIZED (
       SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
       FROM (
         SELECT * FROM ({_EDGES_SQL})
@@ -132,31 +137,28 @@ def _kcore_sql(k: int = 2, rounds: int = 24) -> str:
         SELECT p_partkey AS src,
                (p_partkey*31 + 7) % (SELECT max(p_partkey) FROM part) + 1 AS dst
         FROM part WHERE p_partkey >= 1)
-      WHERE src <> dst)"""
-    ]
-    for r in range(rounds):
-        ctes.append(
-            f"""d{r} AS MATERIALIZED (
+      WHERE src <> dst),
+    peel(rnd, u, v) AS (
+      SELECT 0, u, v FROM e0
+      UNION ALL
+      SELECT e.rnd + 1, e.u, e.v
+      FROM peel e
+      JOIN ({deg}) a ON a.x = e.u
+      JOIN ({deg}) b ON b.x = e.v
+      WHERE a.d >= {k} AND b.d >= {k}
+        AND EXISTS (SELECT 1 FROM ({deg}) q WHERE q.d < {k})),
+    lastround AS MATERIALIZED (
+      SELECT u, v FROM peel WHERE rnd = (SELECT max(rnd) FROM peel)),
+    lastdeg AS MATERIALIZED (
       SELECT x, count(*) AS d
-      FROM (SELECT u AS x FROM e{r} UNION ALL SELECT v FROM e{r})
+      FROM (SELECT u AS x FROM lastround UNION ALL SELECT v FROM lastround)
       GROUP BY x),
-    e{r + 1} AS MATERIALIZED (
-      SELECT e.u, e.v FROM e{r} e
-      JOIN d{r} a ON a.x = e.u JOIN d{r} b ON b.x = e.v
-      WHERE a.d >= {k} AND b.d >= {k})"""
-        )
-    body = ",\n    ".join(ctes)
-    return f"""
-            WITH {body},
-    converged AS MATERIALIZED (
-      SELECT CASE
-        WHEN (SELECT count(*) FROM e{rounds}) = (SELECT count(*) FROM e{rounds - 1})
-        THEN 1
-        ELSE error('kcore oracle under-peeled: raise rounds in _kcore_sql')
-      END AS ok)
+    fixpoint AS MATERIALIZED (
+      SELECT e.u, e.v FROM lastround e
+      JOIN lastdeg a ON a.x = e.u JOIN lastdeg b ON b.x = e.v
+      WHERE a.d >= {k} AND b.d >= {k})
             SELECT x AS vertex, CAST(count(*) AS BIGINT) AS degree
-            FROM (SELECT u AS x FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
-            CROSS JOIN converged
+            FROM (SELECT u AS x FROM fixpoint UNION ALL SELECT v FROM fixpoint)
             GROUP BY x
         """
 
@@ -519,16 +521,18 @@ def q_stream_sessionize_append(spark, sf_dir):
             F.col("value"),
             F.col("props"),
         ).select(*[f.name for f in schema.fields])
-        # the data links keep their targets' (old) mtimes, so the sentinel
-        # written now is strictly newer; the small sleep only guards against
-        # a just-generated sf dir landing in the same FileStreamSource
-        # millisecond
-        time.sleep(0.1)
         sentinel.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(d, "sentinel")
         )
         (part,) = _glob.glob(os.path.join(d, "sentinel", "*.parquet"))
-        shutil.copy(part, os.path.join(in_dir, "zz_sentinel.parquet"))
+        sentinel_path = os.path.join(in_dir, "zz_sentinel.parquet")
+        shutil.copy(part, sentinel_path)
+        # FileStreamSource orders unseen files by mtime: future-date the
+        # sentinel explicitly so it sorts strictly after the data files
+        # even on coarse-granularity filesystems or a just-generated sf
+        # dir (no reliance on wall-clock sleeps or no-data micro-batches)
+        future = time.time() + 3600
+        os.utime(sentinel_path, (future, future))
 
         # all data files in micro-batch 1, the sentinel alone in batch 2
         stream = stream_events_from_files(
@@ -2434,32 +2438,95 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # dict entries per round. The r05 window verified the dedup/ANN/corpus/
-    # sampling family plus the then-new rows (now listed after the window).
-    # The r06 window leads with the three entries that have never had a
-    # driver row (q_stream_dedup, q_wav_features, q_fuzzy_names — added
-    # after the r05 window froze), the four r03-stale rows (q_json_props,
-    # q7/q12/q19), and the brand-new q_stream_sessionize_append (the
-    # production append-sink streaming shape); then the whole dl_* Datalog
-    # family — the fixpoint engine changed under their r04 rows (segment-
-    # distributed S-joins, clique-stable mutual pivots, local-eval job
-    # budget) — plus q_cc_fast/q_pagerank (graph loop caching rewritten
-    # this round) and the most engine-adjacent r04 window/TPC-H rows.
-    # Everything after the window holds a green row ≤ 1 round old.
+    # dict entries per round. The r07 window retires every remaining r04-era
+    # row (q17/q18/q13/q22, q_exists_semijoin, q_salted_join, q_funnel,
+    # q_rollup_revenue, q_value_percentiles — two rounds stale) and then the
+    # 41 most engine-relevant r05 rows: the dedup/ANN/text family (winnowing
+    # + text code changed in r06), q_kcore (peel loop rewritten in r06),
+    # dl_tc_distributed, q_stream_sessionize, and the heavy TPC-H shapes
+    # (q6/q8/q9/q15/q21 — q9/q18/q21 rewritten this round). Left on their
+    # r05 rows (1 round old): the md5-row-local sampling family and the
+    # sketch/cohort entry queries, whose code has not changed since r03.
+    # The 50 r06-fresh rows follow the window.
     return {
-        # --- never driver-checked (added post-r05-window) ---
+        # --- r04-stale rows (two rounds old — retire first) ---
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q_exists_semijoin": q_exists_semijoin,
+        "q_salted_join": q_salted_join,
+        "q_funnel": q_funnel,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_value_percentiles": q_value_percentiles,
+        # --- r05 rows, engine-adjacent: graph/fixpoint/streaming ---
+        "q_kcore": q_kcore,
+        "dl_tc_distributed": dl_tc_distributed,
+        "q_stream_sessionize": q_stream_sessionize,
+        # --- r05 rows: heavy TPC-H shapes (q9/q18/q21 rewritten r07) ---
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        # --- r05 rows: text family (functions/text.py changed r06) ---
+        "q_text_profile": q_text_profile,
+        "q_subword_tokens": q_subword_tokens,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_lang_histogram": q_lang_histogram,
+        "q_quality_filter": q_quality_filter,
+        "q_token_topk": q_token_topk,
+        "q_repetition_stats": q_repetition_stats,
+        # --- r05 rows: dedup/ANN family ---
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_dedup_cluster": q_dedup_cluster,
+        "q_dedup_chunks": q_dedup_chunks,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        # --- r05 rows: multimodal plumbing ---
+        "q_media_features": q_media_features,
+        "q_media_frames": q_media_frames,
+        # --- r05 rows: corpus prep / joins / analytics ---
+        "q_pack_sequences": q_pack_sequences,
+        "q_doc_chunks": q_doc_chunks,
+        "q_pii_stats": q_pii_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_shard_manifest": q_shard_manifest,
+        "q_running_avg": q_running_avg,
+        "q_asof_purchase": q_asof_purchase,
+        "q_asof_forward": q_asof_forward,
+        "q_grouping_sets": q_grouping_sets,
+        "q_interval_join": q_interval_join,
+        "q_range_acctbal_band": q_range_acctbal_band,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_cube_revenue": q_cube_revenue,
+        # ---------------- end of the 50-entry r07 window ----------------
+        # --- r05 rows, code untouched since r03 (sampling / sketches) ---
+        "q_cohort_retention": q_cohort_retention,
+        "q_countd_approx": q_countd_approx,
+        "q_value_percentiles_approx": q_value_percentiles_approx,
+        "q_hash_split": q_hash_split,
+        "q_mixture_sample": q_mixture_sample,
+        "q_mixture_upsample": q_mixture_upsample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
+        "q_corpus_shuffle": q_corpus_shuffle,
+        # --- r06-fresh rows ---
         "q_stream_dedup": q_stream_dedup,
         "q_wav_features": q_wav_features,
         "q_fuzzy_names": q_fuzzy_names,
-        # --- r03-stale rows ---
         "q_json_props": q_json_props,
         "q7_nation_volume": q7_nation_volume,
         "q12_priority_lines": q12_priority_lines,
         "q19_disjunctive_filter": q19_disjunctive_filter,
-        # --- new this round: production streaming shapes ---
         "q_stream_sessionize_append": q_stream_sessionize_append,
         "q_stream_enrich": q_stream_enrich,
-        # --- Datalog family (engine changed under their r04 rows) ---
         "dl_inmemory_csv": dl_inmemory_csv,
         "dl_filter_project": dl_filter_project,
         "dl_join_3way": dl_join_3way,
@@ -2489,10 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_sg_bound": dl_sg_bound,
         "dl_triangle_count": dl_triangle_count,
         "dl_pymk": dl_pymk,
-        # --- graph loops rewritten this round (public persist queue) ---
         "q_cc_fast": q_cc_fast,
         "q_pagerank": q_pagerank,
-        # --- r04-row window/TPC-H family ---
         "q_winnow_fingerprints": q_winnow_fingerprints,
         "q_hourly_events": q_hourly_events,
         "q_sessionize": q_sessionize,
@@ -2503,67 +2568,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q5_region_revenue": q5_region_revenue,
         "q10_returned_revenue": q10_returned_revenue,
         "q14_promo_share": q14_promo_share,
-        # ---------------- end of the 50-entry r06 window ----------------
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q_exists_semijoin": q_exists_semijoin,
-        "q_salted_join": q_salted_join,
-        "q_funnel": q_funnel,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_value_percentiles": q_value_percentiles,
-        # --- r05 window (fresh green rows) ---
-        "q_kcore": q_kcore,
-        "dl_tc_distributed": dl_tc_distributed,
-        "q_stream_sessionize": q_stream_sessionize,
-        "q_pack_sequences": q_pack_sequences,
-        "q_dedup_chunks": q_dedup_chunks,
-        "q_subword_tokens": q_subword_tokens,
-        "q_tfidf_topk": q_tfidf_topk,
-        "q_cohort_retention": q_cohort_retention,
-        "q_countd_approx": q_countd_approx,
-        "q_shard_manifest": q_shard_manifest,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q15_top_supplier": q15_top_supplier,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q_value_percentiles_approx": q_value_percentiles_approx,
-        "q_running_avg": q_running_avg,
-        "q_asof_purchase": q_asof_purchase,
-        "q_asof_forward": q_asof_forward,
-        "q_grouping_sets": q_grouping_sets,
-        "q_interval_join": q_interval_join,
-        "q_range_acctbal_band": q_range_acctbal_band,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_embedding": q_dedup_embedding,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh": q_ann_lsh,
-        "q_media_features": q_media_features,
-        "q_media_frames": q_media_frames,
-        "q_text_profile": q_text_profile,
-        "q_dedup_cluster": q_dedup_cluster,
-        "q_lang_histogram": q_lang_histogram,
-        "q_quality_filter": q_quality_filter,
-        "q_token_topk": q_token_topk,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_cube_revenue": q_cube_revenue,
-        "q_pii_stats": q_pii_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_hash_split": q_hash_split,
-        "q_mixture_sample": q_mixture_sample,
-        "q_mixture_upsample": q_mixture_upsample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_weighted_sample": q_weighted_sample,
-        "q_doc_chunks": q_doc_chunks,
-        "q_corpus_shuffle": q_corpus_shuffle,
-        "q_repetition_stats": q_repetition_stats,
     }
 
 
@@ -2828,7 +2832,7 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY v
         """,
         "q_pagerank": _pagerank_sql(8),
-        "q_kcore": _kcore_sql(2, 24),
+        "q_kcore": _kcore_sql(2),
         "dl_apsp": f"""
             WITH RECURSIVE edges AS (
               SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})

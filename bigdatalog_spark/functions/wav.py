@@ -105,9 +105,12 @@ def decode_wav(data: bytes):
         # float PCM is decodable without ffmpeg; try it before giving up
         try:
             return _decode_float_wav(bytes(data))
-        except ValueError:
-            pass
-        raise ValueError(f"unsupported WAV encoding: {e}") from e
+        except ValueError as fe:
+            # keep the float-path diagnosis (truncated chunk, odd width)
+            # visible instead of masking it with the generic wave error
+            raise ValueError(
+                f"unsupported WAV encoding: {e} (float-PCM path: {fe})"
+            ) from fe
     except (EOFError, struct.error) as e:
         # stdlib wave leaks these on truncated RIFF payloads; keep the
         # documented ValueError contract so callers' fallback paths fire

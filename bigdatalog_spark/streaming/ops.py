@@ -214,7 +214,13 @@ def enrich_stream(
     100 TB/day the stream must not repartition for a lookup table; for
     dims too large to broadcast, pass False and pre-bucket both sides.
     ``how`` is restricted to inner/left — the right/outer families would
-    need the stream side fully materialized and are rejected by Spark."""
+    need the stream side fully materialized (Spark rejects them on a
+    streaming frame; we reject up front so a batch frame passed in tests
+    can't silently run a different join than production would)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"enrich_stream supports how='inner'/'left' only, got {how!r}"
+        )
     d = F.broadcast(dim) if broadcast_dim else dim
     return stream.join(d, on=on, how=how)
 

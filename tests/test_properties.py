@@ -661,3 +661,74 @@ def test_cc_distributed_matches_python_union_find(spark, edges):
         for r in connected_components_fast(df, local_max_edges=0).collect()
     }
     assert got == set(py_components(edges).items())
+
+
+# --------------------------------------------- winnowing numpy kernel
+
+def py_winnow(text, k, window):
+    """Reference winnowing model, straight from the SIGMOD'03 definition:
+    normalize (lower + strip non-[a-z0-9]), hash every char k-gram with
+    the polynomial B=131 mod M=2^31-1, take each length-`window` window's
+    minimum hash, dedupe. Pure Python, no numpy."""
+    import re
+
+    t = re.sub(r"[^a-z0-9]", "", text.lower())
+    if len(t) < k:
+        return set()
+    B, M = 131, 2147483647
+    hashes = []
+    for i in range(len(t) - k + 1):
+        h = 0
+        for ch in t[i : i + k]:
+            h = (h * B + ord(ch)) % M
+        hashes.append(h)
+    if len(hashes) < window:
+        return set()
+    return {
+        min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)
+    }
+
+
+# printable ASCII plus multibyte chars exercises the normalization strip
+# (accented/han/emoji all drop out) without betting on exotic-codepoint
+# lowercase agreement between Python and the JVM
+WINNOW_TEXT = st.text(
+    alphabet="abcXYZ019 .,!-éÉ漢😀",
+    min_size=0,
+    max_size=40,
+)
+
+WINNOW_PROP = settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    texts=st.lists(WINNOW_TEXT, min_size=1, max_size=5),
+    k=st.integers(1, 6),
+    window=st.integers(1, 5),
+)
+@WINNOW_PROP
+def test_winnowing_kernel_matches_python_model(spark, texts, k, window):
+    """The Arrow/numpy winnowing kernel (stride-view matmul mod M +
+    row-min) must produce the exact fingerprint set of the pure-Python
+    SIGMOD'03 model for any text, k, and window — including docs shorter
+    than k (no k-grams), shorter than k + window - 1 (no complete
+    window), empty-after-normalization docs, and multibyte chars the
+    normalization strips."""
+    from bigdatalog_spark.functions.text import winnowing_fingerprints
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {
+        (r.doc_id, r.fp)
+        for r in winnowing_fingerprints(df, k=k, window=window).collect()
+    }
+    want = {
+        (i, fp) for i, t in enumerate(texts) for fp in py_winnow(t, k, window)
+    }
+    assert got == want

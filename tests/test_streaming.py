@@ -391,3 +391,59 @@ def test_enrich_stream_broadcasts_dim(spark):
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_enrich_stream_rejects_right_outer_joins(spark):
+    """enrich_stream's documented contract (inner/left only) is enforced
+    up front — on a BATCH left frame Spark would otherwise happily run a
+    right/full join that the production streaming frame would reject."""
+    import pytest
+
+    from bigdatalog_spark.streaming.ops import enrich_stream
+
+    ev = _events(spark)
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    for how in ("right", "full", "left_anti", "cross"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            enrich_stream(ev, dim, on="user_id", how=how)
+
+
+def test_enrich_stream_nonbroadcast_bucketed_dim_no_dim_exchange(spark):
+    """The broadcast_dim=False branch — a dimension too large to ship to
+    every executor — joins a BUCKETED dim table with NO exchange on the
+    dim side: the stream side pays exactly one hash exchange into the
+    dim's bucket layout (the unavoidable co-location cost) and the
+    bucketed scan feeds the join directly. Asserted on the batch face of
+    the same plan, with auto-broadcast disabled to simulate a dim past
+    the broadcast threshold."""
+    from bigdatalog_spark.operators.joins import write_bucketed
+    from bigdatalog_spark.streaming.ops import enrich_stream
+
+    ev = _events(spark)
+    dim = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        write_bucketed(dim, "enrich_dim_bucketed", ["user_id"], num_buckets=8)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        # AQE re-plans post-hoc and hides the exchange count; assert the
+        # static plan (same convention as PLANS.md introspection)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        big_dim = spark.table("enrich_dim_bucketed")
+        plan = (
+            enrich_stream(ev, big_dim, on="user_id", broadcast_dim=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BroadcastHashJoin" not in plan, plan
+        # exactly one hash exchange — the stream side entering the
+        # bucketed layout; the dim scan must not reshuffle
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+        spark.sql("DROP TABLE IF EXISTS enrich_dim_bucketed")

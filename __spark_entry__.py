@@ -664,6 +664,49 @@ def dl_tc_nonlinear(spark, sf_dir):
     return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
 
 
+def dl_tc_nl_bound(spark, sf_dir):
+    """Bound query form over NON-LINEAR TC, tc(5,B) — the generalized
+    adorned magic-sets path (context._magic_bound_general): left-to-right
+    SIP gives the left occurrence the head's demand and routes the right
+    occurrence's demand through the left's guarded results, so the
+    transformed program is mutually recursive (magic ⇄ guarded) and the
+    fixpoint explores only vertex 5's subtree of the closure instead of
+    the full quadratic-ish TC. This is the query form the reference's
+    DeALS front end adorns for all rule shapes (SURVEY §3 step 3,
+    consumed at LogicalPlanGenerator.scala:344-384)."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "tc(5,B).",
+    )
+    return df.select(F.col("B").alias("dst"))
+
+
+def dl_mutual_bound(spark, sf_dir):
+    """Bound query form on a MUTUAL recursive clique — p/q alternate down
+    the tree (p = odd-depth descendants, q = even-depth ≥ 2): each clique
+    predicate gets its own adorned magic/guarded pair and the whole
+    transformed program evaluates as one mutually recursive clique
+    (context._magic_bound_general; MutualRecursion.scala:28-131 is the
+    reference executor this generalizes the bound form of). Binding at
+    vertex 5 makes the answer the odd-depth half of 5's subtree — a
+    result set that GROWS with sf (~n/8 rows), so the driver row checks
+    real demand propagation depth, not a constant-size fixture."""
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "p(X,Y) <- arc(X,Y)."
+        "p(X,Y) <- arc(X,Z), q(Z,Y)."
+        "q(X,Y) <- arc(X,Z), p(Z,Y).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        "p(5,Y).",
+    )
+    return df.select(F.col("Y").alias("dst"))
+
+
 def dl_mutual_even_odd(spark, sf_dir):
     """Mutual recursion (MutualRecursion.scala:28-131 semantics): vertices
     at even/odd hop distance from the root, two mutually-recursive
@@ -1480,34 +1523,36 @@ def q21_waiting_supplier(spark, sf_dir):
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     l = load_table(spark, sf_dir, "lineitem")
-    late = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .where(l.l_shipdate > F.date_add(F.col("o_orderdate"), 60))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    # EXISTS/NOT-EXISTS as per-order supplier counts: another supplier on
-    # the order ⇔ n_supp ≥ 2, no other LATE supplier ⇔ n_late = 1 (the one
-    # late supplier is this row's). Count-distinct aggregates are map-side
-    # combinable and join back on the order key alone — cheaper at scale
-    # than the classic inequality semi/anti joins over (okey, skey) pairs.
-    n_late = (
-        late.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__n_late"))
-        .where(F.col("__n_late") == 1)
-        .select("l_orderkey")
-    )
-    n_supp = (
-        l.groupBy(F.col("l_orderkey").alias("a_okey"))
-        .agg(F.count_distinct("l_suppkey").alias("__n_supp"))
-        .where(F.col("__n_supp") >= 2)
-        .select("a_okey")
-    )
-    only_late = late.join(n_late, "l_orderkey", "left_semi").join(
-        n_supp, F.col("l_orderkey") == F.col("a_okey"), "left_semi"
+    # EXISTS/NOT-EXISTS as ONE per-order aggregation pass: join the fact
+    # to the F-order slice once (shuffle on l_orderkey), then a single
+    # co-partitioned groupBy(l_orderkey) computes everything the classic
+    # formulation needed three shuffles and two semi-joins for —
+    # n_supp (another supplier ⇔ ≥ 2), n_late_supp (no OTHER late
+    # supplier ⇔ = 1), and, because exactly one supplier is late in a
+    # surviving order, max(late supplier key) IS that supplier. Counting
+    # over the F-slice equals counting over all lineitems for the
+    # surviving orders (late orders are F orders, and the slice keeps
+    # every line of an F order). Count-distincts are map-side combinable;
+    # the supplier join is left to AQE — both sides scale with SF, so the
+    # smaller lands broadcast at bench scale without pinning a hint that
+    # would ship a linearly-growing survivor set at 100 TB.
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    survivors = (
+        l.join(o.select("o_orderkey", "o_orderdate"),
+               l.l_orderkey == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("__n_supp"),
+            F.count_distinct(F.when(late, F.col("l_suppkey"))).alias(
+                "__n_late"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("__late_supp"),
+        )
+        .where((F.col("__n_late") == 1) & (F.col("__n_supp") >= 2))
+        .select("__late_supp")
     )
     return (
-        only_late.join(s, F.col("l_suppkey") == s.s_suppkey)
+        s.join(survivors, F.col("__late_supp") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -2504,9 +2549,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_grouping_sets": q_grouping_sets,
         "q_interval_join": q_interval_join,
         "q_range_acctbal_band": q_range_acctbal_band,
+        # --- NEW this round: generalized magic-sets bound goals ---
+        "dl_tc_nl_bound": dl_tc_nl_bound,
+        "dl_mutual_bound": dl_mutual_bound,
+        # ---------------- end of the 50-entry r07 window ----------------
         "q_pivot_event_types": q_pivot_event_types,
         "q_cube_revenue": q_cube_revenue,
-        # ---------------- end of the 50-entry r07 window ----------------
         # --- r05 rows, code untouched since r03 (sampling / sketches) ---
         "q_cohort_retention": q_cohort_retention,
         "q_countd_approx": q_countd_approx,
@@ -2718,6 +2766,28 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
             SELECT src, dst FROM tc
+        """,
+        # NL and linear TC agree on the answer set, so the oracle replays
+        # the bound slice as plain reachability from the constant
+        "dl_tc_nl_bound": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            reach(dst) AS (
+              SELECT dst FROM edges WHERE src = 5
+              UNION
+              SELECT e.dst FROM reach JOIN edges e ON e.src = reach.dst)
+            SELECT dst FROM reach
+        """,
+        # p(5,Y) on the alternating p/q descent clique = vertices an ODD
+        # number of down-steps below 5; replayed as a parity-tagged walk
+        # (each tree vertex has a unique depth, so parity is well-defined)
+        "dl_mutual_bound": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            walk(y, parity) AS (
+              SELECT dst, 1 FROM edges WHERE src = 5
+              UNION
+              SELECT e.dst, 1 - walk.parity
+              FROM walk JOIN edges e ON e.src = walk.y)
+            SELECT y AS dst FROM walk WHERE parity = 1
         """,
         "dl_mutual_even_odd": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),

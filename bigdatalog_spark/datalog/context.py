@@ -258,20 +258,19 @@ class BigDatalogContext:
         if not bound or goal.pred in self._cache:
             return None
         clique = self._analyzed.clique_of.get(goal.pred)
-        if (
-            clique is None
-            or clique.monotonic
-            or clique.mixed
-            or len(clique.preds) != 1
-        ):
+        if clique is None or clique.monotonic or clique.mixed:
             return None
-        stable = self._stable_positions(clique, goal.pred)
-        if all(i in stable for i, _ in bound):
-            results = self._compute_seminaive_clique(
-                clique, seed_filter={goal.pred: bound}
-            )
-            return results[goal.pred]
-        return self._magic_bound_df(goal, clique, bound)
+        if len(clique.preds) == 1:
+            stable = self._stable_positions(clique, goal.pred)
+            if all(i in stable for i, _ in bound):
+                results = self._compute_seminaive_clique(
+                    clique, seed_filter={goal.pred: bound}
+                )
+                return results[goal.pred]
+            df = self._magic_bound_df(goal, clique, bound)
+            if df is not None:
+                return df
+        return self._magic_bound_general(goal, clique, bound)
 
     def _magic_bound_df(self, goal: Goal, clique: Clique, bound) -> DataFrame | None:
         """Magic-sets / demand transformation for bound goals whose bound
@@ -413,6 +412,173 @@ class BigDatalogContext:
         sub._broadcasts = self._broadcasts
         sub._analyzed = analyze(sub.program)
         return sub._pred_df(guarded_name)
+
+    def _magic_bound_general(
+        self, goal: Goal, clique: Clique, bound
+    ) -> DataFrame | None:
+        """Adorned magic-sets demand transformation for bound goals on
+        NON-LINEAR and MUTUAL recursive cliques — the query forms the
+        DeALS front end adorns that `_magic_bound_df`'s linear
+        single-predicate specialization does not cover (SURVEY.md §3
+        step 3; consumed at LogicalPlanGenerator.scala:344-384).
+
+        Textbook adorned rewriting with left-to-right sideways
+        information passing (SIP): a worklist of (predicate, adornment)
+        pairs — an adornment is the tuple of bound argument positions —
+        generates, per adorned predicate, a magic (demand) predicate and
+        a guarded copy of each of its rules. Walking a rule body left to
+        right, a clique occurrence's adornment is the set of its
+        positions holding a constant or an already-bound variable; each
+        occurrence emits one magic rule whose body is the SIP prefix
+        (the head's magic atom, the positive atoms walked so far with
+        clique occurrences renamed to their guarded copies, and the
+        comparisons already fully bound), then the occurrence itself is
+        renamed to its guarded copy and its variables join the bound
+        set. Unlike the linear case — where magic and guarded predicates
+        stratify into separate cliques — the transformed program here is
+        genuinely MUTUALLY recursive (a later occurrence's demand flows
+        through an earlier occurrence's guarded results), which the
+        ordinary k-predicate PSN machinery evaluates directly.
+
+        Returns None (fall back to full fixpoint + filter) when the
+        rewrite doesn't apply: an occurrence with an empty adornment
+        (left-to-right SIP cannot restrict it — e.g. non-linear TC bound
+        on the SECOND argument), a bound head position holding an
+        arithmetic/anonymous term, or arithmetic-only binding chains
+        (even/odd-style `X = Y + 1` binds forward only)."""
+        import hashlib
+
+        consts = dict(bound)
+        B0 = tuple(sorted(consts))
+        suffix = hashlib.md5(repr(sorted(bound)).encode()).hexdigest()[:8]
+
+        def m_name(q: str, B: tuple) -> str:
+            return f"__magic_{q}_{'_'.join(map(str, B))}_{suffix}"
+
+        def g_name(q: str, B: tuple) -> str:
+            return f"__bound_{q}_{'_'.join(map(str, B))}_{suffix}"
+
+        root = g_name(goal.pred, B0)
+        if root in self._cache:
+            return self._cache[root]
+
+        def term_vars(t) -> set[str]:
+            if isinstance(t, Var):
+                return {t.name}
+            if isinstance(t, Arith):
+                return term_vars(t.left) | term_vars(t.right)
+            return set()
+
+        new_rules: list[Rule] = []
+        done: set[tuple[str, tuple]] = set()
+        work: list[tuple[str, tuple]] = [(goal.pred, B0)]
+        while work:
+            q, B = work.pop()
+            if (q, B) in done:
+                continue
+            done.add((q, B))
+            for rule in clique.exit_rules.get(q, []) + clique.recursive_rules.get(
+                q, []
+            ):
+                head_terms = []
+                for i in B:
+                    h = rule.head.args[i]
+                    if not isinstance(h, (Var, Const)):
+                        return None  # arithmetic/anonymous bound head term
+                    head_terms.append(h)
+                bound_vars = {t.name for t in head_terms if isinstance(t, Var)}
+                magic_atom = Atom(m_name(q, B), tuple(head_terms))
+                new_body: list = [magic_atom]
+                atom_prefix: list = []  # positive atoms walked so far
+                cmp_prefix: list[Comparison] = []
+                for lit in rule.body:
+                    if (
+                        isinstance(lit, Atom)
+                        and not lit.negated
+                        and lit.pred in clique.preds
+                    ):
+                        occB = tuple(
+                            sorted(
+                                i
+                                for i, t in enumerate(lit.args)
+                                if isinstance(t, Const)
+                                or (isinstance(t, Var) and t.name in bound_vars)
+                            )
+                        )
+                        if not occB:
+                            return None  # SIP cannot restrict this occurrence
+                        targets = tuple(lit.args[i] for i in occB)
+                        trivial = (
+                            lit.pred == q
+                            and occB == B
+                            and targets == tuple(head_terms)
+                            and not atom_prefix
+                        )
+                        if not trivial:
+                            new_rules.append(
+                                Rule(
+                                    head=Atom(m_name(lit.pred, occB), targets),
+                                    body=[magic_atom]
+                                    + atom_prefix
+                                    + [
+                                        c
+                                        for c in cmp_prefix
+                                        if _comparison_vars(c) <= bound_vars
+                                    ],
+                                )
+                            )
+                        if (lit.pred, occB) not in done:
+                            work.append((lit.pred, occB))
+                        glit = Atom(g_name(lit.pred, occB), lit.args)
+                        new_body.append(glit)
+                        atom_prefix.append(glit)
+                        bound_vars |= {
+                            t.name for t in lit.args if isinstance(t, Var)
+                        }
+                    elif isinstance(lit, Atom) and not lit.negated:
+                        new_body.append(lit)
+                        atom_prefix.append(lit)
+                        bound_vars |= {
+                            t.name for t in lit.args if isinstance(t, Var)
+                        }
+                    elif isinstance(lit, Atom):
+                        # negated atoms filter only; never in the SIP prefix
+                        # (their vars may be bound later in the rule body)
+                        new_body.append(lit)
+                    elif isinstance(lit, Comparison):
+                        new_body.append(lit)
+                        cmp_prefix.append(lit)
+                        if lit.op == "=":
+                            lv, rv = term_vars(lit.left), term_vars(lit.right)
+                            if rv and rv <= bound_vars:
+                                bound_vars |= lv
+                            elif lv and lv <= bound_vars:
+                                bound_vars |= rv
+                    else:
+                        new_body.append(lit)
+                new_rules.append(Rule(Atom(g_name(q, B), rule.head.args), new_body))
+
+        seed_vars = [Var(f"__MB{k}") for k in range(len(B0))]
+        seed_rule = Rule(
+            head=Atom(m_name(goal.pred, B0), tuple(seed_vars)),
+            body=[
+                Comparison("=", v, Const(consts[i]))
+                for v, i in zip(seed_vars, B0)
+            ],
+        )
+
+        sub = BigDatalogContext(self.spark, self.config)
+        sub.program = Program(
+            schemas=self.program.schemas,
+            rules=list(self.program.rules) + [seed_rule] + new_rules,
+        )
+        sub._relations = self._relations
+        sub._cache = self._cache
+        sub._persisted_statics = self._persisted_statics
+        sub._shuffled_statics = self._shuffled_statics
+        sub._broadcasts = self._broadcasts
+        sub._analyzed = analyze(sub.program)
+        return sub._pred_df(root)
 
     @staticmethod
     def _stable_positions(clique: Clique, pred: str) -> set[int]:

@@ -233,10 +233,39 @@ def test_bound_goal_right_linear_second_position(spark):
     got = sorted(r[0] for r in ctx.query("tc(A,3).").collect())
     assert got == [0, 1, 2, 7]
 
-def test_bound_goal_nonlinear_falls_back(spark):
-    """Non-linear TC has no stable positions (second occurrence's first arg
-    is existential) — the bound goal must fall back to full fixpoint +
-    filter and stay correct."""
+def test_bound_goal_nonlinear_takes_demand_path(spark):
+    """Non-linear TC bound on the FIRST argument takes the generalized
+    adorned magic-sets path (context._magic_bound_general): the left
+    occurrence inherits the head's demand and the right occurrence's
+    demand flows through the left's guarded results — the transformed
+    program is mutually recursive (magic ⇄ guarded). Verified both by
+    the answer and by the demand predicates landing in the cache; the
+    unreachable component (5→6→7) must never be explored."""
+    from bigdatalog_spark.datalog.context import BigDatalogContext
+
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B)."
+    )
+    ctx.register_data("arc", ["0,1", "1,2", "2,3", "5,6", "6,7"])
+    got = sorted(r[1] for r in ctx.query("tc(0,B).").collect())
+    assert got == [1, 2, 3]
+    magic = [k for k in ctx._cache if k.startswith("__magic_tc")]
+    guarded = [k for k in ctx._cache if k.startswith("__bound_tc")]
+    assert magic and guarded, sorted(ctx._cache)
+    # the demand set is exactly the 0-reachable vertices (0 plus the
+    # closure targets); the 5→6→7 component is never demanded
+    demand = sorted(r[0] for r in ctx._cache[magic[0]].collect())
+    assert demand == [0, 1, 2, 3], demand
+
+
+def test_bound_goal_nonlinear_second_position_falls_back(spark):
+    """Non-linear TC bound on the SECOND argument: left-to-right SIP
+    cannot restrict the first occurrence (both its arguments are free at
+    that point), so the rewrite must decline and the full fixpoint +
+    filter fallback stays correct."""
     from bigdatalog_spark.datalog.context import BigDatalogContext
 
     ctx = BigDatalogContext(spark)
@@ -246,5 +275,45 @@ def test_bound_goal_nonlinear_falls_back(spark):
         "tc(A,B) <- tc(A,C), tc(C,B)."
     )
     ctx.register_data("arc", ["0,1", "1,2", "2,3"])
-    got = sorted(r[1] for r in ctx.query("tc(0,B).").collect())
-    assert got == [1, 2, 3]
+    got = sorted(r[0] for r in ctx.query("tc(A,3).").collect())
+    assert got == [0, 1, 2]
+    assert not [k for k in ctx._cache if k.startswith("__magic")]
+
+
+def test_bound_goal_mutual_clique_takes_demand_path(spark):
+    """Bound goal on a MUTUAL recursive clique: each clique predicate
+    gets its own adorned magic/guarded pair and the whole transformed
+    program evaluates as one mutually recursive clique. The disconnected
+    8/9 component must stay out of the demand set."""
+    from bigdatalog_spark.datalog.context import BigDatalogContext
+
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({a(S:integer, D:integer), b(S:integer, D:integer)})."
+        "p(X,Y) <- a(X,Y)."
+        "p(X,Y) <- a(X,Z), q(Z,Y)."
+        "q(X,Y) <- b(X,Z), p(Z,Y)."
+    )
+    ctx.register_data("a", ["0,1", "1,2", "2,4", "8,9"])
+    ctx.register_data("b", ["2,0", "4,1", "9,8"])
+    got = sorted(tuple(r) for r in ctx.query("p(0,Y).").collect())
+    # full fixpoint cross-check computed by hand is brittle here; compare
+    # against the engine's own unbound query + filter
+    ctx2 = BigDatalogContext(spark)
+    ctx2.load_program(
+        "database({a(S:integer, D:integer), b(S:integer, D:integer)})."
+        "p(X,Y) <- a(X,Y)."
+        "p(X,Y) <- a(X,Z), q(Z,Y)."
+        "q(X,Y) <- b(X,Z), p(Z,Y)."
+    )
+    ctx2.register_data("a", ["0,1", "1,2", "2,4", "8,9"])
+    ctx2.register_data("b", ["2,0", "4,1", "9,8"])
+    want = sorted(
+        tuple(r) for r in ctx2.query("p(X,Y).").filter("X = 0").collect()
+    )
+    assert got == want and got, got
+    for q in ("p", "q"):
+        assert [k for k in ctx._cache if k.startswith(f"__magic_{q}")]
+    # demand for p never reaches the disconnected component
+    mp = [k for k in ctx._cache if k.startswith("__magic_p")][0]
+    assert 8 not in {r[0] for r in ctx._cache[mp].collect()}

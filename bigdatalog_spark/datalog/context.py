@@ -445,7 +445,16 @@ class BigDatalogContext:
         (left-to-right SIP cannot restrict it — e.g. non-linear TC bound
         on the SECOND argument), a bound head position holding an
         arithmetic/anonymous term, or arithmetic-only binding chains
-        (even/odd-style `X = Y + 1` binds forward only)."""
+        (even/odd-style `X = Y + 1` binds forward only).
+
+        Redundant-guard elimination: when a rule body contains an
+        occurrence of the head's own predicate with the head's exact
+        adornment and bound terms (non-linear TC's `tc(A,C)` under head
+        `tc(A,B)` bound on A), the head's magic guard is dropped from
+        the guarded rule — inductively every g(q,B) row's B-projection
+        is already in magic(q,B) (exit-shaped rules keep their guards,
+        giving the base case), so the guard filters nothing and costs
+        one full-delta join per PSN term per round."""
         import hashlib
 
         consts = dict(bound)
@@ -491,6 +500,7 @@ class BigDatalogContext:
                 new_body: list = [magic_atom]
                 atom_prefix: list = []  # positive atoms walked so far
                 cmp_prefix: list[Comparison] = []
+                guard_redundant = False
                 for lit in rule.body:
                     if (
                         isinstance(lit, Atom)
@@ -508,12 +518,21 @@ class BigDatalogContext:
                         if not occB:
                             return None  # SIP cannot restrict this occurrence
                         targets = tuple(lit.args[i] for i in occB)
-                        trivial = (
+                        same_demand = (
                             lit.pred == q
                             and occB == B
                             and targets == tuple(head_terms)
-                            and not atom_prefix
                         )
+                        if same_demand:
+                            # this occurrence's guarded copy already carries
+                            # the head's demand at the head's bound positions
+                            # (inductively: every g(q,B) row's B-projection is
+                            # in magic(q,B)), so the head magic guard filters
+                            # nothing — drop it below to save one join of the
+                            # full delta against the magic set per PSN term
+                            # per round
+                            guard_redundant = True
+                        trivial = same_demand and not atom_prefix
                         if not trivial:
                             new_rules.append(
                                 Rule(
@@ -556,7 +575,8 @@ class BigDatalogContext:
                                 bound_vars |= rv
                     else:
                         new_body.append(lit)
-                new_rules.append(Rule(Atom(g_name(q, B), rule.head.args), new_body))
+                body = new_body[1:] if guard_redundant else new_body
+                new_rules.append(Rule(Atom(g_name(q, B), rule.head.args), body))
 
         seed_vars = [Var(f"__MB{k}") for k in range(len(B0))]
         seed_rule = Rule(

@@ -124,3 +124,83 @@ def test_repeated_bound_goal_memoizes(spark):
     b = _rows(ctx.query("sg(1,Y)."))
     assert a == b
     assert len(ctx._cache) == n_cached  # second run hit the cache
+
+
+# ------------------- generalized demand (_magic_bound_general) edge cases
+
+
+def _q(spark, prog, data, goal):
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(prog)
+    for name, rows in data.items():
+        ctx.register_data(name, rows)
+    out = sorted(tuple(r) for r in ctx.query(goal).collect())
+    return out, ctx
+
+
+NL_TC = (
+    "database({arc(S:integer, D:integer)})."
+    "tc(A,B) <- arc(A,B)."
+    "tc(A,B) <- tc(A,C), tc(C,B)."
+)
+
+
+def test_general_demand_with_negation_in_clique(spark):
+    """A negated static atom inside the recursive clique rides along in
+    the guarded copy (it filters; it never joins the SIP prefix) — the
+    demand path must fire and agree with unbound + filter."""
+    prog = (
+        "database({arc(S:integer, D:integer),"
+        " blocked(S:integer, D:integer)})."
+        "tc(A,B) <- arc(A,B), ~blocked(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B)."
+    )
+    data = {"arc": ["0,1", "1,2", "2,3", "0,9"], "blocked": ["0,9"]}
+    got, ctx = _q(spark, prog, data, "tc(0,B).")
+    assert any(k.startswith("__magic_tc") for k in ctx._cache)
+    want, _ = _q(spark, prog, data, "tc(A,B).")
+    assert got == sorted(t for t in want if t[0] == 0)
+    assert got == [(0, 1), (0, 2), (0, 3)]  # the blocked 0→9 edge is out
+
+
+def test_general_demand_fully_bound_goal(spark):
+    """Both positions bound on non-linear TC: the worklist adorns the
+    later occurrence with BOTH positions (its own finer magic predicate)
+    and the answer is the membership singleton."""
+    got, ctx = _q(
+        spark, NL_TC, {"arc": ["0,1", "1,2", "2,3", "5,6"]}, "tc(0,3)."
+    )
+    assert got == [(0, 3)]
+    assert any(k.startswith("__magic_tc") for k in ctx._cache)
+
+
+def test_general_demand_declines_arithmetic_chain(spark):
+    """Forward arithmetic recursion (`Y = X + 1`) binds forward only —
+    the SIP cannot restrict the clique occurrence from the bound head, so
+    the rewrite declines and the full-fixpoint + filter fallback answers."""
+    prog = (
+        "database({start(V:integer)})."
+        "n(X) <- start(X)."
+        "n(Y) <- n(X), Y=X+1, Y<=10."
+    )
+    got, ctx = _q(spark, prog, {"start": ["3"]}, "n(5).")
+    assert got == [(5,)]
+    assert not any(k.startswith("__magic") for k in ctx._cache)
+
+
+def test_constant_in_clique_occurrence_stable_seed_path(spark):
+    """A clique occurrence holding a constant (`p(X,1)`) keeps position 0
+    stable, so the cheaper stable-position seed rewrite answers before
+    magic is consulted — pinned so a future transformation change doesn't
+    silently reroute (and slow) this shape."""
+    prog = (
+        "database({arc(S:integer, D:integer)})."
+        "p(X,Y) <- arc(X,Y)."
+        "p(X,Y) <- p(X,1), arc(1,Y)."
+    )
+    data = {"arc": ["0,1", "1,2", "1,3", "4,5"]}
+    got, ctx = _q(spark, prog, data, "p(0,Y).")
+    assert not any(k.startswith("__magic") for k in ctx._cache)
+    want, _ = _q(spark, prog, data, "p(X,Y).")
+    assert got == sorted(t for t in want if t[0] == 0)
+    assert got == [(0, 1), (0, 2), (0, 3)]

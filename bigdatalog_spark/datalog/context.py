@@ -438,7 +438,11 @@ class BigDatalogContext:
         stratify into separate cliques — the transformed program here is
         genuinely MUTUALLY recursive (a later occurrence's demand flows
         through an earlier occurrence's guarded results), which the
-        ordinary k-predicate PSN machinery evaluates directly.
+        ordinary k-predicate PSN machinery evaluates — but ONLY via the
+        in-task local path: that clique has no clique-stable pivot, and
+        its distributed form measured 27× slower than the unbound
+        closure it replaces (see the evaluation-cost gate at the end of
+        this function and BASELINE.md round 7).
 
         Returns None (fall back to full fixpoint + filter) when the
         rewrite doesn't apply: an occurrence with an empty adornment
@@ -598,6 +602,34 @@ class BigDatalogContext:
         sub._shuffled_statics = self._shuffled_statics
         sub._broadcasts = self._broadcasts
         sub._analyzed = analyze(sub.program)
+
+        # Evaluation-cost gate: when the SIP routes a later occurrence's
+        # demand through an earlier occurrence's guarded results (non-
+        # linear rules), magic and guarded land in ONE mutually recursive
+        # clique with no clique-stable pivot (magic's head value comes
+        # from a guarded non-pivot position), so the distributed loop
+        # pays full exchanges for every semi-naive term every round —
+        # measured 27× SLOWER than the unbound closure it replaces
+        # (sf0.1 forced-distributed: 400 s vs 15 s). The transformed
+        # program is only a win where the in-task local path serves it
+        # (its seeds are constants, so the statics byte gate is the
+        # binding constraint; sf1: 5.5 s vs 106 s unbound). Decline to
+        # the fallback whenever that mutual clique would run distributed.
+        # Stratified outputs (every SIP prefix static — e.g. bound goals
+        # on mutual p/q cliques) skip the gate: their magic clique is
+        # plain linear reachability, cheap on either path, the same shape
+        # `dl_sg_bound` runs scale-independently.
+        tclique = sub._analyzed.clique_of.get(root)
+        if tclique is not None and any(
+            p.startswith("__magic_") for p in tclique.preds
+        ):
+            if (
+                not self.config.decomposable_local
+                or sub._local_clique_shape(tclique) is None
+                or sub._local_statics(sub._clique_static_preds(tclique))
+                is None
+            ):
+                return None
         return sub._pred_df(root)
 
     @staticmethod

@@ -145,10 +145,13 @@ NL_TC = (
 )
 
 
-def test_general_demand_with_negation_in_clique(spark):
-    """A negated static atom inside the recursive clique rides along in
-    the guarded copy (it filters; it never joins the SIP prefix) — the
-    demand path must fire and agree with unbound + filter."""
+def test_general_demand_with_negation_declines_to_fallback(spark):
+    """Negation in the original exit rule lands inside a RECURSIVE rule
+    of the transformed mutual clique (the magic guard makes it
+    recursive), which the in-task local path rejects — so the
+    evaluation-cost gate must decline the rewrite (the distributed
+    mutual magic ⇄ guarded loop measures 27× slower than the unbound
+    closure) and the full-fixpoint + filter fallback stays correct."""
     prog = (
         "database({arc(S:integer, D:integer),"
         " blocked(S:integer, D:integer)})."
@@ -157,10 +160,27 @@ def test_general_demand_with_negation_in_clique(spark):
     )
     data = {"arc": ["0,1", "1,2", "2,3", "0,9"], "blocked": ["0,9"]}
     got, ctx = _q(spark, prog, data, "tc(0,B).")
-    assert any(k.startswith("__magic_tc") for k in ctx._cache)
+    assert not any(k.startswith("__magic_tc") for k in ctx._cache)
     want, _ = _q(spark, prog, data, "tc(A,B).")
     assert got == sorted(t for t in want if t[0] == 0)
     assert got == [(0, 1), (0, 2), (0, 3)]  # the blocked 0→9 edge is out
+
+
+def test_general_demand_gated_when_statics_exceed_local_budget(spark):
+    """The mutual magic ⇄ guarded clique (non-linear bound goals) is only
+    evaluated when the local path can serve it: with the statics byte
+    gate closed the rewrite must decline — the distributed form of that
+    clique has no stable pivot and measured 27× SLOWER than the unbound
+    closure it replaces (sf0.1 forced-distributed: 400 s vs 15 s) — and
+    the fallback must answer correctly."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    ctx = BigDatalogContext(spark, EngineConfig(broadcast_max_bytes=0))
+    ctx.load_program(NL_TC)
+    ctx.register_data("arc", ["0,1", "1,2", "2,3", "5,6"])
+    got = sorted(r[1] for r in ctx.query("tc(0,B).").collect())
+    assert got == [1, 2, 3]
+    assert not any(k.startswith("__magic") for k in ctx._cache)
 
 
 def test_general_demand_fully_bound_goal(spark):

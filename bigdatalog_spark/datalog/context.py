@@ -42,6 +42,9 @@ from .fixpoint import (
 )
 from .local_eval import (
     broadcast_seed_statics,
+    driver_mixed,
+    driver_monotonic,
+    driver_seminaive,
     local_monotonic_fixpoint,
     local_seminaive_fixpoint,
     seed_broadcast_mixed,
@@ -124,6 +127,14 @@ class EngineConfig:
     local_seed_max_rows: int = 65536
     local_growth_factor: int = 64
     local_growth_floor: int = 1 << 22
+    # DRIVER TIER: a local fixpoint whose task count would be exactly one
+    # (non-linear cliques — slicing is unsound for them; mixed cliques —
+    # thresholds need global counts; single-tuple seeds) runs the identical
+    # pandas loop on the driver instead: seeds and statics are already
+    # driver-resident for broadcasting, so the job launch, torrent
+    # broadcast, and Arrow roundtrip are pure overhead. Growth bailout and
+    # distributed fallback are unchanged. Off = always run in a task.
+    driver_local: bool = True
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 
@@ -142,6 +153,11 @@ class BigDatalogContext:
         # broadcast variables the local-eval paths shipped (seeds/statics,
         # MBs each) — destroyed on reset() so long sessions don't leak them
         self._broadcasts: list = []
+        # id(df) -> (df, pandas) memo for local-eval static collection: a
+        # static shared by several cliques (e.g. the base relation of a
+        # stratified magic/guarded pair) is fetched from the cluster once
+        # per query instead of once per clique; shared with sub-contexts
+        self._statics_pd: dict[int, tuple] = {}
         self._analyzed: AnalyzedProgram | None = None
 
     # ------------------------------------------------------------- loading
@@ -152,6 +168,7 @@ class BigDatalogContext:
         self.program.rules.extend(prog.rules)
         self._analyzed = None
         self._cache.clear()
+        self._statics_pd.clear()
         return self
 
     def load_file(self, path: str) -> "BigDatalogContext":
@@ -216,6 +233,7 @@ class BigDatalogContext:
             except Exception:
                 pass
         self._broadcasts.clear()
+        self._statics_pd.clear()
         self._analyzed = None
 
     # ------------------------------------------------------------- querying
@@ -307,7 +325,7 @@ class BigDatalogContext:
         magic_name = f"__magic_{pred}_{suffix}"
         guarded_name = f"__bound_{pred}_{suffix}"
         if guarded_name in self._cache:
-            return self._cache[guarded_name]
+            return self._resolve_cached(guarded_name)
 
         magic_rules: list[Rule] = []
         for rule in clique.recursive_rules[pred]:
@@ -410,6 +428,7 @@ class BigDatalogContext:
         sub._persisted_statics = self._persisted_statics
         sub._shuffled_statics = self._shuffled_statics
         sub._broadcasts = self._broadcasts
+        sub._statics_pd = self._statics_pd
         sub._analyzed = analyze(sub.program)
         return sub._pred_df(guarded_name)
 
@@ -473,7 +492,7 @@ class BigDatalogContext:
 
         root = g_name(goal.pred, B0)
         if root in self._cache:
-            return self._cache[root]
+            return self._resolve_cached(root)
 
         def term_vars(t) -> set[str]:
             if isinstance(t, Var):
@@ -601,6 +620,7 @@ class BigDatalogContext:
         sub._persisted_statics = self._persisted_statics
         sub._shuffled_statics = self._shuffled_statics
         sub._broadcasts = self._broadcasts
+        sub._statics_pd = self._statics_pd
         sub._analyzed = analyze(sub.program)
 
         # Evaluation-cost gate: when the SIP routes a later occurrence's
@@ -699,10 +719,22 @@ class BigDatalogContext:
             raise DatalogSemanticError(f"base relation {name!r} has no data registered")
         return self._relations[name]
 
+    def _resolve_cached(self, pred: str) -> DataFrame:
+        """Read a memoized result, forcing a deferred one. Unqueried clique
+        predicates are cached as zero-cost thunks (building their frame costs
+        a full physical planning pass for the lineage-truncating checkpoint
+        — see _try_local_seminaive); the first real consumer pays it, and
+        the built frame replaces the thunk."""
+        val = self._cache[pred]
+        if callable(val):
+            val = val()
+            self._cache[pred] = val
+        return val
+
     def _pred_df(self, pred: str) -> DataFrame:
         """Memoized bottom-up resolution of a predicate's DataFrame."""
         if pred in self._cache:
-            return self._cache[pred]
+            return self._resolve_cached(pred)
         if pred in self.program.schemas and not self.program.rules_for(pred):
             return self._base_df(pred)
         clique = self._analyzed.clique_of.get(pred)
@@ -710,7 +742,7 @@ class BigDatalogContext:
             self._compute_clique(clique)
         else:
             self._cache[pred] = self._compile_nonrecursive(pred)
-        return self._cache[pred]
+        return self._resolve_cached(pred)
 
     def _static_resolve(self, pred: str, _occ=None) -> DataFrame:
         return self._pred_df(pred)
@@ -982,7 +1014,16 @@ class BigDatalogContext:
         relations report defaultSizeInBytes = Long.MaxValue) or
         OVER-estimated (join/union stats multiply children — a derived
         40k-row graph can report terabytes and would wrongly lose its local
-        fast path). None = probed over budget."""
+        fast path). None = probed over budget. Driver-tier results carry
+        their exact row count (local_eval._driver_result_df) — no probe."""
+        known = getattr(df, "_bdlog_known_rows", None)
+        if known is not None:
+            row_bytes = 8 + sum(
+                self._TYPE_BYTES.get(f.dataType.simpleString(), 24)
+                for f in df.schema.fields
+            )
+            size = known * row_bytes
+            return size if size <= limit else None
         try:
             size = int(
                 df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -1082,6 +1123,7 @@ class BigDatalogContext:
                 [seed.columns[i] for i in pivot_idx],
                 track=self._broadcasts,
                 growth=self._growth,
+                pd_cache=self._statics_pd,
             )
             mat = self._eager_local(out)
             return None if mat is None else {pred: mat}
@@ -1093,6 +1135,13 @@ class BigDatalogContext:
         total = 0
         for pred in clique.preds:
             seed = _widen_seed(exit_dfs[pred].distinct(), probes.get(pred))
+            if getattr(exit_dfs[pred], "_bdlog_empty_exit", False):
+                # pred has no exit rules (mutual cliques; magic preds whose
+                # demand arrives only recursively): the seed is provably
+                # empty, and limit(0) folds the fetch to a job-free
+                # LocalRelation while keeping the widened dtypes
+                seeds[pred] = (seed.limit(0).toPandas(), seed.schema)
+                continue
             # one bounded fetch gates AND collects: filling the limit always
             # trips the gate (limit = budget+1-total), so a surviving pdf is
             # provably the complete seed — no separate count() job
@@ -1102,6 +1151,26 @@ class BigDatalogContext:
                 return None
             seeds[pred] = (pdf, seed.schema)
         rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
+        # single-task shapes (non-linear: slicing unsound; total seed of one
+        # tuple: one slice anyway) run the identical loop driver-side —
+        # strictly the same computation minus the per-clique job overhead
+        if self.config.driver_local and (shape == "nonlinear" or total <= 1):
+            # On a growth abort this returns None → distributed fallback;
+            # the sliced retry gains nothing for single-task shapes
+            # (identical loop, same budget). Linear MULTI-seed cliques stay
+            # on the sliced path: measured head-to-head (2730-seed demand
+            # clique, sf0.1), 32 parallel slices beat one driver loop ~2×
+            # even counting the broadcast — per-slice statics re-merges are
+            # cheaper than serializing every slice's Δ-chain on one thread.
+            return driver_seminaive(
+                self.spark,
+                seeds,
+                rules_by_pred,
+                clique.preds,
+                statics,
+                pd_cache=self._statics_pd,
+                growth=self._growth,
+            )
         # Every pred's mapInPandas runs the SAME multi-predicate in-task
         # loop over the same seeds/statics and just projects a different
         # pred out, so ONE eager materialization proves the growth budget
@@ -1112,11 +1181,11 @@ class BigDatalogContext:
         # frames differ only in which pred they project out
         bc = broadcast_seed_statics(
             self.spark, {p: pdf for p, (pdf, _) in seeds.items()}, statics,
-            track=self._broadcasts,
+            track=self._broadcasts, pd_cache=self._statics_pd,
         )
-        result = {}
-        for i, pred in enumerate(clique.preds):
-            out = seed_broadcast_seminaive(
+
+        def build(pred: str) -> DataFrame:
+            return seed_broadcast_seminaive(
                 self.spark,
                 seeds,
                 pred,
@@ -1128,13 +1197,22 @@ class BigDatalogContext:
                 growth=self._growth,
                 bc=bc,
             )
+
+        result = {}
+        for i, pred in enumerate(clique.preds):
             if i == 0:
-                mat = self._eager_local(out)
+                mat = self._eager_local(build(pred))
                 if mat is None:
                     return None
                 result[pred] = mat
             else:
-                result[pred] = self._checkpointed(out)
+                # deferred: even a LAZY localCheckpoint pays a full physical
+                # planning pass (it wraps the plan's RDD), so unqueried
+                # preds cache a thunk instead — _resolve_cached builds the
+                # frame on first real use, never for preds nobody reads
+                result[pred] = (
+                    lambda pred=pred: self._checkpointed(build(pred))
+                )
         return result
 
     def _try_local_monotonic(
@@ -1165,6 +1243,7 @@ class BigDatalogContext:
                 func,
                 track=self._broadcasts,
                 growth=self._growth,
+                pd_cache=self._statics_pd,
             )
             return self._eager_local(out)
 
@@ -1175,6 +1254,23 @@ class BigDatalogContext:
         seed_pd = seed.limit(max_rows + 1).toPandas()
         if len(seed_pd) > max_rows:
             return None
+        # single-task shapes run driver-side (see _try_local_seminaive)
+        if self.config.driver_local and (
+            shape == "nonlinear" or len(seed_pd) <= 1
+        ):
+            return driver_monotonic(
+                self.spark,
+                seed_pd,
+                seed.schema,
+                clique.recursive_rules[pred],
+                clique.preds,
+                statics,
+                key_cols,
+                value_col,
+                func,
+                pd_cache=self._statics_pd,
+                growth=self._growth,
+            )
         out = seed_broadcast_monotonic(
             self.spark,
             seed_pd,
@@ -1190,6 +1286,7 @@ class BigDatalogContext:
             num_slices=1 if shape == "nonlinear" else None,
             track=self._broadcasts,
             growth=self._growth,
+            pd_cache=self._statics_pd,
         )
         return self._eager_local(out)
 
@@ -1247,7 +1344,10 @@ class BigDatalogContext:
                 schema = T.StructType(
                     [T.StructField(c, T.IntegerType(), True) for c in canon_cols(arity)]
                 )
-                exit_dfs[pred] = self.spark.createDataFrame([], schema)
+                empty = self.spark.createDataFrame([], schema)
+                # no exit rules → local-eval skips the seed-fetch job
+                empty._bdlog_empty_exit = True
+                exit_dfs[pred] = empty
 
         shuffle_hook = self._make_static_shuffle(static_df, clique_set)
 
@@ -1322,6 +1422,12 @@ class BigDatalogContext:
         total = 0
         for pred in clique.preds:
             seed = _widen_seed(exit_dfs[pred].distinct(), probes.get(pred))
+            if getattr(exit_dfs[pred], "_bdlog_empty_exit", False):
+                # no exit rules → provably empty seed; job-free fetch
+                # keeps the widened dtypes (see the seminaive note)
+                seeds_pd[pred] = seed.limit(0).toPandas()
+                schemas[pred] = seed.schema
+                continue
             # bounded fetch gates AND collects in one job (see the
             # seminaive seed-broadcast note)
             pdf = seed.limit(max_rows + 1 - total).toPandas()
@@ -1331,6 +1437,23 @@ class BigDatalogContext:
             seeds_pd[pred] = pdf
             schemas[pred] = seed.schema
         rules_by_pred = {p: clique.recursive_rules[p] for p in clique.preds}
+        # mixed cliques always run ONE task (global thresholds — no
+        # slicing), so the driver tier applies unconditionally
+        if self.config.driver_local:
+            return driver_mixed(
+                self.spark,
+                seeds_pd,
+                {
+                    p: self._mixed_out_schema(schemas[p], agg_specs.get(p))
+                    for p in clique.preds
+                },
+                rules_by_pred,
+                clique.preds,
+                statics,
+                agg_specs,
+                pd_cache=self._statics_pd,
+                growth=self._growth,
+            )
         # one eager pred proves the growth budget for the whole clique
         # (each pred runs the identical in-task loop — see the seminaive
         # seed-broadcast note); the rest stay lazy so unqueried preds
@@ -1338,15 +1461,16 @@ class BigDatalogContext:
         # one (seeds, statics) broadcast for the whole clique (see the
         # seminaive loop)
         bc = broadcast_seed_statics(
-            self.spark, seeds_pd, statics, track=self._broadcasts
+            self.spark, seeds_pd, statics, track=self._broadcasts,
+            pd_cache=self._statics_pd,
         )
-        out: dict = {}
-        for i, pred in enumerate(clique.preds):
+
+        def build(pred: str) -> DataFrame:
             out_schema = self._mixed_out_schema(schemas[pred], agg_specs.get(pred))
             out_dtypes = dict(
                 self.spark.createDataFrame([], out_schema).toPandas().dtypes
             )
-            df = seed_broadcast_mixed(
+            return seed_broadcast_mixed(
                 self.spark,
                 seeds_pd,
                 pred,
@@ -1360,13 +1484,19 @@ class BigDatalogContext:
                 growth=self._growth,
                 bc=bc,
             )
+
+        out: dict = {}
+        for i, pred in enumerate(clique.preds):
             if i == 0:
-                mat = self._eager_local(df)
+                mat = self._eager_local(build(pred))
                 if mat is None:
                     return None
                 out[pred] = mat
             else:
-                out[pred] = self._checkpointed(df)
+                # deferred like the seminaive path: unqueried preds cache a
+                # thunk; _resolve_cached pays the planning pass only when a
+                # consumer actually reads the predicate
+                out[pred] = lambda pred=pred: self._checkpointed(build(pred))
         return out
 
     def _compute_seminaive_clique(
@@ -1406,12 +1536,15 @@ class BigDatalogContext:
             else:
                 # mutual cliques may have exit rules on only some predicates
                 # (MutualRecursion.scala:28-131); seed others empty using the
-                # first recursive rule's head arity
+                # first recursive rule's head arity. The tag lets local-eval
+                # skip the seed-fetch job for provably-empty seeds.
                 arity = self.program.rules_for(pred)[0].head.arity
                 schema = T.StructType(
                     [T.StructField(c, T.IntegerType(), True) for c in canon_cols(arity)]
                 )
-                exit_dfs[pred] = self.spark.createDataFrame([], schema)
+                empty = self.spark.createDataFrame([], schema)
+                empty._bdlog_empty_exit = True
+                exit_dfs[pred] = empty
 
         shuffle_hook = self._make_static_shuffle(static_df, clique_set)
 

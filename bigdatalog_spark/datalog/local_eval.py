@@ -518,22 +518,39 @@ def _run_monotonic_pd(
 
 
 # ------------------------------------------------------------ driver API
-def _collect_statics(spark: SparkSession, statics: dict, track=None):
+def _static_pd(df, pd_cache=None):
+    """toPandas a static relation, memoized per DataFrame object when the
+    caller supplies a cache (the context's per-query dict): a static shared
+    by several cliques of one program — e.g. the base relation of a
+    stratified magic/guarded demand pair — is collected from the cluster
+    once, not once per clique. Entries pin the DataFrame itself so a
+    recycled id() can never alias a different plan."""
+    if pd_cache is None:
+        return df.toPandas()
+    hit = pd_cache.get(id(df))
+    if hit is None:
+        hit = (df, df.toPandas())
+        pd_cache[id(df)] = hit
+    return hit[1]
+
+
+def _collect_statics(spark: SparkSession, statics: dict, track=None,
+                     pd_cache=None):
     """toPandas each static relation once and ship the dict as ONE broadcast
     variable (torrent-distributed, like the reference's per-iteration
     broadcast join sides — but shipped a single time for the whole loop)."""
-    statics_pd = {name: df.toPandas() for name, df in statics.items()}
+    statics_pd = {name: _static_pd(df, pd_cache) for name, df in statics.items()}
     return _track(spark.sparkContext.broadcast(statics_pd), track)
 
 
 def broadcast_seed_statics(spark: SparkSession, seeds_pd: dict, statics: dict,
-                           track=None):
+                           track=None, pd_cache=None):
     """ONE broadcast of (seed frames, statics-as-pandas) shared by every
     per-pred seed-broadcast call of a clique: the payload is identical
     across the preds (only ``out_pred`` differs), so collecting each
     static's plan and torrent-shipping the dict happens once per clique
     instead of once per predicate."""
-    statics_pd = {k: v.toPandas() for k, v in statics.items()}
+    statics_pd = {k: _static_pd(v, pd_cache) for k, v in statics.items()}
     return _track(spark.sparkContext.broadcast((seeds_pd, statics_pd)), track)
 
 
@@ -547,6 +564,123 @@ def _track(bc, track):
     return bc
 
 
+def _driver_result_df(spark: SparkSession, pdf, schema, pd_cache=None):
+    """Lift a driver-computed fixpoint result into a DataFrame. The frame is
+    Arrow-parallelized (RDD-backed), so Catalyst has no stats for it — the
+    known row count rides along as a tag that _estimated_bytes honors, and
+    the pandas original pre-seeds the statics memo so a downstream stratum
+    (magic → guarded) consumes it without any collect job."""
+    df = spark.createDataFrame(pdf, schema=schema)
+    df._bdlog_known_rows = len(pdf)
+    if pd_cache is not None:
+        pd_cache[id(df)] = (df, pdf)
+    return df
+
+
+def driver_seminaive(
+    spark: SparkSession,
+    seeds: dict,
+    rules_by_pred: dict,
+    clique_preds,
+    statics: dict,
+    pd_cache=None,
+    growth=DEFAULT_GROWTH,
+):
+    """Driver-side tier for fixpoints that would run in ONE task anyway
+    (non-linear cliques, which slicing cannot serve; linear cliques whose
+    whole seed is a single tuple). The seeds and statics are already on the
+    driver — they were collected for broadcasting — so running the identical
+    in-task PSN loop right here removes the job launch, the torrent
+    broadcast, and the Arrow roundtrip: the fixed per-clique overhead that
+    dominates small interactive recursions. Scale safety is unchanged — the
+    same growth budget aborts runaway closures (returns None; the caller
+    falls back to the spill-capable distributed loop, exactly as it does
+    for an in-task abort).
+
+    ``seeds``: pred -> (pandas frame, Spark schema). Returns pred ->
+    DataFrame for EVERY clique predicate (the multi-pred loop computes them
+    all at once), or None on growth abort."""
+    statics_pd = {k: _static_pd(v, pd_cache) for k, v in statics.items()}
+    seeds_pd = {p: pdf for p, (pdf, _) in seeds.items()}
+    rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
+    try:
+        result = _run_seminaive_multi_pd(
+            seeds_pd, rules_by_pred, frozenset(clique_preds), statics_pd,
+            growth=growth,
+        )
+    except LocalGrowthExceeded:
+        return None
+    return {
+        p: _driver_result_df(spark, result[p], seeds[p][1], pd_cache)
+        for p in seeds
+    }
+
+
+def driver_mixed(
+    spark: SparkSession,
+    seeds_pd: dict,
+    out_schemas: dict,
+    rules_by_pred: dict,
+    clique_preds,
+    statics: dict,
+    agg_specs: dict,
+    pd_cache=None,
+    growth=DEFAULT_GROWTH,
+):
+    """Driver-side tier for MIXED cliques. seed_broadcast_mixed always runs
+    exactly one task (additive thresholds need global counts — no slicing),
+    so the driver run is the same computation minus the per-clique job
+    overhead. Returns pred -> DataFrame, or None on growth abort."""
+    statics_pd = {k: _static_pd(v, pd_cache) for k, v in statics.items()}
+    rules_by_pred = {p: list(rs) for p, rs in rules_by_pred.items()}
+    try:
+        result = _run_mixed_pd(
+            seeds_pd, rules_by_pred, frozenset(clique_preds), statics_pd,
+            agg_specs, growth=growth,
+        )
+    except LocalGrowthExceeded:
+        return None
+    out = {}
+    for p in seeds_pd:
+        out_schema = out_schemas[p]
+        out_dtypes = dict(
+            spark.createDataFrame([], out_schema).toPandas().dtypes
+        )
+        pdf = _cast_like_pd(result[p], out_dtypes)
+        out[p] = _driver_result_df(spark, pdf, out_schema, pd_cache)
+    return out
+
+
+def driver_monotonic(
+    spark: SparkSession,
+    seed_pd,
+    seed_schema,
+    rules,
+    clique_preds,
+    statics: dict,
+    key_cols: list,
+    value_col: str,
+    func: str,
+    pd_cache=None,
+    growth=DEFAULT_GROWTH,
+):
+    """Driver-side tier for monotonic (mmin/mmax) fixpoints that would run
+    in one task (non-linear, or a single contribution tuple — the classic
+    single-source shortest-paths seed). One slice means the local best-value
+    table IS the global fixpoint — _run_monotonic_pd keeps it keyed-unique
+    and dtype-cast, so no re-aggregate is needed. None on growth abort."""
+    statics_pd = {k: _static_pd(v, pd_cache) for k, v in statics.items()}
+    try:
+        result = _run_monotonic_pd(
+            seed_pd, list(rules), frozenset(clique_preds), statics_pd,
+            key_cols, value_col, func, growth=growth,
+        )
+    except LocalGrowthExceeded:
+        return None
+    result = result[[f.name for f in seed_schema.fields]]
+    return _driver_result_df(spark, result, seed_schema, pd_cache)
+
+
 def local_seminaive_fixpoint(
     spark: SparkSession,
     seed: DataFrame,
@@ -557,10 +691,11 @@ def local_seminaive_fixpoint(
     num_partitions: int | None = None,
     track=None,
     growth=DEFAULT_GROWTH,
+    pd_cache=None,
 ) -> DataFrame:
     """One-job decomposable fixpoint: repartition seed on the pivot, run the
     whole PSN loop inside each partition."""
-    bc = _collect_statics(spark, statics, track)
+    bc = _collect_statics(spark, statics, track, pd_cache)
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = seed.repartition(n, *pivot_cols)
     rules = list(rules)
@@ -700,6 +835,7 @@ def seed_broadcast_monotonic(
     num_slices: int | None = None,
     track=None,
     growth=DEFAULT_GROWTH,
+    pd_cache=None,
 ) -> DataFrame:
     """Small-seed monotonic (mmin/mmax) fixpoint without a stable pivot
     (e.g. single-source shortest paths). Same slicing argument as
@@ -713,7 +849,7 @@ def seed_broadcast_monotonic(
     n = max(1, min(n, total))
     bc = _track(
         spark.sparkContext.broadcast(
-            (seed_pd, {k: v.toPandas() for k, v in statics.items()})
+            (seed_pd, {k: _static_pd(v, pd_cache) for k, v in statics.items()})
         ),
         track,
     )
@@ -760,11 +896,12 @@ def local_monotonic_fixpoint(
     num_partitions: int | None = None,
     track=None,
     growth=DEFAULT_GROWTH,
+    pd_cache=None,
 ) -> DataFrame:
     """One-job decomposable monotonic-aggregate fixpoint. ``seed_pre`` is the
     un-aggregated exit-rule contribution stream; aggregation happens in-task
     (groups never straddle partitions because pivot ⊆ group keys)."""
-    bc = _collect_statics(spark, statics, track)
+    bc = _collect_statics(spark, statics, track, pd_cache)
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = seed_pre.repartition(n, *pivot_cols)
     rules = list(rules)

@@ -31,7 +31,12 @@ from .ast import (
     SortSpec,
     Var,
 )
-from .compiler import RuleCompiler, canon_cols, union_all
+from .compiler import (
+    DatalogCompileError,
+    RuleCompiler,
+    canon_cols,
+    union_all,
+)
 from .fixpoint import (
     AggSpec,
     FixpointConfig,
@@ -41,7 +46,9 @@ from .fixpoint import (
     fixpoint_seminaive,
 )
 from .local_eval import (
+    _static_pd,
     broadcast_seed_statics,
+    driver_exit_seed,
     driver_mixed,
     driver_monotonic,
     driver_seminaive,
@@ -135,6 +142,14 @@ class EngineConfig:
     # broadcast, and Arrow roundtrip are pure overhead. Growth bailout and
     # distributed fallback are unchanged. Off = always run in a task.
     driver_local: bool = True
+    # Non-linear cliques above this TOTAL seed size stay on the in-task
+    # path even though both run one task: a whole-base-relation seed
+    # (non-linear TC over all of arc) predicts a closure large enough that
+    # the driver-side createDataFrame of the result costs more than the
+    # job it saves (measured: 247k-row closure ~0.15s worse driver-side;
+    # small demand/threshold seeds ~0.5-1.5s better). Mixed cliques are
+    # exempt — their aggregate tables stay small by construction.
+    driver_seed_max_rows: int = 8192
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 
@@ -1088,7 +1103,47 @@ class BigDatalogContext:
                 return None
             raise
 
-    def _try_local_seminaive(self, clique: Clique, exit_dfs: dict, step):
+    def _driver_exit_pdf(
+        self, rules, seed: DataFrame, bound=None,
+        pre_aggregate: bool = False, distinct: bool = True,
+    ):
+        """Seed pdf via pandas evaluation of the exit rules, or None when
+        the rules or their statics don't qualify (caller falls back to the
+        bounded-fetch job). Exit bodies reference only statics, so when
+        those pass the same byte gate the local path already applies, the
+        seed is computable from the driver-resident frames — no job. The
+        widened dtype target comes from the seed plan's limit(0) frame
+        (folded to an empty LocalRelation — job-free)."""
+        if not self.config.driver_local:
+            return None
+        for r in rules:
+            for lit in r.body:
+                if isinstance(lit, Atom):
+                    if lit.negated:
+                        return None
+                elif not isinstance(lit, Comparison):
+                    return None
+        needed = sorted({a.pred for r in rules for a in r.body_atoms})
+        sdfs = self._local_statics(needed)
+        if sdfs is None:
+            return None
+        statics_pd = {
+            p: _static_pd(df, self._statics_pd) for p, df in sdfs.items()
+        }
+        target = seed.limit(0).toPandas()
+        try:
+            return driver_exit_seed(
+                rules, statics_pd, dict(target.dtypes), bound=bound,
+                pre_aggregate=pre_aggregate, distinct=distinct,
+            )
+        except DatalogCompileError:
+            # a rule feature the pandas evaluator lacks (e.g. arithmetic
+            # inside an atom argument) — the Spark pipeline still serves it
+            return None
+
+    def _try_local_seminaive(
+        self, clique: Clique, exit_dfs: dict, step, seed_filter: dict | None = None
+    ):
         """pred -> DataFrame via a local evaluation mode, or None.
 
         Mode 1 (pivot): single-pred clique with a stable pivot — partition
@@ -1142,10 +1197,18 @@ class BigDatalogContext:
                 # LocalRelation while keeping the widened dtypes
                 seeds[pred] = (seed.limit(0).toPandas(), seed.schema)
                 continue
-            # one bounded fetch gates AND collects: filling the limit always
-            # trips the gate (limit = budget+1-total), so a surviving pdf is
-            # provably the complete seed — no separate count() job
-            pdf = seed.limit(max_rows + 1 - total).toPandas()
+            # pandas exit evaluation over driver-resident statics first —
+            # no cluster job; the bounded fetch is the fallback
+            pdf = self._driver_exit_pdf(
+                clique.exit_rules[pred], seed,
+                bound=(seed_filter or {}).get(pred),
+            )
+            if pdf is None:
+                # one bounded fetch gates AND collects: filling the limit
+                # always trips the gate (limit = budget+1-total), so a
+                # surviving pdf is provably the complete seed — no
+                # separate count() job
+                pdf = seed.limit(max_rows + 1 - total).toPandas()
             total += len(pdf)
             if total > max_rows:
                 return None
@@ -1154,7 +1217,10 @@ class BigDatalogContext:
         # single-task shapes (non-linear: slicing unsound; total seed of one
         # tuple: one slice anyway) run the identical loop driver-side —
         # strictly the same computation minus the per-clique job overhead
-        if self.config.driver_local and (shape == "nonlinear" or total <= 1):
+        if self.config.driver_local and (
+            (shape == "nonlinear" and total <= self.config.driver_seed_max_rows)
+            or total <= 1
+        ):
             # On a growth abort this returns None → distributed fallback;
             # the sliced retry gains nothing for single-task shapes
             # (identical loop, same budget). Linear MULTI-seed cliques stay
@@ -1251,12 +1317,23 @@ class BigDatalogContext:
         # One bounded fetch gates AND collects (a full pdf trips the gate,
         # so a surviving pdf is the complete seed — no separate count job)
         max_rows = self.config.local_seed_max_rows
-        seed_pd = seed.limit(max_rows + 1).toPandas()
+        # pandas exit evaluation first (see _driver_exit_pdf): the
+        # monotonic contribution stream keeps duplicates (no distinct in
+        # this path's Spark pipeline either)
+        seed_pd = self._driver_exit_pdf(
+            clique.exit_rules[pred], seed, pre_aggregate=True, distinct=False
+        )
+        if seed_pd is None:
+            seed_pd = seed.limit(max_rows + 1).toPandas()
         if len(seed_pd) > max_rows:
             return None
         # single-task shapes run driver-side (see _try_local_seminaive)
         if self.config.driver_local and (
-            shape == "nonlinear" or len(seed_pd) <= 1
+            (
+                shape == "nonlinear"
+                and len(seed_pd) <= self.config.driver_seed_max_rows
+            )
+            or len(seed_pd) <= 1
         ):
             return driver_monotonic(
                 self.spark,
@@ -1428,9 +1505,18 @@ class BigDatalogContext:
                 seeds_pd[pred] = seed.limit(0).toPandas()
                 schemas[pred] = seed.schema
                 continue
-            # bounded fetch gates AND collects in one job (see the
-            # seminaive seed-broadcast note)
-            pdf = seed.limit(max_rows + 1 - total).toPandas()
+            # pandas exit evaluation first (see the seminaive note); agg
+            # preds project pre-aggregate contributions, and the distinct
+            # mirrors this path's Spark pipeline (the loop keeps distinct
+            # support sets, so dedup here is semantics-preserving)
+            pdf = self._driver_exit_pdf(
+                clique.exit_rules[pred], seed,
+                pre_aggregate=pred in agg_specs,
+            )
+            if pdf is None:
+                # bounded fetch gates AND collects in one job (see the
+                # seminaive seed-broadcast note)
+                pdf = seed.limit(max_rows + 1 - total).toPandas()
             total += len(pdf)
             if total > max_rows:
                 return None
@@ -1643,7 +1729,9 @@ class BigDatalogContext:
             return cands
 
         if self.config.decomposable_local:
-            local = self._try_local_seminaive(clique, exit_dfs, step)
+            local = self._try_local_seminaive(
+                clique, exit_dfs, step, seed_filter=seed_filter
+            )
             if local is not None:
                 if seed_filter is None:
                     self._cache.update(local)

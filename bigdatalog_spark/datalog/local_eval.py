@@ -181,6 +181,7 @@ def _eval_rule_pd(
     pre_aggregate: bool,
     all_frames=None,
     delta_occ: int = 0,
+    unit_if_no_atoms: bool = False,
 ):
     """Evaluate one recursive rule over pandas frames.
 
@@ -227,7 +228,13 @@ def _eval_rule_pd(
         else:
             pending.append(lit)
     if acc is None:
-        raise DatalogCompileError(f"recursive rule with no body atoms: {rule}")
+        if not unit_if_no_atoms:
+            raise DatalogCompileError(
+                f"recursive rule with no body atoms: {rule}"
+            )
+        # constant-only rule (TUPLE exit, `m(V) <- V = 5`): a single unit
+        # row lets the assignment comparisons below bind the columns
+        acc = pd.DataFrame(index=[0])
 
     bind = itertools.count()
     progress = True
@@ -562,6 +569,50 @@ def _track(bc, track):
     if track is not None:
         track.append(bc)
     return bc
+
+
+def driver_exit_seed(
+    rules,
+    statics_pd: dict,
+    target_dtypes: dict,
+    bound=None,
+    pre_aggregate: bool = False,
+    distinct: bool = True,
+):
+    """Evaluate a predicate's EXIT rules in pandas: exit bodies reference
+    only statics (never clique predicates), so when every static is already
+    driver-resident — and for a local-path clique they are, collected for
+    the seeds/statics broadcast — the seed needs no cluster job at all.
+    Mirrors the Spark pipeline exactly: union of per-rule head projections,
+    the bound-goal seed filter, then the distinct + dtype widening that
+    _widen_seed applies (``target_dtypes`` comes from the widened seed
+    plan's limit(0) frame — a job-free fetch). ``pre_aggregate`` keeps
+    AggTerm heads raw for mixed/monotonic cliques, like
+    pre_aggregate_projection; ``distinct`` mirrors each caller's Spark
+    pipeline (seminaive and mixed seeds dedup — mixed loops keep distinct
+    support sets — the monotonic contribution stream does not)."""
+    import pandas as pd
+
+    cols = list(target_dtypes)
+    frames = [
+        _eval_rule_pd(
+            r, frozenset(), {}, statics_pd, pre_aggregate,
+            unit_if_no_atoms=True,
+        )
+        for r in rules
+    ]
+    seed = (
+        pd.concat(frames, ignore_index=True)
+        if frames
+        else pd.DataFrame(columns=cols)
+    )
+    seed = seed.set_axis(cols, axis=1)
+    for pos, value in bound or []:
+        seed = seed[seed.iloc[:, pos] == value]
+    seed = _cast_like_pd(seed, target_dtypes)
+    if distinct:
+        seed = seed.drop_duplicates()
+    return seed.reset_index(drop=True)
 
 
 def _driver_result_df(spark: SparkSession, pdf, schema, pd_cache=None):

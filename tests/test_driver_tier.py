@@ -1,0 +1,181 @@
+"""Driver-tier local fixpoints (datalog/local_eval.py driver_* functions).
+
+A local fixpoint whose task count would be exactly one — non-linear
+cliques (slicing unsound), mixed cliques (global thresholds), single-tuple
+seeds — runs the identical pandas PSN loop on the driver: the seeds and
+statics are already driver-resident for broadcasting, so the job launch,
+broadcast, and Arrow roundtrip are pure overhead (the reference pays the
+same costs nowhere — its FixedPointResultTask runs once per job,
+FixedPointResultTask.scala:44-106). Exit-rule seeds likewise evaluate in
+pandas when their statics pass the same byte gate (_driver_exit_pdf).
+These tests pin (a) equivalence against the in-task and distributed
+paths, (b) the engagement conditions, and (c) the growth-abort fallback.
+"""
+
+import pytest
+
+from bigdatalog_spark.datalog import context as ctx_mod
+from bigdatalog_spark import BigDatalogContext
+from bigdatalog_spark.datalog.context import EngineConfig
+
+NL_TC = (
+    "database({arc(From:integer, To:integer)})."
+    "tc(A,B) <- arc(A,B)."
+    "tc(A,B) <- tc(A,C), tc(C,B)."
+)
+MUTUAL = (
+    "database({arc(From:integer, To:integer)})."
+    "even(X) <- X = 0."
+    "odd(Y) <- even(X), arc(X,Y)."
+    "even(Y) <- odd(X), arc(X,Y)."
+)
+MCOUNT = (
+    "database({follows(A:integer, B:integer)})."
+    "cnt(Y,mcount<X>) <- follows(X,Y)."
+    "popular(Y) <- cnt(Y,N), N >= 2."
+    "cnt(Z,mcount<Y>) <- popular(Y), follows(Y,Z)."
+)
+SSSP = (
+    "database({edge(From:integer, To:integer, W:integer)})."
+    "sp(X,mmin<D>) <- X = 0, D = 0."
+    "sp(Y,mmin<D2>) <- sp(X,D), edge(X,Y,W), D2 = D + W."
+)
+
+CHAIN = [f"{i},{i + 1}" for i in range(30)]
+EDGES = ["0,1,5", "1,2,2", "0,2,9", "2,3,1", "0,3,20"]
+FOLLOWS = ["1,3", "2,3", "1,4", "3,5", "3,6"]
+
+
+def _rows(spark, prog, data, goal, **cfg):
+    ctx = BigDatalogContext(spark, EngineConfig(**cfg))
+    ctx.load_program(prog)
+    for name, lines in data.items():
+        ctx.register_data(name, lines)
+    return sorted(tuple(r) for r in ctx.query(goal).collect())
+
+
+def _spy(monkeypatch, name):
+    """Record invocations of a driver_* entry point as seen by context.py."""
+    calls = []
+    orig = getattr(ctx_mod, name)
+
+    def wrapper(*a, **k):
+        out = orig(*a, **k)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(ctx_mod, name, wrapper)
+    return calls
+
+
+@pytest.mark.parametrize(
+    "prog,data,goal",
+    [
+        (NL_TC, {"arc": CHAIN}, "tc(A,B)."),
+        (MUTUAL, {"arc": CHAIN}, "even(X)."),
+        (MCOUNT, {"follows": FOLLOWS}, "cnt(Y,N)."),
+        (SSSP, {"edge": EDGES}, "sp(X,D)."),
+    ],
+)
+def test_driver_tier_matches_task_and_distributed(spark, prog, data, goal):
+    driver = _rows(spark, prog, data, goal)
+    in_task = _rows(spark, prog, data, goal, driver_local=False)
+    dist = _rows(spark, prog, data, goal, decomposable_local=False)
+    assert driver == in_task == dist and len(driver) > 0
+
+
+def test_driver_tier_engages_for_nonlinear(spark, monkeypatch):
+    calls = _spy(monkeypatch, "driver_seminaive")
+    assert len(_rows(spark, NL_TC, {"arc": CHAIN}, "tc(A,B).")) == 465
+    assert calls == [True]
+
+
+def test_driver_tier_respects_nonlinear_seed_gate(spark, monkeypatch):
+    # seed (30 arcs) above the gate → in-task path, same answer
+    calls = _spy(monkeypatch, "driver_seminaive")
+    rows = _rows(
+        spark, NL_TC, {"arc": CHAIN}, "tc(A,B).", driver_seed_max_rows=10
+    )
+    assert len(rows) == 465 and calls == []
+
+
+def test_driver_tier_growth_abort_falls_back_to_distributed(spark, monkeypatch):
+    # a growth budget the 465-row closure must exceed: the driver loop
+    # aborts and the clique reruns on the distributed fixpoint, correctly
+    calls = _spy(monkeypatch, "driver_seminaive")
+    rows = _rows(
+        spark,
+        NL_TC,
+        {"arc": CHAIN},
+        "tc(A,B).",
+        local_growth_factor=1,
+        local_growth_floor=64,
+    )
+    assert len(rows) == 465
+    assert calls == [False]  # engaged, aborted (returned None)
+
+
+def test_mixed_driver_tier_engages_and_matches(spark, monkeypatch):
+    calls = _spy(monkeypatch, "driver_mixed")
+    driver = _rows(spark, MCOUNT, {"follows": FOLLOWS}, "cnt(Y,N).")
+    assert calls == [True]
+    assert driver == _rows(
+        spark, MCOUNT, {"follows": FOLLOWS}, "cnt(Y,N).", driver_local=False
+    )
+
+
+def test_monotonic_driver_tier_single_seed(spark, monkeypatch):
+    calls = _spy(monkeypatch, "driver_monotonic")
+    driver = _rows(spark, SSSP, {"edge": EDGES}, "sp(X,D).")
+    assert calls == [True]
+    assert driver == [(0, 0), (1, 5), (2, 7), (3, 8)]
+
+
+def test_exit_seed_evaluates_in_pandas(spark, monkeypatch):
+    # exit rules with a static atom, a comparison filter, and arithmetic in
+    # the head all evaluate driver-side — pin against the fetch-job path
+    prog = (
+        "database({v(X:integer)})."
+        "r(X,Y) <- v(X), X > 1, Y = X * 2."
+        "r(Z,Y) <- r(X,Z), Y = Z + 1, Y < 9."
+    )
+    fetched = []
+    orig = ctx_mod.BigDatalogContext._driver_exit_pdf
+
+    def spy(self, rules, seed, **kw):
+        out = orig(self, rules, seed, **kw)
+        fetched.append(out is not None)
+        return out
+
+    monkeypatch.setattr(ctx_mod.BigDatalogContext, "_driver_exit_pdf", spy)
+    rows = _rows(spark, prog, {"v": ["1", "2", "3"]}, "r(X,Y).")
+    assert rows == [(2, 4), (3, 6), (4, 5), (5, 6), (6, 7), (7, 8)]
+    assert True in fetched  # at least the recursive pred's seed came free
+
+
+def test_exit_seed_respects_bound_filter(spark):
+    # bound-goal seed restriction must apply identically on the pandas path
+    tc = (
+        "database({arc(From:integer, To:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    bound = _rows(spark, tc, {"arc": CHAIN}, "tc(3,B).")
+    assert bound == [(3, i) for i in range(4, 31)]
+    assert bound == _rows(
+        spark, tc, {"arc": CHAIN}, "tc(3,B).", driver_local=False
+    )
+
+
+def test_exit_seed_duplicate_contributions_match_spark_semantics(spark):
+    # two exit rules deriving the SAME contribution row: the Spark pipeline
+    # dedups mixed seeds (the loop keeps distinct support sets) — the
+    # pandas path must agree, not double-count
+    prog = (
+        "database({s(A:integer, V:integer), t(A:integer, V:integer)})."
+        "tot(A,msum<V>) <- s(A,V)."
+        "tot(A,msum<V>) <- t(A,V)."
+    )
+    data = {"s": ["1,10", "2,5"], "t": ["1,10", "2,7"]}
+    driver = _rows(spark, prog, data, "tot(A,V).")
+    assert driver == _rows(spark, prog, data, "tot(A,V).", driver_local=False)

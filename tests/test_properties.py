@@ -235,6 +235,84 @@ def test_nonlinear_tc_local_equals_distributed(spark, edges):
 
 @PROP
 @given(edges=EDGES)
+def test_mutual_clique_driver_tier_three_way_parity(spark, edges):
+    """Mutual even/odd on ANY graph: the driver tier (single-tuple seed,
+    empty-exit tag for `odd`), the in-task seed-broadcast loop, and the
+    distributed fixpoint must all match a Python BFS by hop parity."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    prog = (
+        "database({arc(S:integer, D:integer)})."
+        "even(X) <- X = 0."
+        "odd(Y) <- even(X), arc(X,Y)."
+        "even(Y) <- odd(X), arc(X,Y)."
+    )
+    data = {"arc": [f"{s},{d}" for s, d in edges]}
+    got = []
+    for cfg in (
+        EngineConfig(),
+        EngineConfig(driver_local=False),
+        EngineConfig(decomposable_local=False),
+    ):
+        ctx = BigDatalogContext(spark, cfg)
+        ctx.load_program(prog)
+        ctx.register_data("arc", data["arc"])
+        got.append({r[0] for r in ctx.query("even(X).").collect()})
+    even, frontier = {0}, {0}
+    odd = set()
+    while frontier:
+        nxt = {d for (s, d) in edges if s in frontier} - odd
+        odd |= nxt
+        frontier = {d for (s, d) in edges if s in nxt} - even
+        even |= frontier
+    assert got[0] == got[1] == got[2] == even
+
+
+@PROP
+@given(edges=EDGES)
+def test_mcount_driver_tier_three_way_parity(spark, edges):
+    """Mixed mcount clique (always single-task): driver tier vs in-task vs
+    distributed vs a Python in-degree count."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    prog = (
+        "database({arc(S:integer, D:integer)})."
+        "deg(Y,mcount<X>) <- arc(X,Y)."
+        "hub(Y) <- deg(Y,N), N >= 2."
+        "deg(Z,mcount<W>) <- hub(Y), arc(Y,Z), W = Y + 100."
+    )
+    got = []
+    for cfg in (
+        EngineConfig(),
+        EngineConfig(driver_local=False),
+        EngineConfig(decomposable_local=False),
+    ):
+        ctx = BigDatalogContext(spark, cfg)
+        ctx.load_program(prog)
+        ctx.register_data("arc", [f"{s},{d}" for s, d in edges])
+        got.append({tuple(r) for r in ctx.query("deg(Y,N).").collect()})
+    # python fixpoint: mcount counts DISTINCT contribution tuples (group,
+    # value); hub contributions live in a disjoint value space (Y + 100),
+    # so crossing the ≥2 threshold cascades through real recursion
+    support = {}
+    for s, d in edges:
+        support.setdefault(d, set()).add(s)
+    while True:
+        hubs = {y for y, sup in support.items() if len(sup) >= 2}
+        added = False
+        for y in hubs:
+            for s, d in edges:
+                if s == y and y + 100 not in support.setdefault(d, set()):
+                    support[d].add(y + 100)
+                    added = True
+        if not added:
+            break
+    want = {(y, len(sup)) for y, sup in support.items()}
+    assert got[0] == got[1] == got[2] == want
+
+
+@PROP
+@given(edges=EDGES)
 def test_apsp_mmin_local_equals_distributed(spark, edges):
     """Non-linear monotonic (APSP) parity across evaluation paths, against
     a Floyd-Warshall oracle (weights w = 1 + dst % 3)."""

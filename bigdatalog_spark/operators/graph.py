@@ -122,10 +122,16 @@ def connected_components(
 
 
 def _cc_local(spark, base: DataFrame) -> DataFrame:
-    """Single-task union-find over broadcast edges — exact same contract
-    as the star-contraction path (component = min vertex id), integer
-    arithmetic so the outputs are identical, not merely equivalent. One
-    Spark job instead of O(log n) rounds of 2 aggregations + joins."""
+    """Driver-side union-find over the size-gated edge set — exact same
+    contract as the star-contraction path (component = min vertex id),
+    integer arithmetic so the outputs are identical, not merely
+    equivalent. The edges are already driver-resident (the size probe
+    collected them), so running the union-find right here and Arrow-
+    parallelizing the result costs ZERO cluster jobs — the previous form
+    broadcast the edges back into a one-task mapInPandas plus an eager
+    checkpoint, pure roundtrip overhead (same reasoning as the Datalog
+    driver tier, local_eval.driver_seminaive)."""
+    import pandas as pd
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -134,59 +140,37 @@ def _cc_local(spark, base: DataFrame) -> DataFrame:
             T.StructField("component", base.schema["c0"].dataType, False),
         ]
     )
-    bc = spark.sparkContext.broadcast(base.toPandas())
+    ed = base.toPandas()
+    # factorize(sort=True) makes codes order-isomorphic to the vertex
+    # values, so union-by-min-CODE yields component = min VALUE for any
+    # orderable id type (string, date, float — no int() coercion, which
+    # raised on strings and truncated fractional floats)
+    both = pd.concat([ed["c0"], ed["c1"]], ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=True)
+    m = len(ed)
+    parent = list(range(len(uniques)))
 
-    def mapper(batches):
-        import pandas as pd
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
 
-        if not any(len(b) for b in batches):
-            return
-        ed = bc.value
-        # factorize(sort=True) makes codes order-isomorphic to the vertex
-        # values, so union-by-min-CODE yields component = min VALUE for any
-        # orderable id type (string, date, float — no int() coercion, which
-        # raised on strings and truncated fractional floats)
-        both = pd.concat(
-            [ed["c0"], ed["c1"]], ignore_index=True
-        )
-        codes, uniques = pd.factorize(both, sort=True)
-        m = len(ed)
-        parent = list(range(len(uniques)))
-
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for u, v in zip(codes[:m], codes[m:]):
-            ru, rv = find(u), find(v)
-            if ru != rv:
-                # union by min root → roots are already the component min
-                if ru < rv:
-                    parent[rv] = ru
-                else:
-                    parent[ru] = rv
-        roots = [find(x) for x in range(len(uniques))]
-        out = pd.DataFrame(
-            {"vertex": uniques, "component": uniques[roots]}
-        )
-        yield out.astype(
-            {"vertex": ed["c0"].dtype, "component": ed["c0"].dtype}
-        )
-
-    # materialize in one job so the broadcast can be destroyed NOW (not
-    # left to GC + ContextCleaner); the checkpoint blocks are O(vertices)
-    # and released when the caller drops the DataFrame
-    out = (
-        spark.range(0, 1, 1, 1)
-        .mapInPandas(mapper, schema=schema)
-        .localCheckpoint(eager=True)
+    for u, v in zip(codes[:m], codes[m:]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min root → roots are already the component min
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    roots = [find(x) for x in range(len(uniques))]
+    out = pd.DataFrame({"vertex": uniques, "component": uniques[roots]}).astype(
+        {"vertex": ed["c0"].dtype, "component": ed["c0"].dtype}
     )
-    bc.destroy()
-    return out
+    return spark.createDataFrame(out, schema=schema)
 
 
 def connected_components_fast(
@@ -334,9 +318,14 @@ def connected_components_fast(
 
 
 def _k_core_local(spark, e: DataFrame, k: int) -> DataFrame:
-    """Single-task vectorized peeling over broadcast edges — same contract
-    as the distributed rounds (the k-core is unique, so outputs are
-    identical). One Spark job instead of O(peel-depth) rounds."""
+    """Driver-side vectorized peeling over the size-gated edge set — same
+    contract as the distributed rounds (the k-core is unique, so outputs
+    are identical). The edges are already driver-resident from the size
+    probe; peeling here and Arrow-parallelizing the result costs zero
+    cluster jobs (the previous broadcast → one-task mapInPandas → eager
+    checkpoint form was pure roundtrip — see _cc_local)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -345,47 +334,28 @@ def _k_core_local(spark, e: DataFrame, k: int) -> DataFrame:
             T.StructField("degree", T.LongType(), False),
         ]
     )
-    bc = spark.sparkContext.broadcast(e.toPandas())
-
-    def mapper(batches):
-        import numpy as np
-        import pandas as pd
-
-        if not any(len(b) for b in batches):
-            return
-        ed = bc.value
-        both = pd.concat([ed["u"], ed["v"]], ignore_index=True)
-        codes, uniques = pd.factorize(both, sort=True)
-        m = len(ed)
-        cu, cv = codes[:m].copy(), codes[m:].copy()
-        alive = np.ones(m, dtype=bool)
-        while True:
-            deg = np.bincount(
-                np.concatenate([cu[alive], cv[alive]]), minlength=len(uniques)
-            )
-            drop = alive & ((deg[cu] < k) | (deg[cv] < k))
-            if not drop.any():
-                break
-            alive &= ~drop
+    ed = e.toPandas()
+    both = pd.concat([ed["u"], ed["v"]], ignore_index=True)
+    codes, uniques = pd.factorize(both, sort=True)
+    m = len(ed)
+    cu, cv = codes[:m].copy(), codes[m:].copy()
+    alive = np.ones(m, dtype=bool)
+    while True:
         deg = np.bincount(
             np.concatenate([cu[alive], cv[alive]]), minlength=len(uniques)
         )
-        keep = deg >= k
-        out = pd.DataFrame(
-            {
-                "vertex": uniques[keep],
-                "degree": deg[keep].astype("int64"),
-            }
-        )
-        yield out.astype({"vertex": ed["u"].dtype})
-
-    out = (
-        spark.range(0, 1, 1, 1)
-        .mapInPandas(mapper, schema=schema)
-        .localCheckpoint(eager=True)
+        drop = alive & ((deg[cu] < k) | (deg[cv] < k))
+        if not drop.any():
+            break
+        alive &= ~drop
+    deg = np.bincount(
+        np.concatenate([cu[alive], cv[alive]]), minlength=len(uniques)
     )
-    bc.destroy()
-    return out
+    keep = deg >= k
+    out = pd.DataFrame(
+        {"vertex": uniques[keep], "degree": deg[keep].astype("int64")}
+    ).astype({"vertex": ed["u"].dtype})
+    return spark.createDataFrame(out, schema=schema)
 
 
 def k_core(
@@ -549,12 +519,17 @@ def same_generation(
 def _pagerank_local(
     spark, e: DataFrame, iterations: int, damping: float
 ) -> DataFrame:
-    """Single-task numpy power iteration over broadcast edges — the
-    graph-op analogue of the fixpoint local-eval path: one Spark job
-    instead of 2 joins + checkpoints per iteration. Arithmetic is the
-    same per-term double expression as the distributed loop (summation
-    order can differ only for nodes with in-degree ≥ 3 — the same
-    last-ulp caveat the distributed plan has against any oracle)."""
+    """Driver-side numpy power iteration over the size-gated edge set —
+    the graph-op analogue of the Datalog driver tier: zero cluster jobs
+    instead of 2 joins + checkpoints per iteration (the edges are already
+    driver-resident from the size probe; the previous broadcast →
+    one-task mapInPandas → eager checkpoint form was pure roundtrip).
+    Arithmetic is the same per-term double expression as the distributed
+    loop (summation order can differ only for nodes with in-degree ≥ 3 —
+    the same last-ulp caveat the distributed plan has against any
+    oracle)."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -563,42 +538,24 @@ def _pagerank_local(
             T.StructField("rank", T.DoubleType(), False),
         ]
     )
-    bc = spark.sparkContext.broadcast(e.toPandas())
+    ed = e.toPandas()
     d = float(damping)
-
-    def mapper(batches):
-        import numpy as np
-        import pandas as pd
-
-        if not any(len(b) for b in batches):
-            return
-        ed = bc.value
-        src_v, dst_v = ed["src"].values, ed["dst"].values
-        nodes, codes = np.unique(
-            np.concatenate([src_v, dst_v]), return_inverse=True
-        )
-        si, di = codes[: len(src_v)], codes[len(src_v):]
-        n = len(nodes)
-        deg = np.bincount(si, minlength=n)
-        teleport = (1.0 - d) / float(n)
-        ranks = np.full(n, 1.0 / float(n))
-        for _ in range(iterations):
-            contrib = ranks[si] / deg[si]
-            s = np.zeros(n)
-            np.add.at(s, di, contrib)
-            ranks = teleport + d * s
-        yield pd.DataFrame({"node": nodes, "rank": ranks})
-
-    # materialize in one job so the broadcast can be destroyed NOW (not
-    # left to GC + ContextCleaner); blocks are |V| rows, released when the
-    # caller drops the DataFrame
-    out = (
-        spark.range(0, 1, 1, 1)
-        .mapInPandas(mapper, schema=schema)
-        .localCheckpoint(eager=True)
-    )
-    bc.destroy()
-    return out
+    src_v, dst_v = ed["src"].values, ed["dst"].values
+    nodes, codes = np.unique(np.concatenate([src_v, dst_v]), return_inverse=True)
+    si, di = codes[: len(src_v)], codes[len(src_v):]
+    n = len(nodes)
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    deg = np.bincount(si, minlength=n)
+    teleport = (1.0 - d) / float(n)
+    ranks = np.full(n, 1.0 / float(n))
+    for _ in range(iterations):
+        contrib = ranks[si] / deg[si]
+        s = np.zeros(n)
+        np.add.at(s, di, contrib)
+        ranks = teleport + d * s
+    out = pd.DataFrame({"node": nodes, "rank": ranks})
+    return spark.createDataFrame(out, schema=schema)
 
 
 def pagerank(

@@ -50,7 +50,6 @@ from .local_eval import (
     broadcast_seed_statics,
     driver_exit_seed,
     driver_mixed,
-    driver_monotonic,
     driver_seminaive,
     local_monotonic_fixpoint,
     local_seminaive_fixpoint,
@@ -1327,27 +1326,14 @@ class BigDatalogContext:
             seed_pd = seed.limit(max_rows + 1).toPandas()
         if len(seed_pd) > max_rows:
             return None
-        # single-task shapes run driver-side (see _try_local_seminaive)
-        if self.config.driver_local and (
-            (
-                shape == "nonlinear"
-                and len(seed_pd) <= self.config.driver_seed_max_rows
-            )
-            or len(seed_pd) <= 1
-        ):
-            return driver_monotonic(
-                self.spark,
-                seed_pd,
-                seed.schema,
-                clique.recursive_rules[pred],
-                clique.preds,
-                statics,
-                key_cols,
-                value_col,
-                func,
-                pd_cache=self._statics_pd,
-                growth=self._growth,
-            )
+        # NO driver tier here, deliberately: a monotonic fixpoint's result
+        # is key-space-sized (≈ the static graph, e.g. one row per vertex
+        # for SSSP) regardless of how small the seed is, so the driver-side
+        # result materialization always costs more than the one job it
+        # saves (measured: dl_sssp 0.93 → 1.29 s at sf0.1, same shape at
+        # sf1). The demand-bounded wins belong to set-semantics and mixed
+        # cliques; monotonic keeps the in-task loop (its exit seed still
+        # evaluates in pandas above — that part is job-free either way).
         out = seed_broadcast_monotonic(
             self.spark,
             seed_pd,

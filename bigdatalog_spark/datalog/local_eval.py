@@ -702,36 +702,6 @@ def driver_mixed(
     return out
 
 
-def driver_monotonic(
-    spark: SparkSession,
-    seed_pd,
-    seed_schema,
-    rules,
-    clique_preds,
-    statics: dict,
-    key_cols: list,
-    value_col: str,
-    func: str,
-    pd_cache=None,
-    growth=DEFAULT_GROWTH,
-):
-    """Driver-side tier for monotonic (mmin/mmax) fixpoints that would run
-    in one task (non-linear, or a single contribution tuple — the classic
-    single-source shortest-paths seed). One slice means the local best-value
-    table IS the global fixpoint — _run_monotonic_pd keeps it keyed-unique
-    and dtype-cast, so no re-aggregate is needed. None on growth abort."""
-    statics_pd = {k: _static_pd(v, pd_cache) for k, v in statics.items()}
-    try:
-        result = _run_monotonic_pd(
-            seed_pd, list(rules), frozenset(clique_preds), statics_pd,
-            key_cols, value_col, func, growth=growth,
-        )
-    except LocalGrowthExceeded:
-        return None
-    result = result[[f.name for f in seed_schema.fields]]
-    return _driver_result_df(spark, result, seed_schema, pd_cache)
-
-
 def local_seminaive_fixpoint(
     spark: SparkSession,
     seed: DataFrame,

@@ -124,10 +124,15 @@ def test_mixed_driver_tier_engages_and_matches(spark, monkeypatch):
     )
 
 
-def test_monotonic_driver_tier_single_seed(spark, monkeypatch):
-    calls = _spy(monkeypatch, "driver_monotonic")
+def test_monotonic_stays_in_task(spark, monkeypatch):
+    # DELIBERATE non-engagement: a monotonic fixpoint's result is
+    # key-space-sized regardless of seed size (one row per reachable
+    # vertex for SSSP), so the driver tier's result materialization would
+    # cost more than the job it saves — the in-task loop serves it
+    sem = _spy(monkeypatch, "driver_seminaive")
+    mix = _spy(monkeypatch, "driver_mixed")
     driver = _rows(spark, SSSP, {"edge": EDGES}, "sp(X,D).")
-    assert calls == [True]
+    assert sem == [] and mix == []
     assert driver == [(0, 0), (1, 5), (2, 7), (3, 8)]
 
 

@@ -1560,6 +1560,206 @@ def q21_waiting_supplier(spark, sf_dir):
     )
 
 
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering
+    the REGIONAL MINIMUM supply cost — the correlated-min subquery becomes
+    a per-part min aggregate joined back against the candidate rows.
+
+    The testdata has no partsupp table, so the supplier catalog is derived
+    from the fact table itself: supplycost(part, supplier) = the cheapest
+    observed unit price (min of round(extendedprice/quantity, 6) — min is
+    an exact selection, so the Spark/DuckDB values are bit-identical).
+    Scale: the part filter broadcast-reduces lineitem BEFORE the (part,
+    supplier) aggregation; supplier⋈nation⋈region is a broadcast dim; the
+    per-part min is one row per qualifying part and broadcasts back, so
+    the only fact-sized shuffle is the groupBy(part, supplier)."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_type") == "STANDARD") & F.col("p_size").between(10, 20)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    l = load_table(spark, sf_dir, "lineitem")
+    eur_supp = (
+        s.join(F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+                "supplycost"
+            )
+        )
+    )
+    ps_eur = ps.join(F.broadcast(eur_supp), ps.l_suppkey == F.col("s_suppkey"))
+    mn = ps_eur.groupBy("l_partkey").agg(F.min("supplycost").alias("__mn"))
+    return (
+        ps_eur.join(F.broadcast(mn), "l_partkey")
+        .where(F.col("supplycost") == F.col("__mn"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "supplycost",
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q4_priority_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape: order-priority checking — count a quarter's orders
+    where EXISTS a lineitem that slipped (shipped > 45 days after the
+    order date; the testdata has no commit/receipt dates, so the ship lag
+    is the lateness proxy). The EXISTS is a left-semi join whose condition
+    references both sides, exactly like the reference's comparison-bearing
+    joins (LogicalPlanGenerator.scala:242-267 builds Join(condition) from
+    non-equi goals). The quarter filter pushes to the orders scan; the
+    semi-join shuffles on orderkey and keeps at most one survivor per
+    order, so the groupBy is over the reduced slice."""
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey)
+            & (l.l_shipdate > F.date_add(F.col("o_orderdate"), 45)),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape: parts representing a significant share of one
+    nation's supplied value — a grouped aggregate HAVING > k × a scalar
+    computed FROM the grouped result (not a second fact pass) and
+    broadcast back. TPC-H's fixed FRACTION×total dilutes as the part
+    catalog grows (0 survivors past a few thousand parts), so the
+    threshold is 2.5× the MEAN per-part value — same scalar-subquery
+    shape, selectivity invariant under scale-up. Value sums accumulate in
+    decimal(18,4) so the boundary is order-independent and
+    engine-portable (double accumulation would make it ulp-sensitive).
+    partsupp is derived from the fact table: a nation's supplied value
+    per part = revenue its suppliers shipped. One fact-sized shuffle
+    (groupBy partkey); the nation's supplier list is a broadcast
+    semi-join reducing lineitem first."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_7")
+    l = load_table(spark, sf_dir, "lineitem")
+    nat_supp = s.join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey")).select(
+        "s_suppkey"
+    )
+    vals = (
+        l.join(F.broadcast(nat_supp), l.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("value")
+        )
+    )
+    # exact decimal accumulation, then ONE double conversion before the
+    # divide — decimal-division scale rules differ across engines
+    thr = vals.agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+            * F.lit(2.5)
+        ).alias("__thr")
+    )
+    return (
+        vals.join(F.broadcast(thr))
+        .where(F.col("value") > F.col("__thr"))
+        .select("ps_partkey", "value")
+        .orderBy(F.col("value").desc(), "ps_partkey")
+    )
+
+
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can provide each
+    (brand, type, size) part group, excluding a blacklist of suppliers —
+    NOT IN becomes a left-anti join against the (broadcast) blacklist
+    (negative account balance stands in for the complaints predicate).
+    The fact table collapses to distinct (part, supplier) pairs FIRST —
+    the one fact-sized shuffle — so the part join and the final
+    count_distinct run over the reduced pair set."""
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 3, 9, 14, 19, 23, 36, 45)
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        l.select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(bad_supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+    )
+    return (
+        pairs.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+def q20_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers holding a dominant position on a part
+    family — nested semi-joins over two aggregation levels. Without
+    partsupp.availqty, dominance = shipped more than half of a part's
+    1997 volume ('small %' name prefix selects the family). Quantities
+    are small exact integers in doubles, so the 0.5×total comparison is
+    exact in both engines. Plan: broadcast part-family filter reduces the
+    fact slice, one shuffle to (part, supplier) sums; the per-part totals
+    re-aggregate FROM the pair sums (parts-sized, not fact-sized) and the
+    join back is left to AQE — at bench scale it lands broadcast, at
+    100 TB both sides stay partkey-partitioned from the same shuffle."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").startswith("small "))
+    l = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_ps = (
+        l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    dom = (
+        per_ps.join(per_p, "l_partkey")
+        .where(F.col("qty") > 0.5 * F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dom, s.s_suppkey == F.col("l_suppkey"))
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 def q_subword_tokens(spark, sf_dir):
     """Token budgets per source with the BPE-ish run counter next to the
     whitespace counter — the fidelity gap between them is exactly the
@@ -2489,8 +2689,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # 41 most engine-relevant r05 rows: the dedup/ANN/text family (winnowing
     # + text code changed in r06), q_kcore (peel loop rewritten in r06),
     # dl_tc_distributed, q_stream_sessionize, and the heavy TPC-H shapes
-    # (q6/q8/q9/q15/q21 — q9/q18/q21 rewritten this round). Left on their
-    # r05 rows (1 round old): the md5-row-local sampling family and the
+    # (q6/q8/q9/q15/q21 — q9/q18/q21 rewritten this round). The five
+    # TPC-H shapes NEW this round (q2/q4/q11/q16/q20 — the catalog-derived
+    # adaptations completing all 22 official shapes) enter the window in
+    # place of five window-analytics rows untouched since r04
+    # (q_running_avg, q_asof_forward, q_grouping_sets, q_interval_join,
+    # q_range_acctbal_band — deferred one round). Left on their r05 rows
+    # (1 round old): the md5-row-local sampling family and the
     # sketch/cohort entry queries, whose code has not changed since r03.
     # The 50 r06-fresh rows follow the window.
     return {
@@ -2543,16 +2748,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_stats": q_pii_stats,
         "q_decontaminate": q_decontaminate,
         "q_shard_manifest": q_shard_manifest,
-        "q_running_avg": q_running_avg,
         "q_asof_purchase": q_asof_purchase,
-        "q_asof_forward": q_asof_forward,
-        "q_grouping_sets": q_grouping_sets,
-        "q_interval_join": q_interval_join,
-        "q_range_acctbal_band": q_range_acctbal_band,
+        # --- NEW this round: the last five official TPC-H shapes ---
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_priority_late_orders": q4_priority_late_orders,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_supplier": q20_dominant_supplier,
         # --- NEW this round: generalized magic-sets bound goals ---
         "dl_tc_nl_bound": dl_tc_nl_bound,
         "dl_mutual_bound": dl_mutual_bound,
         # ---------------- end of the 50-entry r07 window ----------------
+        "q_running_avg": q_running_avg,
+        "q_asof_forward": q_asof_forward,
+        "q_grouping_sets": q_grouping_sets,
+        "q_interval_join": q_interval_join,
+        "q_range_acctbal_band": q_range_acctbal_band,
         "q_pivot_event_types": q_pivot_event_types,
         "q_cube_revenue": q_cube_revenue,
         # --- r05 rows, code untouched since r03 (sampling / sketches) ---
@@ -3423,6 +3634,88 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY s_name
             ORDER BY numwait DESC, s_name ASC
             LIMIT 20
+        """,
+        "q2_min_cost_supplier": """
+            WITH eurs AS (
+              SELECT s_suppkey, s_name, s_acctbal, n_name
+              FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'EUROPE'),
+            ps AS (
+              SELECT l_partkey, l_suppkey,
+                     min(round(l_extendedprice / l_quantity, 6)) AS supplycost
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
+              GROUP BY 1, 2),
+            pse AS (
+              SELECT * FROM ps JOIN eurs ON l_suppkey = s_suppkey),
+            mn AS (
+              SELECT l_partkey, min(supplycost) AS mn FROM pse GROUP BY 1)
+            SELECT s_acctbal, s_name, n_name, pse.l_partkey AS p_partkey,
+                   supplycost
+            FROM pse JOIN mn ON pse.l_partkey = mn.l_partkey
+            WHERE supplycost = mn
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q4_priority_late_orders": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1996-10-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate + INTERVAL 45 DAY)
+            GROUP BY o_orderpriority
+            ORDER BY o_orderpriority
+        """,
+        "q11_important_parts": """
+            WITH vals AS (
+              SELECT l_partkey AS ps_partkey,
+                     CAST(round(sum(CAST(l_extendedprice * (1 - l_discount)
+                          AS DECIMAL(18,4))), 2) AS DOUBLE) AS value
+              FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7'
+              GROUP BY 1)
+            SELECT ps_partkey, value
+            FROM vals
+            WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,2)))
+                                       AS DOUBLE) / count(*) * 2.5 FROM vals)
+            ORDER BY value DESC, ps_partkey
+        """,
+        "q16_supplier_part_counts": """
+            WITH pairs AS (
+              SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+              WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+            FROM pairs JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+              AND p_size IN (1, 3, 9, 14, 19, 23, 36, 45)
+            GROUP BY p_brand, p_type, p_size
+            ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        """,
+        "q20_dominant_supplier": """
+            WITH per_ps AS (
+              SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_name LIKE 'small %'
+                AND l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01'
+              GROUP BY 1, 2),
+            per_p AS (
+              SELECT l_partkey, sum(qty) AS total_qty FROM per_ps GROUP BY 1),
+            dom AS (
+              SELECT DISTINCT a.l_suppkey
+              FROM per_ps a JOIN per_p b ON a.l_partkey = b.l_partkey
+              WHERE a.qty > 0.5 * b.total_qty)
+            SELECT s_suppkey, s_name, n_name
+            FROM supplier
+            JOIN dom ON s_suppkey = dom.l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            ORDER BY s_suppkey
         """,
         # bound-check oracle: the Spark side emits booleans asserting the
         # sketch value sits between the exact q±0.005 quantiles; the oracle

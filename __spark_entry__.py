@@ -1673,6 +1673,12 @@ def q11_important_parts(spark, sf_dir):
             .cast("double")
             .alias("value")
         )
+        # both the scalar threshold and the final filter read vals; without
+        # this the fact scan + aggregation run TWICE (Catalyst's exchange
+        # reuse does not unify the two branches). vals is parts-sized —
+        # materializing it once is cheap at any SF. sf1 warm measured:
+        # 18.7 → 2.0 s.
+        .localCheckpoint(eager=True)
     )
     # exact decimal accumulation, then ONE double conversion before the
     # divide — decimal-division scale rules differ across engines
@@ -2657,6 +2663,46 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table("q_stream_dedup_sink")
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream watermarked join driven end-to-end as TWO live
+    file-source streams (the streaming face of q_interval_join, which
+    runs the same interval_join code on batch frames): a clicks stream ⋈
+    a purchases stream on user with purchase ts ∈ [click ts, click ts +
+    1 h]. INNER stream-stream joins emit a match as soon as both rows
+    have arrived — the watermark's job here is state EVICTION, not
+    result release — so an AvailableNow drain through an append memory
+    sink yields exactly the batch answer and the batch SQL oracle checks
+    it value-for-value. State on each side is bounded by (watermark +
+    interval) × arrival rate: the production contract that makes this
+    join runnable on unbounded streams, unlike an unwatermarked join
+    whose state never evicts."""
+    from bigdatalog_spark.streaming.ops import interval_join, write_memory_sink
+
+    schema = load_table(spark, sf_dir, "events").schema
+    clicks = (
+        _stream_events(spark, sf_dir, schema)
+        .where(F.col("event_type") == "click")
+        .select("user_id", "ts", F.col("event_id").alias("click_id"))
+    )
+    purchases = (
+        _stream_events(spark, sf_dir, schema)
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "ts", F.col("event_id").alias("purchase_id"))
+    )
+    j = interval_join(
+        clicks,
+        purchases,
+        on="user_id",
+        lower="0 seconds",
+        upper="1 hour",
+        watermark="2 hours",
+    )
+    out = j.select("user_id", "click_id", "purchase_id", "ts", "ts_r")
+    q = write_memory_sink(out, "q_stream_ij_sink", output_mode="append")
+    q.awaitTermination()
+    return spark.table("q_stream_ij_sink")
+
+
 def q_json_props(spark, sf_dir):
     """Semi-structured extraction: pull props.k out of the events JSON
     column JVM-side (get_json_object — no UDF) and aggregate per event
@@ -2694,7 +2740,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # adaptations completing all 22 official shapes) enter the window in
     # place of five window-analytics rows untouched since r04
     # (q_running_avg, q_asof_forward, q_grouping_sets, q_interval_join,
-    # q_range_acctbal_band — deferred one round). Left on their r05 rows
+    # q_range_acctbal_band — deferred one round), and the streaming
+    # stream-stream join row NEW this round (q_stream_interval_join)
+    # replaces q_shard_manifest (io code untouched since r04, swept
+    # green). Left on their r05 rows
     # (1 round old): the md5-row-local sampling family and the
     # sketch/cohort entry queries, whose code has not changed since r03.
     # The 50 r06-fresh rows follow the window.
@@ -2747,8 +2796,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_chunks": q_doc_chunks,
         "q_pii_stats": q_pii_stats,
         "q_decontaminate": q_decontaminate,
-        "q_shard_manifest": q_shard_manifest,
         "q_asof_purchase": q_asof_purchase,
+        # --- NEW this round: stream-stream join driven as live streams ---
+        "q_stream_interval_join": q_stream_interval_join,
         # --- NEW this round: the last five official TPC-H shapes ---
         "q2_min_cost_supplier": q2_min_cost_supplier,
         "q4_priority_late_orders": q4_priority_late_orders,
@@ -2759,6 +2809,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_tc_nl_bound": dl_tc_nl_bound,
         "dl_mutual_bound": dl_mutual_bound,
         # ---------------- end of the 50-entry r07 window ----------------
+        "q_shard_manifest": q_shard_manifest,
         "q_running_avg": q_running_avg,
         "q_asof_forward": q_asof_forward,
         "q_grouping_sets": q_grouping_sets,
@@ -3763,6 +3814,21 @@ def oracle_sql() -> dict[str, str]:
                                     (o_orderpriority), (o_orderstatus))
         """,
         "q_interval_join": """
+            WITH clicks AS (
+              SELECT user_id, ts, event_id AS click_id FROM events
+              WHERE event_type = 'click'),
+            purch AS (
+              SELECT user_id, ts, event_id AS purchase_id FROM events
+              WHERE event_type = 'purchase')
+            SELECT c.user_id, c.click_id, p.purchase_id,
+                   c.ts, p.ts AS ts_r
+            FROM clicks c JOIN purch p
+              ON c.user_id = p.user_id
+             AND p.ts BETWEEN c.ts AND c.ts + INTERVAL 1 HOUR
+        """,
+        # streaming face of q_interval_join — inner stream-stream joins
+        # drained AvailableNow equal the batch join exactly
+        "q_stream_interval_join": """
             WITH clicks AS (
               SELECT user_id, ts, event_id AS click_id FROM events
               WHERE event_type = 'click'),

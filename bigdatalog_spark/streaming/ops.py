@@ -128,6 +128,7 @@ def interval_join(
     lower: str = "0 seconds",
     upper: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream (or batch) interval equi-join: rows pair when keys
     match and ``right_ts ∈ [left_ts − lower, left_ts + upper]``.
@@ -135,7 +136,24 @@ def interval_join(
     On streams, both sides are watermarked so the state store can evict
     rows once no future match is possible — state is bounded by
     (watermark + interval) × arrival rate, the standard stream-stream join
-    contract. The right timestamp is exposed as ``<right_ts>_r``."""
+    contract. The right timestamp is exposed as ``<right_ts>_r``.
+
+    ``how='inner'`` (default) emits a pair as soon as both rows have
+    arrived. ``how='left_outer'`` additionally emits unmatched left rows
+    (right columns null) — but only once the watermark passes the point
+    where a match could still arrive, so on a BOUNDED stream the last
+    rows' null results are withheld until a later event advances the
+    watermark (same drain contract as append-mode aggregation; see
+    write_file_sink's docstring). Spark requires the time-range condition
+    plus watermarks for outer stream-stream joins — this function always
+    supplies both. Right/full outer are rejected: the unmatched-RIGHT
+    side would need the mirrored interval bound, which callers should
+    express by swapping the inputs instead of silently running a
+    different window."""
+    if how not in ("inner", "left_outer", "leftouter", "left"):
+        raise ValueError(
+            f"interval_join supports how='inner'/'left_outer' only, got {how!r}"
+        )
     l = left.alias("l")
     r = right.select(
         F.col(on).alias("__rk"),
@@ -152,7 +170,7 @@ def interval_join(
         & (rts >= lts - F.expr(f"INTERVAL {lower}"))
         & (rts <= lts + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, on=cond, how="inner").drop("__rk")
+    return l.join(r, on=cond, how=how).drop("__rk")
 
 
 def stream_dedup(

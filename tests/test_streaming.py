@@ -123,6 +123,88 @@ def test_interval_join_stream(spark):
     assert got == want and len(want) > 0
 
 
+def test_interval_join_left_outer_stream(spark):
+    """Outer stream-stream join semantics: matched pairs emit on arrival;
+    an UNMATCHED left row emits (right columns null) only once the global
+    watermark proves no match can still arrive — i.e. passes
+    left_ts + upper + watermark on BOTH sides.
+
+    Staging: batch 1 carries u1's click+purchase (a match inside the
+    hour) and u2's click (no purchase ever); batch 2 carries far-future
+    sentinels on both streams, advancing the watermark past u2's
+    match-possible horizon so its null row releases. The sentinels' own
+    unmatched rows stay withheld (nothing ever advances past THEM) —
+    which is itself the semantics under test."""
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    from bigdatalog_spark.streaming.ops import interval_join
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_id", T.LongType(), False),
+        ]
+    )
+
+    def write(rows, path):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    with tempfile.TemporaryDirectory() as d:
+        write([(1, datetime(2024, 1, 1, 10, 0), 100),
+               (2, datetime(2024, 1, 1, 10, 5), 101)], f"{d}/c")
+        write([(1, datetime(2024, 1, 1, 10, 30), 200)], f"{d}/p")
+        _time.sleep(1.2)  # distinct mtimes -> deterministic batch order
+        write([(9, datetime(2024, 1, 1, 20, 0), 900)], f"{d}/c")
+        write([(8, datetime(2024, 1, 1, 20, 0), 800)], f"{d}/p")
+
+        sc = stream_events_from_files(
+            spark, f"{d}/c", schema, max_files_per_trigger=1
+        )
+        sp = stream_events_from_files(
+            spark, f"{d}/p", schema, max_files_per_trigger=1
+        )
+        j = interval_join(
+            sc, sp, on="user_id", upper="1 hour", watermark="1 hour",
+            how="left_outer",
+        ).select("user_id", F.col("l.event_id").alias("event_id"),
+                F.col("r.event_id").alias("event_id_r"))
+        assert j.isStreaming
+        q = write_memory_sink(j, "ij_outer_test", "append")
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.table("ij_outer_test").collect()}
+    assert (1, 100, 200) in got          # the match emitted
+    assert (2, 101, None) in got         # the null row released by watermark
+    assert (9, 900, None) not in got     # sentinel's horizon never passed
+
+    # batch face: how= flows through to a plain left outer join
+    cb = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 10, 0), 100),
+         (2, datetime(2024, 1, 1, 10, 5), 101)], schema
+    )
+    pb = spark.createDataFrame([(1, datetime(2024, 1, 1, 10, 30), 200)], schema)
+    got_b = {
+        tuple(r)
+        for r in interval_join(
+            cb, pb, on="user_id", upper="1 hour", how="left_outer"
+        ).select("user_id", F.col("l.event_id").alias("event_id"),
+                F.col("r.event_id").alias("event_id_r"))
+        .collect()
+    }
+    assert got_b == {(1, 100, 200), (2, 101, None)}
+
+    # contract: right/full outer rejected up front
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        interval_join(cb, pb, on="user_id", how="right_outer")
+
+
 def test_watermark_drops_late_rows(spark):
     """Late-data semantics: an event older than the watermark arriving in a
     later micro-batch is DROPPED from its (already finalized) window.

@@ -39,6 +39,33 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 # ----------------------------------------------------------- derived graphs
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _stream_state_partitions(spark: SparkSession, parts: int = 8):
+    """Scope the state-partition count for a stateful streaming drain.
+
+    Stateful streaming operators keep 1 (aggregation/dedup) to 4
+    (stream-stream join) state store instances PER shuffle partition,
+    each paying snapshot/commit I/O every micro-batch, and the count
+    binds at stream START from spark.sql.shuffle.partitions. The session
+    default (32, sized for batch shuffles) gives a bounded bench drain
+    32-128 stores doing fixed I/O that dominates wall time (measured:
+    interval join 17.7 → 2.8 s, sessionize-append 5.9 → 3.9 s at sf0.1).
+    Production sizes this to state volume ÷ per-store budget — the same
+    knob, same reasoning, documented in README's cluster-tuning table.
+    Restored on exit; batch queries planned inside are unaffected
+    because every batch driver query re-reads the session value at
+    action time."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 def _stream_events(spark: SparkSession, sf_dir: str, schema):
     """File-source stream over the events table, robust to BOTH parquet
     layouts: a single ``events.parquet`` FILE inside the sf dir (the
@@ -450,8 +477,11 @@ def q_stream_sessionize(spark, sf_dir):
     schema = load_table(spark, sf_dir, "events").schema
     stream = _stream_events(spark, sf_dir, schema)
     sess = sessionize(stream, gap="30 minutes")
-    q = write_memory_sink(sess, "q_stream_sessionize_sink", output_mode="complete")
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = write_memory_sink(
+            sess, "q_stream_sessionize_sink", output_mode="complete"
+        )
+        q.awaitTermination()
     return (
         spark.table("q_stream_sessionize_sink")
         .groupBy("user_id")
@@ -538,12 +568,13 @@ def q_stream_sessionize_append(spark, sf_dir):
         stream = stream_events_from_files(
             spark, in_dir, schema, max_files_per_trigger=max(1, len(files))
         )
-        q = write_file_sink(
-            sessionize(stream, gap="30 minutes"),
-            path=os.path.join(d, "out"),
-            checkpoint=os.path.join(d, "ckpt"),
-        )
-        q.awaitTermination()
+        with _stream_state_partitions(spark):
+            q = write_file_sink(
+                sessionize(stream, gap="30 minutes"),
+                path=os.path.join(d, "out"),
+                checkpoint=os.path.join(d, "ckpt"),
+            )
+            q.awaitTermination()
         return (
             spark.read.parquet(os.path.join(d, "out"))
             .where(F.col("user_id") >= 0)
@@ -1857,8 +1888,9 @@ def q_hourly_events(spark, sf_dir):
     schema = load_table(spark, sf_dir, "events").schema
     stream = _stream_events(spark, sf_dir, schema)
     agg = windowed_event_counts(stream, "1 hour")
-    q = write_memory_sink(agg, "q_hourly_events_sink", output_mode="complete")
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = write_memory_sink(agg, "q_hourly_events_sink", output_mode="complete")
+        q.awaitTermination()
     return spark.table("q_hourly_events_sink")
 
 
@@ -2658,8 +2690,11 @@ def q_stream_dedup(spark, sf_dir):
     deduped = stream_dedup(
         stream, ["user_id", "event_type"], watermark="1 hour"
     ).select("user_id", "event_type")
-    q = write_memory_sink(deduped, "q_stream_dedup_sink", output_mode="append")
-    q.awaitTermination()
+    with _stream_state_partitions(spark):
+        q = write_memory_sink(
+            deduped, "q_stream_dedup_sink", output_mode="append"
+        )
+        q.awaitTermination()
     return spark.table("q_stream_dedup_sink")
 
 
@@ -2708,13 +2743,9 @@ def q_stream_interval_join(spark, sf_dir):
         watermark="2 hours",
     )
     out = j.select("user_id", "click_id", "purchase_id", "ts", "ts_r")
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
+    with _stream_state_partitions(spark):
         q = write_memory_sink(out, "q_stream_ij_sink", output_mode="append")
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table("q_stream_ij_sink")
 
 

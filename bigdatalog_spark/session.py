@@ -18,7 +18,17 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    rocksdb_state_store: bool = False,
 ) -> SparkSession:
+    """``rocksdb_state_store=True`` switches Structured Streaming state to
+    the RocksDB provider (native memory + local disk with changelog
+    checkpointing) instead of the default HDFS-backed store, which holds
+    every key in JVM heap. At production state volumes (stream-stream
+    join state is (watermark + interval) × arrival rate PER side) the
+    heap store OOMs executors long before the join is wrong — RocksDB is
+    the documented choice for large-state streaming. Off by default
+    locally: bounded test/bench drains are heap-friendly and the HDFS
+    store avoids RocksDB's per-batch native-file overhead at toy sizes."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
@@ -37,6 +47,16 @@ def build_session(
         # and convert in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if rocksdb_state_store:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing"
+            ".enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -205,6 +205,41 @@ def test_interval_join_left_outer_stream(spark):
         interval_join(cb, pb, on="user_id", how="right_outer")
 
 
+def test_rocksdb_state_store_drain(spark):
+    """The RocksDB state-store provider (build_session's
+    rocksdb_state_store=True / the production large-state choice) runs a
+    watermarked dedup drain with identical results to the default
+    HDFS-backed store. providerClass is a session conf that binds at
+    stream START, so it can be scoped to one query and restored."""
+    from bigdatalog_spark.streaming.ops import stream_dedup
+
+    ev = _events(spark)
+    want = {
+        tuple(r)
+        for r in ev.select("user_id", "event_type").distinct().collect()
+    }
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        with tempfile.TemporaryDirectory() as d:
+            ev.write.mode("overwrite").parquet(f"{d}/in")
+            s = stream_events_from_files(spark, f"{d}/in", ev.schema)
+            out = stream_dedup(s, ["user_id", "event_type"]).select(
+                "user_id", "event_type"
+            )
+            q = write_memory_sink(out, "rocks_dedup_test", "append")
+            q.awaitTermination(120)
+            got = {tuple(r) for r in spark.table("rocks_dedup_test").collect()}
+    finally:
+        spark.conf.set(key, prev)
+    assert got == want and len(want) > 0
+
+
 def test_watermark_drops_late_rows(spark):
     """Late-data semantics: an event older than the watermark arriving in a
     later micro-batch is DROPPED from its (already finalized) window.

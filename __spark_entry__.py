@@ -17,6 +17,7 @@ weights w = 1 + dst % 3; "forest" drops edges whose dst % 97 == 0.
 
 from __future__ import annotations
 
+import contextlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,9 +40,6 @@ SF_SMALL = "/root/testdata/sf0.001"
 
 # ----------------------------------------------------------- derived graphs
 
-import contextlib
-
-
 @contextlib.contextmanager
 def _stream_state_partitions(spark: SparkSession, parts: int = 8):
     """Scope the state-partition count for a stateful streaming drain.
@@ -51,8 +49,9 @@ def _stream_state_partitions(spark: SparkSession, parts: int = 8):
     each paying snapshot/commit I/O every micro-batch, and the count
     binds at stream START from spark.sql.shuffle.partitions. The session
     default (32, sized for batch shuffles) gives a bounded bench drain
-    32-128 stores doing fixed I/O that dominates wall time (measured:
-    interval join 17.7 → 2.8 s, sessionize-append 5.9 → 3.9 s at sf0.1).
+    32-128 stores doing fixed I/O that dominates wall time (sf0.1
+    measured: interval join 17.7 → 3.2 s end-to-end, 8.5 → 2.8 s in the
+    warm in-session profile; sessionize-append 5.9 → 3.9 s).
     Production sizes this to state volume ÷ per-store budget — the same
     knob, same reasoning, documented in README's cluster-tuning table.
     Restored on exit; batch queries planned inside are unaffected
@@ -1598,8 +1597,12 @@ def q2_min_cost_supplier(spark, sf_dir):
 
     The testdata has no partsupp table, so the supplier catalog is derived
     from the fact table itself: supplycost(part, supplier) = the cheapest
-    observed unit price (min of round(extendedprice/quantity, 6) — min is
-    an exact selection, so the Spark/DuckDB values are bit-identical).
+    observed unit price, min over the RAW double quotient — IEEE division
+    of identical doubles is bit-identical across engines and min is an
+    exact selection, so no rounding enters the compared values at all
+    (round(x, 6) is NOT portable: Spark rounds HALF_UP on the shortest
+    decimal representation, DuckDB multiplies and std::rounds — they
+    disagree on ~1 in 10⁵ of these quotients).
     Scale: the part filter broadcast-reduces lineitem BEFORE the (part,
     supplier) aggregation; supplier⋈nation⋈region is a broadcast dim; the
     per-part min is one row per qualifying part and broadcasts back, so
@@ -1620,7 +1623,7 @@ def q2_min_cost_supplier(spark, sf_dir):
         l.join(F.broadcast(p.select("p_partkey")), l.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.min(F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6)).alias(
+            F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
                 "supplycost"
             )
         )
@@ -2716,8 +2719,8 @@ def q_stream_interval_join(spark, sf_dir):
     (left/right × keyToNumValues/keyWithIndexToValue), so the state
     partition count is a sizing knob, not a parallelism default: 32
     partitions = 128 store instances whose per-batch snapshot/commit
-    I/O dominates a bounded drain (measured 8.5 s at 32 vs 2.8 s at 8
-    on sf0.1). Production sizes this to state volume ÷ store budget —
+    I/O dominates a bounded drain (sf0.1: 17.7 → 3.2 s end-to-end,
+    8.5 → 2.8 s warm in-session). Production sizes this to state volume ÷ store budget —
     for the bench drain, 8. The conf is scoped to this query and
     restored (it binds at stream START, so the session value is
     untouched for later queries)."""
@@ -3741,7 +3744,7 @@ def oracle_sql() -> dict[str, str]:
               WHERE r_name = 'EUROPE'),
             ps AS (
               SELECT l_partkey, l_suppkey,
-                     min(round(l_extendedprice / l_quantity, 6)) AS supplycost
+                     min(l_extendedprice / l_quantity) AS supplycost
               FROM lineitem JOIN part ON l_partkey = p_partkey
               WHERE p_type = 'STANDARD' AND p_size BETWEEN 10 AND 20
               GROUP BY 1, 2),

@@ -605,10 +605,24 @@ class BigDatalogContext:
                         new_body.append(lit)
                         cmp_prefix.append(lit)
                         if lit.op == "=":
+                            # propagate a binding ONLY onto a bare Var side:
+                            # that is the single assignment form both
+                            # evaluators support (compiler._apply_comparison,
+                            # local_eval._apply_comparison_pd). Marking the
+                            # variables of an arithmetic side (X+1 = Y with Y
+                            # bound) as bound would emit magic rules neither
+                            # evaluator can resolve — the comparison still
+                            # FILTERS once its vars bind elsewhere, it just
+                            # cannot BIND here (inverting arithmetic is not
+                            # in the engine, nor the reference).
                             lv, rv = term_vars(lit.left), term_vars(lit.right)
-                            if rv and rv <= bound_vars:
+                            if rv and rv <= bound_vars and isinstance(lit.left, Var):
                                 bound_vars |= lv
-                            elif lv and lv <= bound_vars:
+                            elif (
+                                lv
+                                and lv <= bound_vars
+                                and isinstance(lit.right, Var)
+                            ):
                                 bound_vars |= rv
                     else:
                         new_body.append(lit)

@@ -527,11 +527,13 @@ def _run_monotonic_pd(
 # ------------------------------------------------------------ driver API
 def _static_pd(df, pd_cache=None):
     """toPandas a static relation, memoized per DataFrame object when the
-    caller supplies a cache (the context's per-query dict): a static shared
-    by several cliques of one program — e.g. the base relation of a
-    stratified magic/guarded demand pair — is collected from the cluster
-    once, not once per clique. Entries pin the DataFrame itself so a
-    recycled id() can never alias a different plan."""
+    caller supplies a cache (the context's program-lifetime dict, cleared
+    on load_program/reset): a static shared by several cliques — or by
+    successive queries over the same program — is collected from the
+    cluster once, not once per clique. Entries pin the DataFrame itself so
+    a recycled id() can never alias a different plan. Static entries are
+    2-tuples and live for the program; driver-tier RESULT entries are
+    3-tuples and FIFO-capped (_EPHEMERAL_CAP)."""
     if pd_cache is None:
         return df.toPandas()
     hit = pd_cache.get(id(df))
@@ -615,16 +617,31 @@ def driver_exit_seed(
     return seed.reset_index(drop=True)
 
 
+# Result-frame memo entries are EPHEMERAL (3-tuples, flag True) and
+# FIFO-capped: unlike statics — bounded by the number of registered
+# relations and deliberately memoized across queries — every distinct
+# bound goal mints a fresh md5-suffixed result, so a long-lived context
+# serving many bound queries would otherwise pin an unbounded set of
+# (DataFrame, pandas) pairs on the driver.
+_EPHEMERAL_CAP = 32
+
+
 def _driver_result_df(spark: SparkSession, pdf, schema, pd_cache=None):
     """Lift a driver-computed fixpoint result into a DataFrame. The frame is
     Arrow-parallelized (RDD-backed), so Catalyst has no stats for it — the
     known row count rides along as a tag that _estimated_bytes honors, and
     the pandas original pre-seeds the statics memo so a downstream stratum
-    (magic → guarded) consumes it without any collect job."""
+    (magic → guarded) consumes it without any collect job. Result entries
+    are flagged ephemeral and FIFO-capped (see _EPHEMERAL_CAP) so they
+    never grow the memo unboundedly; evicting one only costs a re-collect
+    if that exact frame is consumed as a static again later."""
     df = spark.createDataFrame(pdf, schema=schema)
     df._bdlog_known_rows = len(pdf)
     if pd_cache is not None:
-        pd_cache[id(df)] = (df, pdf)
+        eph = [k for k, v in pd_cache.items() if len(v) > 2]
+        for k in eph[: max(0, len(eph) + 1 - _EPHEMERAL_CAP)]:
+            del pd_cache[k]
+        pd_cache[id(df)] = (df, pdf, True)
     return df
 
 

@@ -121,26 +121,27 @@ def connected_components(
     return res.select(F.col("c0").alias("vertex"), F.col("c1").alias("component"))
 
 
-def _cc_local(spark, base: DataFrame) -> DataFrame:
+def _cc_local(spark, id_type, ed) -> DataFrame:
     """Driver-side union-find over the size-gated edge set — exact same
     contract as the star-contraction path (component = min vertex id),
     integer arithmetic so the outputs are identical, not merely
-    equivalent. The edges are already driver-resident (the size probe
-    collected them), so running the union-find right here and Arrow-
-    parallelizing the result costs ZERO cluster jobs — the previous form
-    broadcast the edges back into a one-task mapInPandas plus an eager
-    checkpoint, pure roundtrip overhead (same reasoning as the Datalog
-    driver tier, local_eval.driver_seminaive)."""
+    equivalent. ``ed`` is the pandas frame the size probe ALREADY
+    collected (`limit(gate+1).toPandas()` gates and collects in one
+    job), so the union-find runs right here and Arrow-parallelizes the
+    result with ZERO further cluster jobs — the previous form probed
+    with a separate count and re-collected, and before that broadcast
+    the edges back into a one-task mapInPandas plus an eager checkpoint
+    (pure roundtrip overhead — same reasoning as the Datalog driver
+    tier, local_eval.driver_seminaive)."""
     import pandas as pd
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
-            T.StructField("vertex", base.schema["c0"].dataType, False),
-            T.StructField("component", base.schema["c0"].dataType, False),
+            T.StructField("vertex", id_type, False),
+            T.StructField("component", id_type, False),
         ]
     )
-    ed = base.toPandas()
     # factorize(sort=True) makes codes order-isomorphic to the vertex
     # values, so union-by-min-CODE yields component = min VALUE for any
     # orderable id type (string, date, float — no int() coercion, which
@@ -203,11 +204,15 @@ def connected_components_fast(
     # first job populates the cache, later consumers read blocks
     base = _edges(edges, src, dst).persist()
     if local_max_edges:
-        probe = base.limit(local_max_edges + 1).count()
-        if probe <= local_max_edges:
-            out = _cc_local(edges.sparkSession, base)
+        # one bounded fetch gates AND collects (the established pattern
+        # from datalog/context.py): fewer than gate+1 rows back means the
+        # frame IS the whole edge set
+        pdf = base.limit(local_max_edges + 1).toPandas()
+        if len(pdf) <= local_max_edges:
+            out = _cc_local(edges.sparkSession, base.schema["c0"].dataType, pdf)
             base.unpersist()
             return out
+        del pdf
     e = (
         base
         .where(F.col("c0") != F.col("c1"))
@@ -317,24 +322,23 @@ def connected_components_fast(
     return out
 
 
-def _k_core_local(spark, e: DataFrame, k: int) -> DataFrame:
+def _k_core_local(spark, id_type, ed, k: int) -> DataFrame:
     """Driver-side vectorized peeling over the size-gated edge set — same
     contract as the distributed rounds (the k-core is unique, so outputs
-    are identical). The edges are already driver-resident from the size
-    probe; peeling here and Arrow-parallelizing the result costs zero
-    cluster jobs (the previous broadcast → one-task mapInPandas → eager
-    checkpoint form was pure roundtrip — see _cc_local)."""
+    are identical). ``ed`` is the pandas frame the size probe already
+    collected (one `limit(gate+1).toPandas()` gates and collects);
+    peeling here and Arrow-parallelizing the result costs zero further
+    cluster jobs (see _cc_local)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
-            T.StructField("vertex", e.schema["u"].dataType, False),
+            T.StructField("vertex", id_type, False),
             T.StructField("degree", T.LongType(), False),
         ]
     )
-    ed = e.toPandas()
     both = pd.concat([ed["u"], ed["v"]], ignore_index=True)
     codes, uniques = pd.factorize(both, sort=True)
     m = len(ed)
@@ -395,11 +399,12 @@ def k_core(
     )
     spark = edges.sparkSession
     if local_max_edges:
-        probe = base.limit(local_max_edges + 1).count()
-        if probe <= local_max_edges:
-            out = _k_core_local(spark, base, k)
+        pdf = base.limit(local_max_edges + 1).toPandas()
+        if len(pdf) <= local_max_edges:
+            out = _k_core_local(spark, base.schema["u"].dataType, pdf, k)
             base.unpersist()
             return out
+        del pdf
 
     def degrees(E: DataFrame) -> DataFrame:
         return (
@@ -517,28 +522,28 @@ def same_generation(
 
 
 def _pagerank_local(
-    spark, e: DataFrame, iterations: int, damping: float
+    spark, id_type, ed, iterations: int, damping: float
 ) -> DataFrame:
     """Driver-side numpy power iteration over the size-gated edge set —
-    the graph-op analogue of the Datalog driver tier: zero cluster jobs
-    instead of 2 joins + checkpoints per iteration (the edges are already
-    driver-resident from the size probe; the previous broadcast →
-    one-task mapInPandas → eager checkpoint form was pure roundtrip).
-    Arithmetic is the same per-term double expression as the distributed
-    loop (summation order can differ only for nodes with in-degree ≥ 3 —
-    the same last-ulp caveat the distributed plan has against any
-    oracle)."""
+    the graph-op analogue of the Datalog driver tier: zero further
+    cluster jobs instead of 2 joins + checkpoints per iteration (``ed``
+    is the pandas frame the size probe already collected — one
+    `limit(gate+1).toPandas()` gates and collects, where the previous
+    count-probe + full re-collect recomputed the unpersisted edge
+    projection twice). Arithmetic is the same per-term double expression
+    as the distributed loop (summation order can differ only for nodes
+    with in-degree ≥ 3 — the same last-ulp caveat the distributed plan
+    has against any oracle)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     schema = T.StructType(
         [
-            T.StructField("node", e.schema["src"].dataType, False),
+            T.StructField("node", id_type, False),
             T.StructField("rank", T.DoubleType(), False),
         ]
     )
-    ed = e.toPandas()
     d = float(damping)
     src_v, dst_v = ed["src"].values, ed["dst"].values
     nodes, codes = np.unique(np.concatenate([src_v, dst_v]), return_inverse=True)
@@ -592,11 +597,13 @@ def pagerank(
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if local_max_edges:
-        probe = e.limit(local_max_edges + 1).count()
-        if probe <= local_max_edges:
+        pdf = e.limit(local_max_edges + 1).toPandas()
+        if len(pdf) <= local_max_edges:
             return _pagerank_local(
-                edges.sparkSession, e, iterations, damping
+                edges.sparkSession, e.schema["src"].dataType, pdf,
+                iterations, damping,
             )
+        del pdf
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     ed = e.join(deg, on="src").persist()
     nodes = (

@@ -184,3 +184,20 @@ def test_exit_seed_duplicate_contributions_match_spark_semantics(spark):
     data = {"s": ["1,10", "2,5"], "t": ["1,10", "2,7"]}
     driver = _rows(spark, prog, data, "tot(A,V).")
     assert driver == _rows(spark, prog, data, "tot(A,V).", driver_local=False)
+
+
+def test_statics_memo_ephemeral_entries_capped(spark):
+    """Driver-tier RESULT frames pre-seed the statics memo (3-tuple,
+    ephemeral) and are FIFO-capped, while static 2-tuple entries persist
+    for the program: a long-lived context serving many distinct bound
+    goals must not pin an unbounded set of pandas results on the driver."""
+    from bigdatalog_spark.datalog.local_eval import _EPHEMERAL_CAP
+
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(NL_TC)
+    ctx.register_data("arc", [f"{i},{i + 1}" for i in range(40)])
+    for k in range(_EPHEMERAL_CAP + 8):
+        got = sorted(r[1] for r in ctx.query(f"tc({k},B).").collect())
+        assert got == list(range(k + 1, 41))
+    eph = [v for v in ctx._statics_pd.values() if len(v) > 2]
+    assert len(eph) <= _EPHEMERAL_CAP

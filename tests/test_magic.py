@@ -224,3 +224,22 @@ def test_constant_in_clique_occurrence_stable_seed_path(spark):
     want, _ = _q(spark, prog, data, "p(X,Y).")
     assert got == sorted(t for t in want if t[0] == 0)
     assert got == [(0, 1), (0, 2), (0, 3)]
+
+
+def test_general_demand_declines_reversed_arithmetic_binding(spark):
+    """`X + 1 = Y` with Y bound must NOT mark X bound: neither evaluator
+    can invert arithmetic (assignment needs a bare unbound Var on one
+    side), so propagating through the Arith side emitted magic rules
+    that crashed compilation (DatalogCompileError) instead of answering.
+    The occurrence's adornment comes up empty, the rewrite declines, and
+    the fallback answers. Pinned both bound-hit and bound-miss."""
+    prog = (
+        "database({start(V:integer)})."
+        "n(X) <- start(X)."
+        "n(Y) <- X + 1 = Y, n(X), Y <= 10."
+    )
+    got, ctx = _q(spark, prog, {"start": ["3"]}, "n(5).")
+    assert got == [(5,)]
+    assert not any(k.startswith("__magic") for k in ctx._cache)
+    got_miss, _ = _q(spark, prog, {"start": ["3"]}, "n(99).")
+    assert got_miss == []

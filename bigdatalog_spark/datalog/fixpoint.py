@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from .semantics import DatalogSemanticError
+
 
 @dataclass
 class FixpointConfig:
@@ -36,7 +38,11 @@ class FixpointConfig:
         default_factory=lambda: StorageLevel.MEMORY_AND_DISK
     )
     # localCheckpoint every iteration truncates lineage; without it plans
-    # grow unboundedly (reference README.md:32)
+    # grow unboundedly (reference README.md:32). checkpoint=False is a
+    # DEBUGGING mode: per-iteration results are correct (frames persist
+    # before their counts; generations are kept for the loop's lifetime),
+    # but every iteration's plan contains all prior plans, so analysis
+    # cost grows superlinearly with iteration count.
     checkpoint: bool = True
     # deltas below this row count are narrowed to `small_partitions` so each
     # per-iteration job schedules a handful of tasks instead of one per
@@ -90,6 +96,16 @@ class _GenerationCache:
 
     def next_generation(self) -> None:
         self.generations.append([])
+        # Without checkpointing there is NO lineage truncation: a predicate
+        # that converged at iteration k keeps its generation-k frame
+        # referenced in all_dfs for every later iteration, and unpersisting
+        # it would force full-lineage recomputation each round (quadratic,
+        # then StackOverflow — the exact failure the caching exists to
+        # prevent). Keep every generation; close() frees them at exit.
+        # With checkpointing the blocks outlive unpersist, so the N-back
+        # policy (CachedRDDManager.scala:44) is safe and bounds memory.
+        if not self.cfg.checkpoint:
+            return
         if len(self.generations) > self.cfg.generations_to_keep + 1:
             for df in self.generations.pop(0):
                 try:
@@ -118,22 +134,85 @@ def _truncate_marked_ancestors(dfs) -> None:
     iterations in, task serialization dies with StackOverflowError.
     build_session sets this too; done here defensively for sessions the
     library didn't create."""
-    df = next(iter(dfs.values())) if isinstance(dfs, dict) else dfs
+    if isinstance(dfs, dict):
+        if not dfs:
+            raise ValueError("fixpoint requires at least one seed predicate")
+        df = next(iter(dfs.values()))
+    else:
+        df = dfs
     df.sparkSession.sparkContext.setLocalProperty(
         "spark.checkpoint.checkpointAllMarkedAncestors", "true"
     )
 
 
-def _materialize(df: DataFrame, cfg: FixpointConfig) -> tuple[DataFrame, int]:
+def _materialize(
+    df: DataFrame, cfg: FixpointConfig, cache: "_GenerationCache | None" = None
+) -> tuple[DataFrame, int]:
     """Truncate lineage and return (df, row_count) forcing evaluation once.
 
     The checkpoint is LAZY: the convergence-test count() is the action that
     materializes the checkpoint blocks, so each delta costs one Spark job,
-    not checkpoint-job + count-job."""
+    not checkpoint-job + count-job. Without checkpointing, the frame must
+    be marked persisted BEFORE the count — the count is the action that
+    populates the cache; counting first would compute every frame twice
+    (once uncached for the count, again to fill storage at the next
+    action)."""
     if cfg.checkpoint:
         df = df.localCheckpoint(eager=False)
         return df, df.count()
+    if cache is not None:
+        df = cache.persist(df)
     return df, df.count()
+
+
+def _has_null_expr(cols):
+    from functools import reduce
+
+    return reduce(lambda a, b: a | b, [F.col(c).isNull() for c in cols])
+
+
+def _count_and_nulls(df: DataFrame) -> tuple[int, bool]:
+    """(row count, any-row-has-a-NULL-column) in ONE job — the count is the
+    loop's materializing action, so null detection rides along for free.
+    NULL-bearing tuples are outside the DeAL data model (the reference's
+    loader cannot produce them, SURVEY §1.2) but CAN arrive through
+    register()'d frames whose nullable columns a rule head projects; the
+    `=`-equality anti-join never matches such a tuple against the set, so
+    without detection a re-derived null tuple re-enters the delta every
+    time — duplicate rows in S (set semantics broken) and, for pass-through
+    columns on cyclic graphs, a live-locked fixpoint."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max(_has_null_expr(df.columns).cast("int")).alias("__hn"),
+    ).first()
+    return int(row["__n"]), bool(row["__hn"] or 0)
+
+
+def _anti_null_safe(cand: DataFrame, s: DataFrame, cols) -> DataFrame:
+    """Set difference that treats NULL = NULL (eqNullSafe join keys). Costs
+    an exchange where the `=` form could merge-scan in place, so callers
+    engage it only after _count_and_nulls has seen a null-bearing row."""
+    from functools import reduce
+    from operator import and_
+
+    cd, sd = cand.alias("__c"), s.alias("__s")
+    cond = reduce(
+        and_,
+        [F.col(f"__c.{c}").eqNullSafe(F.col(f"__s.{c}")) for c in cols],
+    )
+    return cd.join(sd, on=cond, how="left_anti").select(*cols)
+
+
+def _materialize_nd(
+    df: DataFrame, cfg: FixpointConfig, cache: "_GenerationCache | None"
+) -> tuple[DataFrame, int, bool]:
+    """_materialize + null detection in the same single job."""
+    if cfg.checkpoint:
+        df = df.localCheckpoint(eager=False)
+    elif cache is not None:
+        df = cache.persist(df)
+    n, hn = _count_and_nulls(df)
+    return df, n, hn
 
 
 def _truncate(df: DataFrame, cfg: FixpointConfig) -> DataFrame:
@@ -142,7 +221,12 @@ def _truncate(df: DataFrame, cfg: FixpointConfig) -> DataFrame:
     its first downstream use; a final-iteration set that is returned
     untouched defers to the caller's first action."""
     if cfg.checkpoint:
-        return df.localCheckpoint(eager=False)
+        out = df.localCheckpoint(eager=False)
+        if hasattr(df, "_bdlog_parts"):
+            # localCheckpoint preserves partitioning; carry the tracked
+            # count so _union_capped never probes .rdd on the hot path
+            out._bdlog_parts = df._bdlog_parts
+        return out
     return df
 
 
@@ -268,6 +352,9 @@ class _SegmentedSet:
         # (append sets it, compaction clears it): then last_on() can serve
         # the delta pre-partitioned from the alt layout too
         self._last_is_delta = False
+        # flips True when a sealed segment carries a null-bearing row; from
+        # then on anti() uses the split null-safe form (see _count_and_nulls)
+        self.null_mode = False
         # partitioning key of the stored segments: all columns by default
         # (set semantics need equal rows co-located, which any key subset
         # guarantees); a PIVOT subset when the recursion is decomposable —
@@ -296,7 +383,10 @@ class _SegmentedSet:
 
     def seal_and_count(self, df: DataFrame) -> tuple[DataFrame, int]:
         sealed = self._seal(df)
-        return sealed, sealed.count()
+        n, hn = _count_and_nulls(sealed)
+        if hn:
+            self.null_mode = True
+        return sealed, n
 
     def append(self, segment: DataFrame) -> None:
         self.segments.append(segment)
@@ -366,9 +456,20 @@ class _SegmentedSet:
             self._alt[key] = [self._alt_seal(sealed, list(key))]
 
     def anti(self, cand: DataFrame) -> DataFrame:
+        if not self.null_mode:
+            for s in self.segments:
+                cand = cand.join(s, on=self.cols, how="left_anti")
+            return cand
+        # a null-bearing row reached the store: `=` anti would re-admit it
+        # forever. Split so the (overwhelmingly dominant) null-free slice
+        # keeps the in-place merge-scan; only the null slice pays the
+        # eqNullSafe exchange.
+        np = _has_null_expr(cand.columns)
+        nn, nul = cand.where(~np), cand.where(np)
         for s in self.segments:
-            cand = cand.join(s, on=self.cols, how="left_anti")
-        return cand
+            nn = nn.join(s, on=self.cols, how="left_anti")
+            nul = _anti_null_safe(nul, s, self.cols)
+        return nn.union(nul)
 
     def view(self) -> DataFrame:
         if not self.segments:
@@ -412,7 +513,22 @@ def _widen(t1: str, t2: str) -> str:
         return t1
     if t1 in _NUM_RANK and t2 in _NUM_RANK:
         return t1 if _NUM_RANK[t1] >= _NUM_RANK[t2] else t2
-    return "string"
+    # decimal meets any numeric: take double (the engine's recursion value
+    # model — matching the mmin/mmax table discipline) rather than silently
+    # stringifying the whole column, which would make seed '1' and step
+    # '1.00' distinct tuples and break every downstream numeric comparison
+    if (t1.startswith("decimal") and (t2 in _NUM_RANK or t2.startswith("decimal"))) or (
+        t2.startswith("decimal") and t1 in _NUM_RANK
+    ):
+        return "double"
+    # string is only a sound meet for string-ish pairs; anything else
+    # (date vs timestamp, array vs int …) is a program type error — say so
+    if "string" in (t1, t2):
+        return "string"
+    raise DatalogSemanticError(
+        f"recursive step derives type {t2!r} where the exit rules derive "
+        f"{t1!r} — no sound widening exists; align the rule types"
+    )
 
 
 def _widen_seed(seed: DataFrame, probe: DataFrame | None) -> DataFrame:
@@ -483,10 +599,12 @@ def fixpoint_seminaive(
     all_dfs: dict[str, DataFrame] = {}
     delta_dfs: dict[str, DataFrame] = {}
     live = set()
+    null_preds: set[str] = set()  # preds whose set holds a null-bearing row
     for pred, df in exit_dfs.items():
         df = _widen_seed(df, probe.get(pred))
-        df, n = _materialize(df.distinct(), cfg)
-        df = _retain(df, cfg, cache)
+        df, n, hn = _materialize_nd(df.distinct(), cfg, cache)
+        if hn:
+            null_preds.add(pred)
         all_dfs[pred] = df
         delta_dfs[pred] = df
         if n:
@@ -514,11 +632,18 @@ def fixpoint_seminaive(
             if _plan_is_empty(cand):
                 new_delta[pred] = _empty_like(all_dfs[pred])
                 continue
-            delta = cand.distinct().join(
-                all_dfs[pred], on=list(cand.columns), how="left_anti"
-            )
-            delta, n = _materialize(delta, cfg)
-            delta = _narrow_small(_retain(delta, cfg, cache), n, cfg)
+            if pred in null_preds:
+                delta = _anti_null_safe(
+                    cand.distinct(), all_dfs[pred], list(cand.columns)
+                )
+            else:
+                delta = cand.distinct().join(
+                    all_dfs[pred], on=list(cand.columns), how="left_anti"
+                )
+            delta, n, hn = _materialize_nd(delta, cfg, cache)
+            if hn:
+                null_preds.add(pred)
+            delta = _narrow_small(delta, n, cfg)
             new_delta[pred] = delta
             if n:
                 live.add(pred)
@@ -533,28 +658,12 @@ def fixpoint_seminaive(
     return all_dfs
 
 
-class _RecordingDict(dict):
-    """Dict that records whether any value was read (probe for linearity)."""
-
-    def __init__(self, base: dict):
-        super().__init__(base)
-        self.accessed = False
-
-    def __getitem__(self, key):
-        self.accessed = True
-        return super().__getitem__(key)
-
-    def get(self, key, default=None):
-        self.accessed = True
-        return super().get(key, default)
-
-
 def _step_probe_ok(exit_dfs: dict, step) -> bool:
     """True iff the step can be planned against plain seed dicts (probe:
     plan construction only, no job runs). A step that throws here gets the
     legacy loop, whose per-pred frames it may be depending on."""
     try:
-        step(_RecordingDict(exit_dfs), dict(exit_dfs))
+        step(dict(exit_dfs), dict(exit_dfs))
     except Exception:
         return False
     return True
@@ -755,8 +864,23 @@ def _union_capped(all_df: DataFrame, delta: DataFrame, cfg: FixpointConfig) -> D
     cap = cfg.max_set_partitions or 2 * int(
         grown.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    if grown.rdd.getNumPartitions() > cap:
+    # Track the partition count driver-side (a union's count is the sum of
+    # its parents') instead of probing grown.rdd each iteration: .rdd on an
+    # AQE-rooted plan runs full physical planning per call, and on a
+    # non-checkpoint lineage would finalize stages eagerly. The one-time
+    # probes below hit frames that are already materialized (counted +
+    # stored), so they reuse completed stages.
+    parts = getattr(all_df, "_bdlog_parts", None)
+    if parts is None:
+        parts = all_df.rdd.getNumPartitions()
+    dparts = getattr(delta, "_bdlog_parts", None)
+    if dparts is None:
+        dparts = delta.rdd.getNumPartitions()
+    total = parts + dparts
+    if total > cap:
         grown = grown.repartition(cap)
+        total = cap
+    grown._bdlog_parts = total
     return grown
 
 
@@ -857,6 +981,7 @@ def fixpoint_mixed(
     delta_dfs: dict[str, DataFrame] = {}
     supports: dict[str, DataFrame] = {}     # additive preds: distinct contribs
     live = set()
+    null_preds: set[str] = set()  # plain preds holding a null-bearing row
     for pred, df in exit_dfs.items():
         df = _widen_seed(df, probe.get(pred))
         if pred in agg_specs:
@@ -869,15 +994,15 @@ def fixpoint_mixed(
                 table = aggregate(pred, supports[pred])
             else:
                 table = aggregate(pred, df)
-            table, nt = _materialize(table, cfg)
-            table = _retain(table, cfg, cache)
+            table, nt = _materialize(table, cfg, cache)
             all_dfs[pred] = table
             delta_dfs[pred] = table
             if nt:
                 live.add(pred)
         else:
-            df, n = _materialize(df.distinct(), cfg)
-            df = _retain(df, cfg, cache)
+            df, n, hn = _materialize_nd(df.distinct(), cfg, cache)
+            if hn:
+                null_preds.add(pred)
             all_dfs[pred] = df
             delta_dfs[pred] = df
             if n:
@@ -901,11 +1026,18 @@ def fixpoint_mixed(
                 continue
             if pred not in agg_specs:
                 cand = _cast_like(cand, all_dfs[pred])
-                delta = cand.distinct().join(
-                    all_dfs[pred], on=list(cand.columns), how="left_anti"
-                )
-                delta, n = _materialize(delta, cfg)
-                delta = _narrow_small(_retain(delta, cfg, cache), n, cfg)
+                if pred in null_preds:
+                    delta = _anti_null_safe(
+                        cand.distinct(), all_dfs[pred], list(cand.columns)
+                    )
+                else:
+                    delta = cand.distinct().join(
+                        all_dfs[pred], on=list(cand.columns), how="left_anti"
+                    )
+                delta, n, hn = _materialize_nd(delta, cfg, cache)
+                if hn:
+                    null_preds.add(pred)
+                delta = _narrow_small(delta, n, cfg)
                 new_delta[pred] = delta
                 if n:
                     live.add(pred)
@@ -963,10 +1095,8 @@ def fixpoint_mixed(
                     (F.col("__seen") == 0)
                     | ~F.col(vcol).eqNullSafe(F.col("__oldv"))
                 ).select(*spec.cols)
-                delta, nd = _materialize(delta, cfg)
-                new_delta[pred] = _narrow_small(
-                    _retain(delta, cfg, cache), nd, cfg
-                )
+                delta, nd = _materialize(delta, cfg, cache)
+                new_delta[pred] = _narrow_small(delta, nd, cfg)
                 # supports must absorb fresh EVEN when the table is
                 # unchanged (nd == 0): sign-mixed msum contributions can
                 # cancel within a group (+5 and -5 in one iteration) —
@@ -1007,8 +1137,8 @@ def fixpoint_mixed(
                     (F.col("__seen") == 0)
                     | ~F.col(vcol).eqNullSafe(F.col("__oldv"))
                 ).select(*spec.cols)
-                improved, n = _materialize(improved, cfg)
-                improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
+                improved, n = _materialize(improved, cfg, cache)
+                improved = _narrow_small(improved, n, cfg)
                 new_delta[pred] = improved
                 new_all[pred] = merged
                 if n:
@@ -1056,8 +1186,7 @@ def fixpoint_monotonic(
     exit_pre_agg = _widen_seed(exit_pre_agg, probe)
 
     all_df = aggregate(exit_pre_agg)
-    all_df, n = _materialize(all_df, cfg)
-    all_df = _retain(all_df, cfg, cache)
+    all_df, n = _materialize(all_df, cfg, cache)
     delta = all_df
 
     iteration = 0
@@ -1105,8 +1234,8 @@ def fixpoint_monotonic(
             (F.col("__seen") == 0)
             | ~F.col(value_col).eqNullSafe(F.col("__oldv"))
         ).select(*key_cols, value_col)
-        improved, n = _materialize(improved, cfg)
-        improved = _narrow_small(_retain(improved, cfg, cache), n, cfg)
+        improved, n = _materialize(improved, cfg, cache)
+        improved = _narrow_small(improved, n, cfg)
         all_df = merged
         delta = improved
 

@@ -1,0 +1,135 @@
+"""NULL-bearing tuples in fixpoints + non-checkpoint mode + seed widening.
+
+NULLs are outside the DeAL data model (the reference's loader cannot
+produce them — SURVEY §1.2 'no nulls-by-design'), but register() accepts
+any DataFrame, and a rule head projecting a nullable static column puts a
+null-bearing tuple into the recursion. The `=`-equality anti-join never
+matches such a tuple against the accumulated set, so before the null-mode
+fix a re-derived null tuple re-entered the delta every iteration:
+duplicate rows in S (set semantics broken), and — for a pass-through
+column over a cyclic graph — a fixpoint that only stopped at
+max_iterations. Detection rides the convergence count (one job); the
+null-safe anti engages per predicate only after a null-bearing row is
+actually seen, so the universal null-free path plans unchanged.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+from bigdatalog_spark import BigDatalogContext
+from bigdatalog_spark.datalog.context import EngineConfig
+from bigdatalog_spark.datalog.fixpoint import FixpointConfig
+from bigdatalog_spark.datalog.semantics import DatalogSemanticError
+
+PROG = (
+    "database({arc(S:long, D:long), q(Y:long, W:long)})."
+    "p(X, W) <- arc(X, Y), q(Y, W)."
+    "p(X, W) <- p(X, Y), q(Y, W)."
+)
+
+# two NULL-producing q rows reachable at different depths: the null tuple
+# (0, NULL) is derived at iteration 1 (via y=1) AND re-derived at
+# iteration 2 (via y=9) — the second derivation must anti-join away
+Q_ROWS = [(5, 1), (1, None), (5, 6), (6, 9), (9, None)]
+
+DISTRIBUTED = dict(
+    decomposable_local=False, driver_local=False, local_seed_max_rows=0
+)
+
+
+def _nullable_q(spark):
+    schema = T.StructType(
+        [
+            T.StructField("y", T.LongType(), False),
+            T.StructField("w", T.LongType(), True),
+        ]
+    )
+    return spark.createDataFrame(Q_ROWS, schema)
+
+
+def _run(spark, prog, arc_rows, q_df, goal, **cfg):
+    ctx = BigDatalogContext(spark, EngineConfig(**cfg))
+    ctx.load_program(prog)
+    ctx.register("arc", spark.createDataFrame(arc_rows, ["s", "d"]))
+    ctx.register("q", q_df)
+    return [tuple(r) for r in ctx.query(goal).collect()]
+
+
+def _key(t):
+    return tuple((-1 if c is None else c) for c in t)
+
+
+def test_null_tuple_set_semantics_segmented(spark):
+    rows = _run(spark, PROG, [(0, 5)], _nullable_q(spark), "p(A,B).", **DISTRIBUTED)
+    assert len(rows) == len(set(rows)) == 4
+    assert sorted(rows, key=_key) == [(0, None), (0, 1), (0, 6), (0, 9)]
+
+
+def test_null_tuple_set_semantics_legacy_loop(spark):
+    rows = _run(
+        spark, PROG, [(0, 5)], _nullable_q(spark), "p(A,B).",
+        fixpoint=FixpointConfig(copartitioned_set=False), **DISTRIBUTED,
+    )
+    assert len(rows) == len(set(rows)) == 4
+
+
+def test_null_passthrough_cycle_converges(spark):
+    """Pass-through NULL column over a 2-cycle: (0,NULL) and (1,NULL)
+    re-derive each other forever under `=` anti-join — the fixpoint only
+    stopped at max_iterations. Must converge to exactly the two tuples."""
+    schema = T.StructType(
+        [
+            T.StructField("y", T.LongType(), False),
+            T.StructField("w", T.LongType(), True),
+        ]
+    )
+    q = spark.createDataFrame([(0, None)], schema)
+    prog = (
+        "database({arc(S:long, D:long), q(Y:long, W:long)})."
+        "p(X, W) <- q(X, W)."
+        "p(X, W) <- p(Z, W), arc(Z, X)."
+    )
+    rows = _run(spark, prog, [(0, 1), (1, 0)], q, "p(A,B).", **DISTRIBUTED)
+    assert sorted(rows, key=_key) == [(0, None), (1, None)]
+
+
+def test_local_paths_already_null_safe(spark):
+    """The in-task/driver pandas loops dedup NaN-equal — same 4-row answer."""
+    rows = _run(spark, PROG, [(0, 5)], _nullable_q(spark), "p(A,B).")
+    assert len(rows) == len(set(rows)) == 4
+
+
+def test_non_checkpoint_mode_matches_default(spark):
+    """checkpoint=False (explicit persist-generation mode): same closure as
+    the default checkpointed loop — covers the persist-before-count and
+    keep-all-generations policies. TINY chain only: without checkpointing
+    there is no lineage truncation, so each iteration's plan contains all
+    prior plans and analysis cost grows superlinearly — the mode is a
+    debugging aid, which is why checkpoint defaults True (mirroring the
+    reference's memorycheckpoint=true default, README.md:32)."""
+    ctx = BigDatalogContext(
+        spark,
+        EngineConfig(
+            fixpoint=FixpointConfig(checkpoint=False), **DISTRIBUTED
+        ),
+    )
+    ctx.load_program(
+        "database({arc(A:integer, B:integer)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), arc(C,B)."
+    )
+    chain = [f"{i},{i + 1}" for i in range(4)]
+    ctx.register_data("arc", chain)
+    got = sorted(tuple(r) for r in ctx.query("tc(A,B).").collect())
+    want = sorted((i, j) for i in range(4) for j in range(i + 1, 5))
+    assert got == want
+
+
+def test_widen_decimal_meets_int_is_double():
+    from bigdatalog_spark.datalog.fixpoint import _widen
+
+    assert _widen("int", "decimal(12,2)") == "double"
+    assert _widen("decimal(18,4)", "double") == "double"
+    assert _widen("string", "int") == "string"
+    with pytest.raises(DatalogSemanticError):
+        _widen("date", "timestamp")

@@ -925,6 +925,55 @@ class AggSpec:
         return self.func in ("mcount", "msum")
 
 
+def _merge_monotonic(
+    table: DataFrame,
+    cand: DataFrame,
+    keys: list,
+    vcol: str,
+    agg_fn,
+    out_cols: list,
+    cfg: FixpointConfig,
+    cache: "_GenerationCache",
+    vtype=None,
+):
+    """Merge a monotonic-aggregate table with a contribution stream and
+    derive the changed-group delta — the ONE fused keyed aggregate all
+    three monotonic sites share (fixpoint_monotonic's loop, and
+    fixpoint_mixed's mmin/mmax and mcount/msum branches; previously three
+    hand-kept copies of the same subtle __old/__seen/__oldv contract).
+
+    Join-free by design (see the maintenance note above _union_capped):
+    tag table rows __old=1 and contributions __old=0, aggregate once per
+    group carrying the new value, the presence flag, and the OLD value
+    (aggregated over old-tagged rows only — the table has one row per
+    group, so agg_fn reproduces it); changed groups are then a FILTER
+    over the same checkpointed frame (null-safe value compare, so a
+    group whose stored value is genuinely NULL doesn't re-report
+    forever). ``vtype`` casts both value aggregates back to the table's
+    type for the additive functions, where SUM widens (what
+    _cast_like(merged, table) did pre-fusion). Returns (merged,
+    improved) — improved NOT yet materialized; the caller's count is the
+    iteration's one job."""
+    tagged = table.withColumn("__old", F.lit(1)).unionByName(
+        cand.withColumn("__old", F.lit(0))
+    )
+    new_v = agg_fn(F.col(vcol))
+    old_v = agg_fn(F.when(F.col("__old") == 1, F.col(vcol)))
+    if vtype is not None:
+        new_v, old_v = new_v.cast(vtype), old_v.cast(vtype)
+    merged_all = tagged.groupBy(*keys).agg(
+        new_v.alias(vcol),
+        F.max(F.col("__old")).alias("__seen"),
+        old_v.alias("__oldv"),
+    )
+    merged_all = _retain(_truncate(merged_all, cfg), cfg, cache)
+    merged = merged_all.select(*out_cols)
+    improved = merged_all.where(
+        (F.col("__seen") == 0) | ~F.col(vcol).eqNullSafe(F.col("__oldv"))
+    ).select(*out_cols)
+    return merged, improved
+
+
 def fixpoint_mixed(
     exit_dfs: dict,
     step,
@@ -1075,26 +1124,10 @@ def fixpoint_mixed(
                 # per iteration. Sign-cancelling msum increments (group
                 # sum 0) leave value == old value and are correctly
                 # excluded, as exceptAll excluded the identical row.
-                vtype = table.schema[vcol].dataType
-                tagged = table.withColumn("__old", F.lit(1)).unionByName(
-                    inc.withColumn("__old", F.lit(0))
+                merged, delta = _merge_monotonic(
+                    table, inc, keys, vcol, F.sum, spec.cols, cfg, cache,
+                    vtype=table.schema[vcol].dataType,
                 )
-                # SUM widens the value type — cast back to the table's
-                # type inside the pass so the loop stays type-stable
-                # (what _cast_like(merged, table) did pre-fusion)
-                merged_all = tagged.groupBy(*keys).agg(
-                    F.sum(F.col(vcol)).cast(vtype).alias(vcol),
-                    F.max(F.col("__old")).alias("__seen"),
-                    F.sum(F.when(F.col("__old") == 1, F.col(vcol)))
-                    .cast(vtype)
-                    .alias("__oldv"),
-                )
-                merged_all = _retain(_truncate(merged_all, cfg), cfg, cache)
-                merged = merged_all.select(*spec.cols)
-                delta = merged_all.where(
-                    (F.col("__seen") == 0)
-                    | ~F.col(vcol).eqNullSafe(F.col("__oldv"))
-                ).select(*spec.cols)
                 delta, nd = _materialize(delta, cfg, cache)
                 new_delta[pred] = _narrow_small(delta, nd, cfg)
                 # supports must absorb fresh EVEN when the table is
@@ -1121,22 +1154,9 @@ def fixpoint_mixed(
                 # filter over the same checkpointed frame (null-safe value
                 # compare, so NULL-valued groups don't re-report forever)
                 mfn = F.min if spec.func == "mmin" else F.max
-                tagged = table.withColumn("__old", F.lit(1)).unionByName(
-                    cand.withColumn("__old", F.lit(0))
+                merged, improved = _merge_monotonic(
+                    table, cand, keys, vcol, mfn, spec.cols, cfg, cache
                 )
-                merged_all = tagged.groupBy(*keys).agg(
-                    mfn(F.col(vcol)).alias(vcol),
-                    F.max(F.col("__old")).alias("__seen"),
-                    mfn(
-                        F.when(F.col("__old") == 1, F.col(vcol))
-                    ).alias("__oldv"),
-                )
-                merged_all = _retain(_truncate(merged_all, cfg), cfg, cache)
-                merged = merged_all.select(*spec.cols)
-                improved = merged_all.where(
-                    (F.col("__seen") == 0)
-                    | ~F.col(vcol).eqNullSafe(F.col("__oldv"))
-                ).select(*spec.cols)
                 improved, n = _materialize(improved, cfg, cache)
                 improved = _narrow_small(improved, n, cfg)
                 new_delta[pred] = improved
@@ -1215,25 +1235,10 @@ def fixpoint_monotonic(
         # 2|S| more per iteration on top of the |S|+|Δ| merge exchange
         # (TungstenMonotonicAggregationIterator.scala:512-555 tracks
         # "changed groups" inside its hash table the same way).
-        tagged = all_df.withColumn("__old", F.lit(1)).unionByName(
-            cand.withColumn("__old", F.lit(0))
+        merged, improved = _merge_monotonic(
+            all_df, cand, key_cols, value_col, agg_fn,
+            [*key_cols, value_col], cfg, cache,
         )
-        merged_all = (
-            tagged.groupBy(*key_cols)
-            .agg(
-                agg_fn(F.col(value_col)).alias(value_col),
-                F.max(F.col("__old")).alias("__seen"),
-                agg_fn(
-                    F.when(F.col("__old") == 1, F.col(value_col))
-                ).alias("__oldv"),
-            )
-        )
-        merged_all = _retain(_truncate(merged_all, cfg), cfg, cache)
-        merged = merged_all.select(*key_cols, value_col)
-        improved = merged_all.where(
-            (F.col("__seen") == 0)
-            | ~F.col(value_col).eqNullSafe(F.col("__oldv"))
-        ).select(*key_cols, value_col)
         improved, n = _materialize(improved, cfg, cache)
         improved = _narrow_small(improved, n, cfg)
         all_df = merged

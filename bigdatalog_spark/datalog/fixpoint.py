@@ -582,19 +582,26 @@ def fixpoint_seminaive(
     """
     cfg = cfg or FixpointConfig()
     _truncate_marked_ancestors(exit_dfs)
-    if cfg.copartitioned_set and cfg.checkpoint and _step_probe_ok(exit_dfs, step):
-        # non-linear steps are served too: the segmented loop hands the
-        # step `view()` frames for the accumulated sets, the same S∪Δ the
-        # legacy loop provides — and S is never re-shuffled for the
-        # anti-join (segments merge-join in place), which on non-linear
-        # closures (S grows superlinearly) is the dominant per-iteration
-        # Exchange the legacy loop pays
-        return _fixpoint_seminaive_segmented(exit_dfs, step, cfg, pivot_cols)
+    probe = None
+    if cfg.copartitioned_set and cfg.checkpoint:
+        probe = _step_probe(exit_dfs, step)
+        if probe is not None:
+            # non-linear steps are served too: the segmented loop hands the
+            # step `view()` frames for the accumulated sets, the same S∪Δ
+            # the legacy loop provides — and S is never re-shuffled for the
+            # anti-join (segments merge-join in place), which on non-linear
+            # closures (S grows superlinearly) is the dominant
+            # per-iteration Exchange the legacy loop pays
+            return _fixpoint_seminaive_segmented(
+                exit_dfs, step, cfg, pivot_cols, probe=probe
+            )
     cache = _GenerationCache(cfg)
 
-    # schema probe: run step over the (lazy) seeds to learn the candidate
-    # types, then widen seeds so unions/anti-joins are type-stable
-    probe = step(exit_dfs, exit_dfs)
+    # schema probe: the candidate plans from the gate probe when it ran,
+    # else built once here; used to widen seeds so unions/anti-joins are
+    # type-stable
+    if probe is None:
+        probe = step(exit_dfs, exit_dfs)
 
     all_dfs: dict[str, DataFrame] = {}
     delta_dfs: dict[str, DataFrame] = {}
@@ -658,15 +665,16 @@ def fixpoint_seminaive(
     return all_dfs
 
 
-def _step_probe_ok(exit_dfs: dict, step) -> bool:
-    """True iff the step can be planned against plain seed dicts (probe:
-    plan construction only, no job runs). A step that throws here gets the
-    legacy loop, whose per-pred frames it may be depending on."""
+def _step_probe(exit_dfs: dict, step) -> dict | None:
+    """The step planned once against plain seed dicts (plan construction
+    only, no job runs) — None when it throws, which routes to the legacy
+    loop, whose per-pred frames the step may be depending on. The probe
+    result doubles as the schema probe, so each fixpoint builds the full
+    candidate plan tree once here instead of once per consumer."""
     try:
-        step(dict(exit_dfs), dict(exit_dfs))
+        return step(dict(exit_dfs), dict(exit_dfs))
     except Exception:
-        return False
-    return True
+        return None
 
 
 def _plan_partitioned_on(df: DataFrame, cols, n: int) -> bool:
@@ -723,7 +731,8 @@ class _SegmentViews(dict):
 
 
 def _fixpoint_seminaive_segmented(
-    exit_dfs: dict, step, cfg: FixpointConfig, pivot_cols: dict | None = None
+    exit_dfs: dict, step, cfg: FixpointConfig, pivot_cols: dict | None = None,
+    probe: dict | None = None,
 ) -> dict:
     """PSN with the accumulated set held as co-partitioned segments.
 
@@ -731,7 +740,8 @@ def _fixpoint_seminaive_segmented(
     and how Δ' = T_R(Δ) − S plans: the candidate side shuffles+sorts once,
     every stored segment merge-joins in place (see _SegmentedSet)."""
     spark = next(iter(exit_dfs.values())).sparkSession
-    probe = step(exit_dfs, exit_dfs)
+    if probe is None:
+        probe = step(exit_dfs, exit_dfs)
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # widen BEFORE the pivot probe: an un-widened seed (e.g. the
     # IntegerType placeholder of an exit-less mutual predicate) makes the

@@ -461,6 +461,50 @@ def dl_tc_distributed(spark, sf_dir):
     return df.select(F.col("A").alias("src"), F.col("B").alias("dst"))
 
 
+def _null_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, label) over the tree nodes where every 4th label is NULL —
+    the nullable-static input that drives dl_tc_null_labels."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        F.col("p_partkey").alias("y"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit(None))
+        .otherwise(F.col("p_partkey") % 100)
+        .cast("long")
+        .alias("w"),
+    )
+
+
+def dl_tc_null_labels(spark, sf_dir):
+    """Label propagation with NULL-bearing tuples through the FORCED
+    distributed fixpoint: seed = every tree node's label (every 4th is
+    NULL), step propagates labels down tree edges. The same (node, NULL)
+    tuple is re-derived from every %4==0 ancestor, so without the
+    null-safe anti (datalog/fixpoint.py:174-204 detection riding the
+    count job; eqNullSafe split anti) set semantics break — duplicate
+    rows and a delta that never drains. The DuckDB oracle's recursive
+    UNION dedups null-safely, so it enforces exactly this semantics.
+    NULLs are outside the reference's own data model (its loader cannot
+    produce them, SURVEY §1.2) — this row pins the EXTENSION contract
+    for register()'d nullable frames."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    ctx = BigDatalogContext(
+        spark,
+        EngineConfig(
+            decomposable_local=False, driver_local=False, local_seed_max_rows=0
+        ),
+    )
+    ctx.load_program(
+        "database({arc(S:long, D:long), lab(Y:long, W:long)})."
+        "p(X, W) <- lab(X, W)."
+        "p(Y, W) <- p(X, W), arc(X, Y)."
+    )
+    ctx.register("arc", _tree_edges(spark, sf_dir))
+    ctx.register("lab", _null_labels(spark, sf_dir))
+    df = ctx.query("p(A,B).")
+    return df.select(F.col("A").alias("node"), F.col("B").alias("lab"))
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Gap-based session windows through the REAL streaming path:
     file-source readStream → watermarked ``session_window`` aggregation
@@ -2778,87 +2822,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # dict entries per round. The r07 window retires every remaining r04-era
-    # row (q17/q18/q13/q22, q_exists_semijoin, q_salted_join, q_funnel,
-    # q_rollup_revenue, q_value_percentiles — two rounds stale) and then the
-    # 41 most engine-relevant r05 rows: the dedup/ANN/text family (winnowing
-    # + text code changed in r06), q_kcore (peel loop rewritten in r06),
-    # dl_tc_distributed, q_stream_sessionize, and the heavy TPC-H shapes
-    # (q6/q8/q9/q15/q21 — q9/q18/q21 rewritten this round). The five
-    # TPC-H shapes NEW this round (q2/q4/q11/q16/q20 — the catalog-derived
-    # adaptations completing all 22 official shapes) enter the window in
-    # place of five window-analytics rows untouched since r04
-    # (q_running_avg, q_asof_forward, q_grouping_sets, q_interval_join,
-    # q_range_acctbal_band — deferred one round), and the streaming
-    # stream-stream join row NEW this round (q_stream_interval_join)
-    # replaces q_shard_manifest (io code untouched since r04, swept
-    # green). Left on their r05 rows
-    # (1 round old): the md5-row-local sampling family and the
-    # sketch/cohort entry queries, whose code has not changed since r03.
-    # The 50 r06-fresh rows follow the window.
+    # dict entries per round. The r08 window (per VERDICT r07 "Next round"
+    # #1-2) is exactly: (a) the 17 rows whose newest driver check is r05 —
+    # the md5-row-local sampling family, shard manifest, sketch/cohort and
+    # window-analytics rows (code untouched since r03, but three rounds
+    # stale is the bar); (b) dl_tc_null_labels, NEW this round — the
+    # null-bearing-tuple fixpoint row that makes the DuckDB oracle (not
+    # just pytest) the enforcer of the r07 null-safe set semantics; and
+    # (c) the ENTIRE dl_* engine family (29 rows whose newest driver rows
+    # predate the r07 null-safety/driver-tier/merge-fusion commits to
+    # datalog/fixpoint.py + context.py, then the 3 r07-fresh engine rows
+    # dl_tc_distributed / dl_tc_nl_bound / dl_mutual_bound so every
+    # engine-family row is fresher than the last engine-touching commit).
+    # 17 + 1 + 29 + 3 = 50. Everything r06/r07-fresh follows the window.
     return {
-        # --- r04-stale rows (two rounds old — retire first) ---
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q_exists_semijoin": q_exists_semijoin,
-        "q_salted_join": q_salted_join,
-        "q_funnel": q_funnel,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_value_percentiles": q_value_percentiles,
-        # --- r05 rows, engine-adjacent: graph/fixpoint/streaming ---
-        "q_kcore": q_kcore,
-        "dl_tc_distributed": dl_tc_distributed,
-        "q_stream_sessionize": q_stream_sessionize,
-        # --- r05 rows: heavy TPC-H shapes (q9/q18/q21 rewritten r07) ---
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q15_top_supplier": q15_top_supplier,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        # --- r05 rows: text family (functions/text.py changed r06) ---
-        "q_text_profile": q_text_profile,
-        "q_subword_tokens": q_subword_tokens,
-        "q_tfidf_topk": q_tfidf_topk,
-        "q_lang_histogram": q_lang_histogram,
-        "q_quality_filter": q_quality_filter,
-        "q_token_topk": q_token_topk,
-        "q_repetition_stats": q_repetition_stats,
-        # --- r05 rows: dedup/ANN family ---
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
-        "q_dedup_minhash": q_dedup_minhash,
-        "q_dedup_simhash": q_dedup_simhash,
-        "q_dedup_embedding": q_dedup_embedding,
-        "q_dedup_cluster": q_dedup_cluster,
-        "q_dedup_chunks": q_dedup_chunks,
-        "q_ann_topk": q_ann_topk,
-        "q_ann_ivf": q_ann_ivf,
-        "q_ann_lsh": q_ann_lsh,
-        # --- r05 rows: multimodal plumbing ---
-        "q_media_features": q_media_features,
-        "q_media_frames": q_media_frames,
-        # --- r05 rows: corpus prep / joins / analytics ---
-        "q_pack_sequences": q_pack_sequences,
-        "q_doc_chunks": q_doc_chunks,
-        "q_pii_stats": q_pii_stats,
-        "q_decontaminate": q_decontaminate,
-        "q_asof_purchase": q_asof_purchase,
-        # --- NEW this round: stream-stream join driven as live streams ---
-        "q_stream_interval_join": q_stream_interval_join,
-        # --- NEW this round: the last five official TPC-H shapes ---
-        "q2_min_cost_supplier": q2_min_cost_supplier,
-        "q4_priority_late_orders": q4_priority_late_orders,
-        "q11_important_parts": q11_important_parts,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q20_dominant_supplier": q20_dominant_supplier,
-        # --- NEW this round: generalized magic-sets bound goals ---
-        "dl_tc_nl_bound": dl_tc_nl_bound,
-        "dl_mutual_bound": dl_mutual_bound,
-        # ---------------- end of the 50-entry r07 window ----------------
-        "q_shard_manifest": q_shard_manifest,
+        # --- (a) r05-stale rows: window analytics / sketches ---
         "q_running_avg": q_running_avg,
         "q_asof_forward": q_asof_forward,
         "q_grouping_sets": q_grouping_sets,
@@ -2866,26 +2844,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_acctbal_band": q_range_acctbal_band,
         "q_pivot_event_types": q_pivot_event_types,
         "q_cube_revenue": q_cube_revenue,
-        # --- r05 rows, code untouched since r03 (sampling / sketches) ---
         "q_cohort_retention": q_cohort_retention,
         "q_countd_approx": q_countd_approx,
         "q_value_percentiles_approx": q_value_percentiles_approx,
+        # --- (a) r05-stale rows: deterministic sampling / io ---
         "q_hash_split": q_hash_split,
         "q_mixture_sample": q_mixture_sample,
         "q_mixture_upsample": q_mixture_upsample,
         "q_stratified_sample": q_stratified_sample,
         "q_weighted_sample": q_weighted_sample,
         "q_corpus_shuffle": q_corpus_shuffle,
-        # --- r06-fresh rows ---
-        "q_stream_dedup": q_stream_dedup,
-        "q_wav_features": q_wav_features,
-        "q_fuzzy_names": q_fuzzy_names,
-        "q_json_props": q_json_props,
-        "q7_nation_volume": q7_nation_volume,
-        "q12_priority_lines": q12_priority_lines,
-        "q19_disjunctive_filter": q19_disjunctive_filter,
-        "q_stream_sessionize_append": q_stream_sessionize_append,
-        "q_stream_enrich": q_stream_enrich,
+        "q_shard_manifest": q_shard_manifest,
+        # --- (b) NEW: null-bearing tuples through the distributed fixpoint ---
+        "dl_tc_null_labels": dl_tc_null_labels,
+        # --- (c) dl_* engine family: relational surface ---
         "dl_inmemory_csv": dl_inmemory_csv,
         "dl_filter_project": dl_filter_project,
         "dl_join_3way": dl_join_3way,
@@ -2896,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_sort_limit": dl_sort_limit,
         "dl_arith": dl_arith,
         "dl_date_filter": dl_date_filter,
+        # --- (c) dl_* engine family: recursion ---
         "dl_tc": dl_tc,
         "dl_tc_rl": dl_tc_rl,
         "dl_agg_over_tc": dl_agg_over_tc,
@@ -2915,6 +2888,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_sg_bound": dl_sg_bound,
         "dl_triangle_count": dl_triangle_count,
         "dl_pymk": dl_pymk,
+        # --- (c) dl_* engine family: r07-fresh forced/demand paths ---
+        "dl_tc_distributed": dl_tc_distributed,
+        "dl_tc_nl_bound": dl_tc_nl_bound,
+        "dl_mutual_bound": dl_mutual_bound,
+        # ---------------- end of the 50-row r08 window ----------------
+        # r07-fresh rows (checked last round)
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q_exists_semijoin": q_exists_semijoin,
+        "q_salted_join": q_salted_join,
+        "q_funnel": q_funnel,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_value_percentiles": q_value_percentiles,
+        "q_kcore": q_kcore,
+        "q_stream_sessionize": q_stream_sessionize,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q_text_profile": q_text_profile,
+        "q_subword_tokens": q_subword_tokens,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_lang_histogram": q_lang_histogram,
+        "q_quality_filter": q_quality_filter,
+        "q_token_topk": q_token_topk,
+        "q_repetition_stats": q_repetition_stats,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "q_dedup_minhash": q_dedup_minhash,
+        "q_dedup_simhash": q_dedup_simhash,
+        "q_dedup_embedding": q_dedup_embedding,
+        "q_dedup_cluster": q_dedup_cluster,
+        "q_dedup_chunks": q_dedup_chunks,
+        "q_ann_topk": q_ann_topk,
+        "q_ann_ivf": q_ann_ivf,
+        "q_ann_lsh": q_ann_lsh,
+        "q_media_features": q_media_features,
+        "q_media_frames": q_media_frames,
+        "q_pack_sequences": q_pack_sequences,
+        "q_doc_chunks": q_doc_chunks,
+        "q_pii_stats": q_pii_stats,
+        "q_decontaminate": q_decontaminate,
+        "q_asof_purchase": q_asof_purchase,
+        "q_stream_interval_join": q_stream_interval_join,
+        "q2_min_cost_supplier": q2_min_cost_supplier,
+        "q4_priority_late_orders": q4_priority_late_orders,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_supplier": q20_dominant_supplier,
+        # r06-fresh rows
+        "q_stream_dedup": q_stream_dedup,
+        "q_wav_features": q_wav_features,
+        "q_fuzzy_names": q_fuzzy_names,
+        "q_json_props": q_json_props,
+        "q7_nation_volume": q7_nation_volume,
+        "q12_priority_lines": q12_priority_lines,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        "q_stream_sessionize_append": q_stream_sessionize_append,
+        "q_stream_enrich": q_stream_enrich,
         "q_cc_fast": q_cc_fast,
         "q_pagerank": q_pagerank,
         "q_winnow_fingerprints": q_winnow_fingerprints,
@@ -3051,6 +3087,19 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT tc.src, e.dst FROM tc JOIN edges e ON tc.dst = e.src)
             SELECT src, dst FROM tc
+        """,
+        "dl_tc_null_labels": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            lab AS (
+              SELECT p_partkey AS node,
+                     CASE WHEN p_partkey % 4 = 0 THEN NULL
+                          ELSE p_partkey % 100 END AS lab
+              FROM part),
+            p(node, lab) AS (
+              SELECT node, lab FROM lab
+              UNION
+              SELECT e.dst, p.lab FROM p JOIN edges e ON e.src = p.node)
+            SELECT node, lab FROM p
         """,
         "dl_agg_over_tc": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),

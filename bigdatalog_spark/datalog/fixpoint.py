@@ -464,12 +464,22 @@ class _SegmentedSet:
         # forever. Split so the (overwhelmingly dominant) null-free slice
         # keeps the in-place merge-scan; only the null slice pays the
         # eqNullSafe exchange.
+        assert list(cand.columns) == self.cols, (
+            f"anti() candidate columns {cand.columns} != store {self.cols}"
+        )
         np = _has_null_expr(cand.columns)
         nn, nul = cand.where(~np), cand.where(np)
         for s in self.segments:
             nn = nn.join(s, on=self.cols, how="left_anti")
             nul = _anti_null_safe(nul, s, self.cols)
-        return nn.union(nul)
+        # re-key the (tiny) null slice on the store's partitioning before the
+        # union so each slice of the sealed segment keeps rows co-located on
+        # part_cols (the slices are disjoint under null-safe equality, so
+        # per-slice co-location is the set invariant). unionByName, not
+        # positional union: _anti_null_safe re-selects in self.cols order but
+        # nn rides cand's order — by-name is robust to either.
+        nul = nul.repartition(self._n_shuffle(), *self.part_cols)
+        return nn.unionByName(nul)
 
     def view(self) -> DataFrame:
         if not self.segments:
@@ -507,20 +517,44 @@ _NUM_RANK = {
     "tinyint": 0, "smallint": 1, "int": 2, "bigint": 3, "float": 4, "double": 5,
 }
 
+# max base-10 digits an integral type can carry (Spark's IntegralType ->
+# DecimalType promotion widths)
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 20}
+
+
+def _decimal_ps(t: str) -> tuple[int, int]:
+    """(precision, scale) of a decimal simpleString; bare `decimal` means
+    Spark's default decimal(10,0)."""
+    if "(" not in t:
+        return 10, 0
+    p, s = t[t.index("(") + 1 : t.rindex(")")].split(",")
+    return int(p), int(s)
+
 
 def _widen(t1: str, t2: str) -> str:
     if t1 == t2:
         return t1
     if t1 in _NUM_RANK and t2 in _NUM_RANK:
         return t1 if _NUM_RANK[t1] >= _NUM_RANK[t2] else t2
-    # decimal meets any numeric: take double (the engine's recursion value
-    # model — matching the mmin/mmax table discipline) rather than silently
-    # stringifying the whole column, which would make seed '1' and step
-    # '1.00' distinct tuples and break every downstream numeric comparison
-    if (t1.startswith("decimal") and (t2 in _NUM_RANK or t2.startswith("decimal"))) or (
-        t2.startswith("decimal") and t1 in _NUM_RANK
-    ):
-        return "double"
+    # decimal meets decimal/integer: an EXACT decimal meet exists — widen to
+    # decimal(max integral digits + max scale, max scale), mirroring Spark's
+    # own promotion, so values beyond 2^53 or differing below one double ulp
+    # stay distinct tuples. Fall back to double only on precision overflow
+    # (>38) or a decimal-vs-float/double meet, where exactness is already
+    # lost on one side.
+    d1, d2 = t1.startswith("decimal"), t2.startswith("decimal")
+    if d1 or d2:
+        other = t2 if d1 else t1
+        if (d1 and d2) or other in _INT_DIGITS:
+            p1, s1 = _decimal_ps(t1) if d1 else (_INT_DIGITS[t1], 0)
+            p2, s2 = _decimal_ps(t2) if d2 else (_INT_DIGITS[t2], 0)
+            scale = max(s1, s2)
+            prec = max(p1 - s1, p2 - s2) + scale
+            if prec <= 38:
+                return f"decimal({prec},{scale})"
+            return "double"
+        if other in ("float", "double"):
+            return "double"
     # string is only a sound meet for string-ish pairs; anything else
     # (date vs timestamp, array vs int …) is a program type error — say so
     if "string" in (t1, t2):

@@ -215,10 +215,17 @@ def _eval_rule_pd(
             else:
                 shared = [v for v in aenv if v in env]
                 if shared:
-                    acc = acc.merge(
-                        adf,
-                        left_on=[env[v] for v in shared],
-                        right_on=[aenv[v] for v in shared],
+                    # pandas inner merge matches NaN keys with each other;
+                    # Spark's `=` equi-join (the distributed path) never
+                    # does, and neither does Datalog unification. Drop
+                    # null-keyed rows from both sides so every tier agrees
+                    # when a null-bearing tuple's column becomes a join key
+                    lk = [env[v] for v in shared]
+                    rk = [aenv[v] for v in shared]
+                    acc = acc.dropna(subset=lk).merge(
+                        adf.dropna(subset=rk),
+                        left_on=lk,
+                        right_on=rk,
                         how="inner",
                     )
                 else:

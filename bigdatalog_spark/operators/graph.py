@@ -125,11 +125,12 @@ def _cc_local(spark, id_type, ed) -> DataFrame:
     """Driver-side union-find over the size-gated edge set — exact same
     contract as the star-contraction path (component = min vertex id),
     integer arithmetic so the outputs are identical, not merely
-    equivalent. ``ed`` is the pandas frame the size probe ALREADY
-    collected (`limit(gate+1).toPandas()` gates and collects in one
-    job), so the union-find runs right here and Arrow-parallelizes the
-    result with ZERO further cluster jobs — the previous form probed
-    with a separate count and re-collected, and before that broadcast
+    equivalent. ``ed`` is the pandas frame collected after the gate
+    probe admitted the graph (the probe is a `limit(gate+1).count()`
+    over the PERSISTED edge frame — no recompute, and no rows shipped
+    to the driver on the distributed path), so the union-find runs
+    right here and Arrow-parallelizes the result with ZERO further
+    cluster jobs — an earlier form broadcast
     the edges back into a one-task mapInPandas plus an eager checkpoint
     (pure roundtrip overhead — same reasoning as the Datalog driver
     tier, local_eval.driver_seminaive)."""
@@ -204,15 +205,15 @@ def connected_components_fast(
     # first job populates the cache, later consumers read blocks
     base = _edges(edges, src, dst).persist()
     if local_max_edges:
-        # one bounded fetch gates AND collects (the established pattern
-        # from datalog/context.py): fewer than gate+1 rows back means the
-        # frame IS the whole edge set
-        pdf = base.limit(local_max_edges + 1).toPandas()
-        if len(pdf) <= local_max_edges:
+        # base is persisted, so a count probe costs no recompute and — unlike
+        # a fused limit(gate+1).toPandas() — ships ZERO rows to the driver
+        # when the graph is large; only a graph that fits the gate pays the
+        # (small, cache-served) collect
+        if base.limit(local_max_edges + 1).count() <= local_max_edges:
+            pdf = base.toPandas()
             out = _cc_local(edges.sparkSession, base.schema["c0"].dataType, pdf)
             base.unpersist()
             return out
-        del pdf
     e = (
         base
         .where(F.col("c0") != F.col("c1"))
@@ -325,10 +326,10 @@ def connected_components_fast(
 def _k_core_local(spark, id_type, ed, k: int) -> DataFrame:
     """Driver-side vectorized peeling over the size-gated edge set — same
     contract as the distributed rounds (the k-core is unique, so outputs
-    are identical). ``ed`` is the pandas frame the size probe already
-    collected (one `limit(gate+1).toPandas()` gates and collects);
+    are identical). ``ed`` is the pandas frame collected after the
+    persisted-input count probe admitted the graph (see _cc_local);
     peeling here and Arrow-parallelizing the result costs zero further
-    cluster jobs (see _cc_local)."""
+    cluster jobs."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -399,12 +400,13 @@ def k_core(
     )
     spark = edges.sparkSession
     if local_max_edges:
-        pdf = base.limit(local_max_edges + 1).toPandas()
-        if len(pdf) <= local_max_edges:
+        # persisted input: count-probe first (no driver-bound rows on the
+        # distributed path), collect only when the gate admits the graph
+        if base.limit(local_max_edges + 1).count() <= local_max_edges:
+            pdf = base.toPandas()
             out = _k_core_local(spark, base.schema["u"].dataType, pdf, k)
             base.unpersist()
             return out
-        del pdf
 
     def degrees(E: DataFrame) -> DataFrame:
         return (
@@ -527,10 +529,12 @@ def _pagerank_local(
     """Driver-side numpy power iteration over the size-gated edge set —
     the graph-op analogue of the Datalog driver tier: zero further
     cluster jobs instead of 2 joins + checkpoints per iteration (``ed``
-    is the pandas frame the size probe already collected — one
-    `limit(gate+1).toPandas()` gates and collects, where the previous
-    count-probe + full re-collect recomputed the unpersisted edge
-    projection twice). Arithmetic is the same per-term double expression
+    is the pandas frame the size probe already collected — HERE the
+    fused `limit(gate+1).toPandas()` gate-and-collect is the right
+    probe, because the edge projection is UNPERSISTED and a count-probe
+    + re-collect would recompute it twice; the persisted inputs of
+    connected_components_fast/k_core use a row-free count probe
+    instead). Arithmetic is the same per-term double expression
     as the distributed loop (summation order can differ only for nodes
     with in-degree ≥ 3 — the same last-ulp caveat the distributed plan
     has against any oracle)."""

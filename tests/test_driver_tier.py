@@ -201,3 +201,126 @@ def test_statics_memo_ephemeral_entries_capped(spark):
         assert got == list(range(k + 1, 41))
     eph = [v for v in ctx._statics_pd.values() if len(v) > 2]
     assert len(eph) <= _EPHEMERAL_CAP
+
+
+# ------------------------------------------------- null-bearing parity
+# (VERDICT r07 #7) The pandas tiers and the distributed null-safe anti
+# must agree on null-bearing cliques — including the two corners where
+# they historically could diverge: (a) a NULL pass-through column whose
+# tuple is re-derived over a cycle (set semantics: null-safe dedup), and
+# (b) a NULL that lands in a JOIN key (pandas merge matches NaN==NaN,
+# Spark `=` never does — local_eval now drops null-keyed rows to match).
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.sql import types as T
+
+NPROP = settings(
+    max_examples=8,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+N_EDGES = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 4)),
+    min_size=1, max_size=10, unique=True,
+)
+N_LABELS = st.lists(
+    st.tuples(st.integers(0, 4), st.one_of(st.none(), st.integers(0, 2))),
+    min_size=1, max_size=6, unique=True,
+)
+
+PROG_LAB = (
+    "database({arc(S:long, D:long), lab(Y:long, W:long)})."
+    "p(X, W) <- lab(X, W)."
+    "p(Y, W) <- p(X, W), arc(X, Y)."
+)
+PROG_KEY = (
+    "database({arc(S:long, D:long), q(Y:long, W:long)})."
+    "p(X, W) <- arc(X, Y), q(Y, W)."
+    "p(X, W) <- p(X, Y), q(Y, W)."
+)
+
+_NSCHEMA = T.StructType(
+    [
+        T.StructField("y", T.LongType(), True),
+        T.StructField("w", T.LongType(), True),
+    ]
+)
+
+
+def _rows_df(spark, prog, data, goal, **cfg):
+    ctx = BigDatalogContext(spark, EngineConfig(**cfg))
+    ctx.load_program(prog)
+    for name, df in data.items():
+        ctx.register(name, df)
+    out = [
+        tuple(None if c is None else int(c) for c in r)
+        for r in ctx.query(goal).collect()
+    ]
+    key = lambda t: tuple((c is not None, c if c is not None else 0) for c in t)
+    return sorted(out, key=key)
+
+
+def _three_way(spark, prog, data, goal):
+    driver = _rows_df(spark, prog, data, goal)
+    in_task = _rows_df(spark, prog, data, goal, driver_local=False)
+    dist = _rows_df(
+        spark, prog, data, goal,
+        decomposable_local=False, driver_local=False, local_seed_max_rows=0,
+    )
+    assert driver == in_task == dist
+    assert len(driver) == len(set(driver))  # set semantics, null-safe
+    return driver
+
+
+@NPROP
+@given(edges=N_EDGES, labels=N_LABELS)
+def test_null_passthrough_parity(spark, edges, labels):
+    data = {
+        "arc": spark.createDataFrame(edges, ["s", "d"]),
+        "lab": spark.createDataFrame(labels, _NSCHEMA),
+    }
+    got = _three_way(spark, PROG_LAB, data, "p(A,B).")
+    # python oracle: label w (None included) propagates to all reachable
+    reach = {n: {n} for n in range(5)}
+    changed = True
+    while changed:
+        changed = False
+        for s, d in edges:
+            for r in list(reach[s]):
+                if r not in reach.get(d, set()):
+                    reach.setdefault(d, set()).add(r)
+                    changed = True
+    want = {(n, w) for (y, w) in labels for n in range(5) if y in reach[n]}
+    assert set(got) == want
+
+
+@NPROP
+@given(edges=N_EDGES, labels=N_LABELS)
+def test_null_join_key_parity(spark, edges, labels):
+    """q's FIRST column (a join key in both rules) may be NULL: a null key
+    must match nothing on every tier (SQL `=` semantics)."""
+    data = {
+        "arc": spark.createDataFrame(edges, ["s", "d"]),
+        "q": spark.createDataFrame(labels, _NSCHEMA),
+    }
+    got = _three_way(spark, PROG_KEY, data, "p(A,B).")
+    q = set(labels)
+    p = {
+        (x, w)
+        for (x, y) in edges
+        for (qy, w) in q
+        if y is not None and qy is not None and y == qy
+    }
+    changed = True
+    while changed:
+        new = {
+            (x, w)
+            for (x, y) in p
+            for (qy, w) in q
+            if y is not None and qy is not None and y == qy
+        } - p
+        changed = bool(new)
+        p |= new
+    assert set(got) == p

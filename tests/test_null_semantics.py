@@ -125,11 +125,88 @@ def test_non_checkpoint_mode_matches_default(spark):
     assert got == want
 
 
-def test_widen_decimal_meets_int_is_double():
+def test_driver_row_takes_null_path(spark, monkeypatch):
+    """The dl_tc_null_labels DRIVER row (null-bearing labels through the
+    forced-distributed fixpoint) must actually engage the null-safe anti —
+    otherwise the oracle row would be green while exercising only the `=`
+    path. Pinned by instrumenting _anti_null_safe and asserting it fires,
+    plus null-mode set semantics on the result (no duplicate tuples, null
+    labels present)."""
+    import __spark_entry__ as entry
+    from bigdatalog_spark.datalog import fixpoint as fx
+
+    calls = []
+    real = fx._anti_null_safe
+
+    def spy(cand, s, cols):
+        calls.append(tuple(cols))
+        return real(cand, s, cols)
+
+    monkeypatch.setattr(fx, "_anti_null_safe", spy)
+    df = entry.queries()["dl_tc_null_labels"](spark, "/root/testdata/sf0.001")
+    rows = [tuple(r) for r in df.collect()]
+    assert calls, "null-safe anti never engaged — row is not a null-path pin"
+    assert len(rows) == len(set(rows))
+    assert any(r[1] is None for r in rows)
+
+
+def test_widen_decimal_meets():
+    """decimal-vs-decimal/integer widens to the EXACT decimal meet (max
+    integral digits + max scale), mirroring Spark's promotion; double only
+    on >38 overflow or a float/double meet where exactness is already
+    gone on one side."""
     from bigdatalog_spark.datalog.fixpoint import _widen
 
-    assert _widen("int", "decimal(12,2)") == "double"
+    assert _widen("int", "decimal(12,2)") == "decimal(12,2)"
+    assert _widen("decimal(12,2)", "int") == "decimal(12,2)"
+    assert _widen("bigint", "decimal(12,2)") == "decimal(22,2)"
+    assert _widen("decimal(18,4)", "decimal(10,0)") == "decimal(18,4)"
+    assert _widen("decimal(18,4)", "decimal(20,0)") == "decimal(24,4)"
+    assert _widen("decimal(38,0)", "decimal(2,1)") == "double"  # 39 > 38
     assert _widen("decimal(18,4)", "double") == "double"
+    assert _widen("decimal(18,4)", "float") == "double"
+    assert _widen("decimal(18,4)", "decimal(18,4)") == "decimal(18,4)"
     assert _widen("string", "int") == "string"
     with pytest.raises(DatalogSemanticError):
         _widen("date", "timestamp")
+
+
+def test_widen_decimal_exact_beyond_double(spark):
+    """End-to-end: a recursion whose exit and step rules both derive
+    decimals at different scales keeps EXACT decimal arithmetic — two
+    values that differ below one double ulp (x and x + 1e-4 near 2^53)
+    stay distinct tuples instead of collapsing into one."""
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    big = Decimal(9007199254740993)  # 2^53 + 1: not double-representable
+    schema1 = T.StructType(
+        [
+            T.StructField("y", T.LongType(), False),
+            T.StructField("w", T.DecimalType(20, 0), False),
+        ]
+    )
+    schema2 = T.StructType(
+        [
+            T.StructField("y", T.LongType(), False),
+            T.StructField("w", T.DecimalType(24, 4), False),
+        ]
+    )
+    # declared `double`, but register() only checks arity — the ACTUAL
+    # frame types (decimal 20,0 vs 24,4) drive the fixpoint widening
+    prog = (
+        "database({e(Y:long, W:double), s(Y:long, W:double)})."
+        "p(X, W) <- e(X, W)."
+        "p(X, W) <- p(X, _), s(X, W)."
+    )
+    ctx = BigDatalogContext(spark, EngineConfig(**DISTRIBUTED))
+    ctx.load_program(prog)
+    ctx.register("e", spark.createDataFrame([(0, big)], schema1))
+    ctx.register(
+        "s", spark.createDataFrame([(0, big + Decimal("0.0001"))], schema2)
+    )
+    rows = sorted(tuple(r) for r in ctx.query("p(A,B).").collect())
+    # under the old double widening both rows collapse to one tuple
+    assert len(rows) == 2
+    assert rows[0][1] == big and rows[1][1] == big + Decimal("0.0001")

@@ -18,7 +18,16 @@ import datetime as dt
 import math
 import sys
 
-sys.path.insert(0, "/root/repo")
+try:  # installed package (editable: python setup.py develop / pip install -e)
+    import bigdatalog_spark  # noqa: F401
+except ImportError:  # fall back to running from a source checkout
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# __spark_entry__ lives at the repo root, not in the package
+import os as _os
+
+sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 
 def norm_cell(v):

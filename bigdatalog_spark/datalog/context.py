@@ -60,6 +60,17 @@ from .local_eval import (
 from .parser import parse_goal, parse_program
 from .semantics import AnalyzedProgram, Clique, DatalogSemanticError, analyze
 
+class _MagicLocalAbort(Exception):
+    """Control flow, never user-visible: a mixed magic⇄guarded mutual
+    clique (non-linear demand transformation) could not be served by the
+    local tiers — its distributed form is measured 27× WORSE than the
+    unbound closure it replaces (BASELINE.md, r07), so the demand
+    transformation must DECLINE (caller answers with the unbound
+    fixpoint + goal filter) rather than distribute the transformed
+    program. Raised at the distributed-dispatch choke point, caught only
+    by _magic_bound_general."""
+
+
 def _comparison_vars(c: Comparison) -> set[str]:
     out: set[str] = set()
 
@@ -678,7 +689,15 @@ class BigDatalogContext:
                 is None
             ):
                 return None
-        return sub._pred_df(root)
+        # the upfront gate can't predict a driver-loop GROWTH abort (the
+        # demanded slice outgrowing the local budget mid-evaluation); mark
+        # the sub-context so the distributed dispatch declines the mixed
+        # magic⇄guarded clique instead of running the condemned shape
+        sub._magic_local_only = True
+        try:
+            return sub._pred_df(root)
+        except _MagicLocalAbort:
+            return None
 
     @staticmethod
     def _stable_positions(clique: Clique, pred: str) -> set[int]:
@@ -1736,6 +1755,21 @@ class BigDatalogContext:
                 if seed_filter is None:
                     self._cache.update(local)
                 return local
+
+        # a mixed magic⇄guarded clique reaching the distributed loop means
+        # the local tiers declined AFTER the upfront gate passed (growth
+        # abort: the demanded slice outgrew the driver budget, e.g.
+        # tc(5,B) at sf10 demands ~10M guarded pairs). The distributed
+        # transformed program is the one shape measurements condemn —
+        # bubble a decline so the caller answers with the unbound closure
+        # instead (fallback ordering: local-transformed ≫ unbound-closure
+        # ≫ distributed-transformed, BASELINE.md r07/r08).
+        if getattr(self, "_magic_local_only", False):
+            preds = list(clique.preds)
+            if any(p.startswith("__magic_") for p in preds) and not all(
+                p.startswith("__magic_") for p in preds
+            ):
+                raise _MagicLocalAbort(preds)
 
         # decomposable cliques hand their pivot to the distributed loop
         # too: the segmented stores partition every clique predicate's S on

@@ -243,3 +243,39 @@ def test_general_demand_declines_reversed_arithmetic_binding(spark):
     assert not any(k.startswith("__magic") for k in ctx._cache)
     got_miss, _ = _q(spark, prog, {"start": ["3"]}, "n(99).")
     assert got_miss == []
+
+
+def test_general_demand_growth_abort_declines_to_unbound_fallback(
+    spark, monkeypatch
+):
+    """The upfront gate can pass (shape + statics OK) and the driver loop
+    STILL abort when the demanded slice outgrows the growth budget
+    (dl_tc_nl_bound at sf10: ~10M guarded pairs). The engine must then
+    decline the transformation — answering via the unbound closure +
+    filter — and NEVER run the distributed transformed clique, the shape
+    measured 27× worse than that fallback. Pinned by spying the
+    distributed fixpoint entry: no magic predicate may reach it."""
+    from bigdatalog_spark.datalog import context as ctx_mod
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    dist_cliques = []
+    orig = ctx_mod.fixpoint_seminaive
+
+    def spy(exit_dfs, step, cfg, **kw):
+        dist_cliques.append(tuple(exit_dfs))
+        return orig(exit_dfs, step, cfg, **kw)
+
+    monkeypatch.setattr(ctx_mod, "fixpoint_seminaive", spy)
+
+    # growth budget the demanded closure must exceed -> driver loop aborts
+    ctx = BigDatalogContext(
+        spark, EngineConfig(local_growth_factor=1, local_growth_floor=2)
+    )
+    ctx.load_program(NL_TC)
+    chain = [f"{i},{i + 1}" for i in range(12)]
+    ctx.register_data("arc", chain)
+    got = sorted(r[1] for r in ctx.query("tc(0,B).").collect())
+    assert got == list(range(1, 13))
+    assert not any(
+        any(p.startswith("__magic_") for p in preds) for preds in dist_cliques
+    ), f"transformed clique reached the distributed loop: {dist_cliques}"

@@ -279,6 +279,172 @@ class BigDatalogContext:
             df = self._pred_df(goal.pred)
         return self._apply_goal(goal, df)
 
+    def _demand_chain_fallback(self, goal: Goal, clique: Clique, bound):
+        """DISTRIBUTED demand restriction for bound goals on non-linear /
+        mutual CHAIN-COMPOSITION cliques — the tier between the local
+        demand transformation and the full unbound closure.
+
+        When `_magic_bound_general` declines (its transformed mutual
+        magic⇄guarded clique is local-only: the distributed form measured
+        27× worse than the unbound closure, BASELINE.md r07), the engine
+        used to pay the ENTIRE unbound closure — superlinear in graph
+        size, while the goal needs only the bound vertex's slice. For
+        chain-shaped cliques a sound middle path exists: over-approximate
+        the demand set with plain LINEAR reachability (distributed-cheap,
+        diameter rounds) and run the ordinary clique fixpoint with exit
+        seeds semi-joined to that set.
+
+        Soundness. Call a recursive rule a CHAIN when its binary head
+        t(A,B) is connected by a walk of binary all-variable body atoms
+        A→…→B that consumes every CLIQUE atom (hanging static atoms,
+        negated statics, and comparisons are extra conjuncts — they only
+        REMOVE derivations, so they never break the containment
+        arguments below). Let E* = every exit rule's output pairs ∪ every
+        static chain atom's pairs, and R = vertices E*-reachable from the
+        bound constant c. Two invariants follow by induction over
+        derivation trees: (span) every derivable clique tuple (a,b) has
+        b ∈ reach(a) — exit tuples are E* edges by construction, and a
+        recursive tuple's chain walks static E* edges and sub-spans;
+        (flow) in any derivation of goal(c,·), every clique atom's first
+        argument ∈ R — the walk starts at a head value ∈ R and each step
+        stays in R. Hence filtering every pred's EXIT OUTPUT to first
+        argument ∈ R preserves every tuple any goal derivation uses. A
+        bound SECOND position mirrors everything (reversed edges, filter
+        on column 1).
+
+        The restriction is an over-approximation: worst case (R = all
+        vertices) it degrades gracefully to the unbound closure plus one
+        linear reachability — at 100 TB the reachability is diameter
+        rounds of delta-joins, while the saved non-linear closure is
+        superlinear in the pruned mass. Measured on dl_tc_nl_bound sf10
+        (where the local tier growth-aborts): see BASELINE.md round 8."""
+        if clique.monotonic or clique.mixed or len(bound) != 1:
+            return None
+        pos, const = bound[0]
+        if pos not in (0, 1):
+            return None
+        clique_set = set(clique.preds)
+
+        def as_chain(rule):
+            """Chain-walk the rule body; returns the list of STATIC chain
+            atoms, or None when the rule is not chain-shaped."""
+            h = rule.head
+            if len(h.args) != 2 or not all(isinstance(t, Var) for t in h.args):
+                return None
+            a, b = h.args[0].name, h.args[1].name
+            if a == b:
+                return None
+            cand, cliq_total = [], 0
+            for lit in rule.body:
+                if isinstance(lit, Atom) and not lit.negated:
+                    in_clique = lit.pred in clique_set
+                    cliq_total += in_clique
+                    if len(lit.args) == 2 and all(
+                        isinstance(t, Var) for t in lit.args
+                    ):
+                        cand.append(lit)
+                    elif in_clique:
+                        return None  # clique atom that can't sit on a chain
+
+            def walk(cur, used, statics_on_chain, cliq_used):
+                if cur == b and cliq_used == cliq_total:
+                    return statics_on_chain
+                for i, atom in enumerate(cand):
+                    if i in used or atom.args[0].name != cur:
+                        continue
+                    nxt = walk(
+                        atom.args[1].name,
+                        used | {i},
+                        statics_on_chain
+                        + ([] if atom.pred in clique_set else [atom]),
+                        cliq_used + (atom.pred in clique_set),
+                    )
+                    if nxt is not None:
+                        return nxt
+                return None
+
+            if pos == 1:
+                # mirror: walk b→a over reversed atoms
+                cand = [Atom(t.pred, (t.args[1], t.args[0])) for t in cand]
+                a, b = b, a
+            return walk(a, frozenset(), [], 0)
+
+        chain_static_preds: set[str] = set()
+        for pred in clique.preds:
+            for rule in clique.recursive_rules[pred]:
+                statics_on_chain = as_chain(rule)
+                if statics_on_chain is None:
+                    return None
+                chain_static_preds.update(t.pred for t in statics_on_chain)
+
+        # E* edge set: exit-rule OUTPUT pairs (span holds for any exit
+        # shape by construction) + the recursive rules' static chain pairs
+        from .fixpoint import _widen, fixpoint_seminaive
+
+        edge_frames = []
+        for pred in clique.preds:
+            for rule in clique.exit_rules[pred]:
+                rc = RuleCompiler(self.spark)
+                body = rc.compile_body(rule, lambda p, occ: self._pred_df(p))
+                out = rc.project_head(rule, body, distinct=False)
+                if len(out.columns) != 2:
+                    return None
+                edge_frames.append(out)
+        for sp in sorted(chain_static_preds):
+            df = self._pred_df(sp)
+            if len(df.columns) != 2:
+                return None
+            edge_frames.append(df)
+        if not edge_frames:
+            return None
+        try:
+            src_t = dst_t = None
+            for ef in edge_frames:
+                s, d = (f.dataType.simpleString() for f in ef.schema.fields)
+                src_t = s if src_t is None else _widen(src_t, s)
+                dst_t = d if dst_t is None else _widen(dst_t, d)
+            vt = _widen(src_t, dst_t)  # one vertex domain
+        except DatalogSemanticError:
+            return None
+        srci, dsti = (0, 1) if pos == 0 else (1, 0)
+        edges = union_all(
+            [
+                ef.select(
+                    F.col(ef.columns[srci]).cast(vt).alias("__s"),
+                    F.col(ef.columns[dsti]).cast(vt).alias("__d"),
+                )
+                for ef in edge_frames
+            ]
+        )
+        n_shuffle = int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+        edges = edges.repartition(n_shuffle, "__s").persist()
+
+        seed = self.spark.createDataFrame([(const,)], ["c0"]).select(
+            F.col("c0").cast(vt).alias("c0")
+        )
+
+        def reach_step(all_dfs, delta_dfs):
+            d = delta_dfs["__reach"]
+            return {
+                "__reach": d.join(
+                    edges, d["c0"] == edges["__s"]
+                ).select(F.col("__d").alias("c0"))
+            }
+
+        res = fixpoint_seminaive(
+            {"__reach": seed}, reach_step, self.config.fixpoint
+        )
+        demand = res["__reach"]
+
+        restrict = {p: [(pos, demand)] for p in clique.preds}
+        try:
+            results = self._compute_seminaive_clique(
+                clique, exit_restrict=restrict
+            )
+            return results[goal.pred]
+        finally:
+            edges.unpersist()
+
     def create_view(self, name: str, goal_text: str) -> DataFrame:
         """Register a query's result as a temp view, so Datalog results
         compose with plain ``spark.sql`` — the SQL face of the reference's
@@ -313,7 +479,13 @@ class BigDatalogContext:
             df = self._magic_bound_df(goal, clique, bound)
             if df is not None:
                 return df
-        return self._magic_bound_general(goal, clique, bound)
+        df = self._magic_bound_general(goal, clique, bound)
+        if df is not None:
+            return df
+        # local demand transformation declined (gate or growth abort):
+        # try the distributed chain-restricted tier before paying the
+        # full unbound closure
+        return self._demand_chain_fallback(goal, clique, bound)
 
     def _magic_bound_df(self, goal: Goal, clique: Clique, bound) -> DataFrame | None:
         """Magic-sets / demand transformation for bound goals whose bound
@@ -1230,10 +1402,16 @@ class BigDatalogContext:
                 seeds[pred] = (seed.limit(0).toPandas(), seed.schema)
                 continue
             # pandas exit evaluation over driver-resident statics first —
-            # no cluster job; the bounded fetch is the fallback
-            pdf = self._driver_exit_pdf(
-                clique.exit_rules[pred], seed,
-                bound=(seed_filter or {}).get(pred),
+            # no cluster job; the bounded fetch is the fallback. Restricted
+            # exits (demand semi-join) can't take the shortcut: it
+            # re-evaluates the RULES, bypassing the semi-join frame
+            pdf = (
+                None
+                if getattr(exit_dfs[pred], "_bdlog_no_driver_exit", False)
+                else self._driver_exit_pdf(
+                    clique.exit_rules[pred], seed,
+                    bound=(seed_filter or {}).get(pred),
+                )
             )
             if pdf is None:
                 # one bounded fetch gates AND collects: filling the limit
@@ -1605,14 +1783,24 @@ class BigDatalogContext:
         return out
 
     def _compute_seminaive_clique(
-        self, clique: Clique, seed_filter: dict | None = None
+        self,
+        clique: Clique,
+        seed_filter: dict | None = None,
+        exit_restrict: dict | None = None,
     ) -> dict:
         """Recursion / MutualRecursion via PSN
         (Recursion.scala:120-178 loop algebra).
 
         seed_filter (pred -> [(position, value)]): restrict the exit-rule
         seeds for a bound goal form; the results are goal-specific and are
-        NOT cached on the context."""
+        NOT cached on the context.
+
+        exit_restrict (pred -> [(position, demand_df)]): semi-join each
+        pred's exit output against a single-column demand frame (the
+        chain-restricted fallback, _demand_chain_fallback) — also
+        goal-specific, also uncached. Restricted exits skip the pandas
+        driver-exit shortcut (it re-evaluates rules, bypassing the
+        semi-join); the bounded-fetch path reads the restricted frame."""
         clique_set = set(clique.preds)
 
         # resolve static (non-clique) dependencies first, outside the loop
@@ -1637,6 +1825,19 @@ class BigDatalogContext:
                     exit_df = exit_df.filter(
                         F.col(exit_df.columns[pos]) == F.lit(value)
                     )
+                for pos, demand in (exit_restrict or {}).get(pred, []):
+                    dem = self._maybe_broadcast(
+                        demand.select(
+                            F.col(demand.columns[0]).alias("__demand")
+                        )
+                    )
+                    exit_df = exit_df.join(
+                        dem,
+                        exit_df[exit_df.columns[pos]] == dem["__demand"],
+                        "left_semi",
+                    )
+                if exit_restrict:
+                    exit_df._bdlog_no_driver_exit = True
                 exit_dfs[pred] = exit_df
             else:
                 # mutual cliques may have exit rules on only some predicates
@@ -1752,7 +1953,7 @@ class BigDatalogContext:
                 clique, exit_dfs, step, seed_filter=seed_filter
             )
             if local is not None:
-                if seed_filter is None:
+                if seed_filter is None and exit_restrict is None:
                     self._cache.update(local)
                 return local
 
@@ -1790,7 +1991,7 @@ class BigDatalogContext:
         results = fixpoint_seminaive(
             exit_dfs, step, self.config.fixpoint, pivot_cols=pivots
         )
-        if seed_filter is None:
+        if seed_filter is None and exit_restrict is None:
             for pred, df in results.items():
                 self._cache[pred] = df
         return results

@@ -279,3 +279,133 @@ def test_general_demand_growth_abort_declines_to_unbound_fallback(
     assert not any(
         any(p.startswith("__magic_") for p in preds) for preds in dist_cliques
     ), f"transformed clique reached the distributed loop: {dist_cliques}"
+
+
+# --------------------------------------------- chain-restricted fallback
+# (round 8) The tier between the local demand transformation and the full
+# unbound closure: linear-reachability demand over-approximation + exit
+# semi-join, for chain-composition cliques (context._demand_chain_fallback).
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+_TINY_GROWTH = dict(local_growth_factor=1, local_growth_floor=2)
+
+CPROP = settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+C_EDGES = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)),
+    min_size=1, max_size=14, unique=True,
+)
+
+
+def _nl_closure(edges):
+    t = set(edges)
+    while True:
+        new = {(a, d) for (a, b) in t for (c, d) in t if b == c} - t
+        if not new:
+            return t
+        t |= new
+
+
+def _chain_spy(monkeypatch):
+    calls = []
+    orig = C.BigDatalogContext._demand_chain_fallback
+
+    def spy(self, goal, clique, bound):
+        out = orig(self, goal, clique, bound)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(C.BigDatalogContext, "_demand_chain_fallback", spy)
+    return calls
+
+
+@CPROP
+@given(edges=C_EDGES, src=st.integers(0, 6))
+def test_chain_fallback_matches_python_closure(spark, edges, src, monkeypatch):
+    """Forced decline of the local demand tier (tiny growth budget): the
+    chain-restricted fallback must engage and match the python non-linear
+    closure filtered to the bound vertex — first AND second position."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    calls = _chain_spy(monkeypatch)
+    ctx = BigDatalogContext(spark, EngineConfig(**_TINY_GROWTH))
+    ctx.load_program(NL_TC)
+    ctx.register_data("arc", [f"{s},{d}" for s, d in edges])
+    full = _nl_closure(edges)
+
+    got0 = sorted(r[1] for r in ctx.query(f"tc({src},B).").collect())
+    assert got0 == sorted(b for (a, b) in full if a == src)
+    got1 = sorted(r[0] for r in ctx.query(f"tc(A,{src}).").collect())
+    assert got1 == sorted(a for (a, b) in full if b == src)
+    assert calls and all(calls)
+
+
+def test_chain_fallback_static_mid_atom(spark, monkeypatch):
+    """Chain with a STATIC middle atom: t(A,B) <- t(A,C), mid(C,D), t(D,B).
+    E* must include the mid pairs or demand dies at the static hop."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    calls = _chain_spy(monkeypatch)
+    ctx = BigDatalogContext(spark, EngineConfig(**_TINY_GROWTH))
+    ctx.load_program(
+        "database({e(S:integer, D:integer), mid(S:integer, D:integer)})."
+        "t(A,B) <- e(A,B)."
+        "t(A,B) <- t(A,C), mid(C,D), t(D,B)."
+    )
+    ctx.register_data("e", ["0,1", "2,3", "3,4", "20,21"])
+    ctx.register_data("mid", ["1,2", "4,20"])
+    got = sorted(tuple(r) for r in ctx.query("t(0,B).").collect())
+
+    E, M = [(0, 1), (2, 3), (3, 4), (20, 21)], [(1, 2), (4, 20)]
+    t = set(E)
+    while True:
+        new = {
+            (a, b2)
+            for (a, c) in t
+            for (c2, d) in M
+            if c == c2
+            for (d2, b2) in t
+            if d == d2
+        } - t
+        if not new:
+            break
+        t |= new
+    assert got == sorted((a, b) for (a, b) in t if a == 0)
+    assert calls == [True]
+
+
+def test_chain_fallback_declines_off_chain_clique_atom(spark, monkeypatch):
+    """A clique atom hanging OFF the chain makes the restriction unsound
+    (its demand is unconstrained) — the fallback must decline and the
+    unbound closure must still answer."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    calls = _chain_spy(monkeypatch)
+    ctx = BigDatalogContext(spark, EngineConfig(**_TINY_GROWTH))
+    # t(D,C) binds nothing on the A->B chain: off-chain clique occurrence
+    ctx.load_program(
+        "database({e(S:integer, D:integer)})."
+        "t(A,B) <- e(A,B)."
+        "t(A,B) <- t(A,C), t(C,B), t(9,C)."
+    )
+    ctx.register_data("e", ["0,1", "1,2", "9,1", "9,2"])
+    got = sorted(tuple(r) for r in ctx.query("t(0,B).").collect())
+    # python model: t grows with rule t(a,b) <- t(a,c),t(c,b),t(9,c)
+    t = {(0, 1), (1, 2), (9, 1), (9, 2)}
+    while True:
+        new = {
+            (a, b)
+            for (a, c) in t
+            for (c2, b) in t
+            if c == c2 and (9, c) in t
+        } - t
+        if not new:
+            break
+        t |= new
+    assert got == sorted((a, b) for (a, b) in t if a == 0)
+    assert calls == [False]

@@ -759,6 +759,31 @@ def dl_tc_nl_bound(spark, sf_dir):
     return df.select(F.col("B").alias("dst"))
 
 
+def dl_tc_nl_bound_rev(spark, sf_dir):
+    """Bound SECOND position on non-linear TC, tc(A, mid) — the query
+    form with NO left-to-right adornment (demand for the first
+    occurrence is empty), which the local demand transformation cannot
+    serve at any scale. Round 8's chain-restricted tier answers it:
+    demand = REVERSED reachability from the bound vertex over the exit
+    edges (linear PSN), then the ordinary non-linear fixpoint over
+    exit rows semi-joined on their destination
+    (context._demand_chain_fallback; soundness invariants in its
+    docstring). Bound at a mid-depth vertex so the demanded slice is the
+    ancestor chain — O(log n), scale-independent. Before this tier the
+    engine paid the FULL unbound closure for this goal."""
+    mx = _part_max(spark, sf_dir)
+    mid = mx // 2 + 1  # a leaf-ish vertex: ancestors = the root path
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long)})."
+        "tc(A,B) <- arc(A,B)."
+        "tc(A,B) <- tc(A,C), tc(C,B).",
+        {"arc": _tree_edges(spark, sf_dir)},
+        f"tc(A,{mid}).",
+    )
+    return df.select(F.col("A").alias("src"))
+
+
 def dl_mutual_bound(spark, sf_dir):
     """Bound query form on a MUTUAL recursive clique — p/q alternate down
     the tree (p = odd-depth descendants, q = even-depth ≥ 2): each clique
@@ -2834,7 +2859,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # datalog/fixpoint.py + context.py, then the 3 r07-fresh engine rows
     # dl_tc_distributed / dl_tc_nl_bound / dl_mutual_bound so every
     # engine-family row is fresher than the last engine-touching commit).
-    # 17 + 1 + 29 + 3 = 50. Everything r06/r07-fresh follows the window.
+    # 17 + 2 + 28 + 3 = 50 (dl_tc_nl_bound_rev, the round-8 chain-tier
+    # row, takes dl_inmemory_csv's slot — see the note at that row).
+    # Everything r06/r07-fresh follows the window.
     return {
         # --- (a) r05-stale rows: window analytics / sketches ---
         "q_running_avg": q_running_avg,
@@ -2855,10 +2882,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_weighted_sample": q_weighted_sample,
         "q_corpus_shuffle": q_corpus_shuffle,
         "q_shard_manifest": q_shard_manifest,
-        # --- (b) NEW: null-bearing tuples through the distributed fixpoint ---
+        # --- (b) NEW: null-bearing tuples through the distributed fixpoint,
+        #     and the round-8 chain-restricted demand tier (bound SECOND
+        #     position — no adornment exists, so the new tier serves it) ---
         "dl_tc_null_labels": dl_tc_null_labels,
-        # --- (c) dl_* engine family: relational surface ---
-        "dl_inmemory_csv": dl_inmemory_csv,
+        "dl_tc_nl_bound_rev": dl_tc_nl_bound_rev,
+        # --- (c) dl_* engine family: relational surface.
+        #     dl_inmemory_csv yields its slot to the new rows: it is the one
+        #     dl_* row exercising NO code any r07/r08 engine commit touched
+        #     (non-recursive literal VALUES load via sources/csv.py,
+        #     untouched since r03; swept green at sf0.01+sf0.1 this round) —
+        #     it sits first after the window for the r09 rotation ---
         "dl_filter_project": dl_filter_project,
         "dl_join_3way": dl_join_3way,
         "dl_negation": dl_negation,
@@ -2893,6 +2927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dl_tc_nl_bound": dl_tc_nl_bound,
         "dl_mutual_bound": dl_mutual_bound,
         # ---------------- end of the 50-row r08 window ----------------
+        "dl_inmemory_csv": dl_inmemory_csv,
         # r07-fresh rows (checked last round)
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
@@ -3100,6 +3135,15 @@ def oracle_sql() -> dict[str, str]:
               UNION
               SELECT e.dst, p.lab FROM p JOIN edges e ON e.src = p.node)
             SELECT node, lab FROM p
+        """,
+        "dl_tc_nl_bound_rev": f"""
+            WITH RECURSIVE edges AS ({_EDGES_SQL}),
+            m AS (SELECT max(p_partkey) // 2 + 1 AS mid FROM part),
+            anc(src) AS (
+              SELECT e.src FROM edges e, m WHERE e.dst = m.mid
+              UNION
+              SELECT e.src FROM anc JOIN edges e ON e.dst = anc.src)
+            SELECT src FROM anc
         """,
         "dl_agg_over_tc": f"""
             WITH RECURSIVE edges AS ({_EDGES_SQL}),

@@ -409,3 +409,28 @@ def test_chain_fallback_declines_off_chain_clique_atom(spark, monkeypatch):
         t |= new
     assert got == sorted((a, b) for (a, b) in t if a == 0)
     assert calls == [False]
+
+
+def test_driver_row_rev_bound_takes_chain_tier(spark, monkeypatch):
+    """The dl_tc_nl_bound_rev DRIVER row (bound second position on
+    non-linear TC) must be served by the chain-restricted tier — there
+    is no left-to-right adornment for it, so without the tier it pays
+    the full unbound closure."""
+    import __spark_entry__ as entry
+
+    calls = _chain_spy(monkeypatch)
+    df = entry.queries()["dl_tc_nl_bound_rev"](spark, "/root/testdata/sf0.001")
+    rows = sorted(r[0] for r in df.collect())
+    assert calls == [True]
+    assert rows  # the ancestor chain of the mid vertex
+    # ancestors of mid in the binary tree: mid>>1, mid>>2, ..., 1 —
+    # derive mid the same way the query does
+    from __spark_entry__ import _part_max
+
+    mx = _part_max(spark, "/root/testdata/sf0.001")
+    want = []
+    v = mx // 2 + 1
+    while v > 1:
+        v //= 2
+        want.append(v)
+    assert rows == sorted(want)

@@ -78,6 +78,13 @@ class FixpointConfig:
     # past this length: bounds plan depth and per-iteration merge fan-in,
     # amortizing the re-shuffle to |S|/max_segments per iteration
     max_segments: int = 8
+    # null mode: the set's null-bearing rows are mirrored into a small side
+    # store (a null-bearing candidate can only eqNullSafe-equal a
+    # null-bearing stored row), so the null-safe anti joins ONE tiny frame
+    # instead of every segment — broadcast while the store stays under
+    # this row count, shuffled null-safe anti beyond it (adversarial
+    # all-null inputs degrade instead of OOMing the driver/executors)
+    null_broadcast_max_rows: int = 1 << 20
 
 
 class _GenerationCache:
@@ -171,9 +178,11 @@ def _has_null_expr(cols):
     return reduce(lambda a, b: a | b, [F.col(c).isNull() for c in cols])
 
 
-def _count_and_nulls(df: DataFrame) -> tuple[int, bool]:
-    """(row count, any-row-has-a-NULL-column) in ONE job — the count is the
+def _count_and_nulls(df: DataFrame) -> tuple[int, int]:
+    """(row count, null-bearing-row count) in ONE job — the count is the
     loop's materializing action, so null detection rides along for free.
+    The null count (not just a flag) lets the segmented store bound its
+    null side store's broadcast decision.
     NULL-bearing tuples are outside the DeAL data model (the reference's
     loader cannot produce them, SURVEY §1.2) but CAN arrive through
     register()'d frames whose nullable columns a rule head projects; the
@@ -183,9 +192,9 @@ def _count_and_nulls(df: DataFrame) -> tuple[int, bool]:
     columns on cyclic graphs, a live-locked fixpoint."""
     row = df.agg(
         F.count(F.lit(1)).alias("__n"),
-        F.max(_has_null_expr(df.columns).cast("int")).alias("__hn"),
+        F.sum(_has_null_expr(df.columns).cast("int")).alias("__hn"),
     ).first()
-    return int(row["__n"]), bool(row["__hn"] or 0)
+    return int(row["__n"]), int(row["__hn"] or 0)
 
 
 def _anti_null_safe(cand: DataFrame, s: DataFrame, cols) -> DataFrame:
@@ -355,6 +364,13 @@ class _SegmentedSet:
         # flips True when a sealed segment carries a null-bearing row; from
         # then on anti() uses the split null-safe form (see _count_and_nulls)
         self.null_mode = False
+        # side store of S's null-bearing rows: a null-bearing candidate can
+        # only eqNullSafe-equal a null-bearing stored row, so the null-safe
+        # anti needs ONLY these (one small join — broadcast under the row
+        # gate — instead of one exchange per segment per iteration;
+        # measured 38.5 → expected ~7 s on the sf0.1 null-label closure)
+        self._null_segs: list[DataFrame] = []
+        self._null_rows = 0
         # partitioning key of the stored segments: all columns by default
         # (set semantics need equal rows co-located, which any key subset
         # guarantees); a PIVOT subset when the recursion is decomposable —
@@ -381,11 +397,21 @@ class _SegmentedSet:
         # checkpoint stores blocks with partitioning+ordering intact
         return df.sortWithinPartitions(*self.cols).localCheckpoint(eager=False)
 
-    def seal_and_count(self, df: DataFrame) -> tuple[DataFrame, int]:
+    def seal_and_count(
+        self, df: DataFrame, track_nulls: bool = True
+    ) -> tuple[DataFrame, int]:
         sealed = self._seal(df)
-        n, hn = _count_and_nulls(sealed)
-        if hn:
+        n, nulls = _count_and_nulls(sealed)
+        if nulls and track_nulls:
             self.null_mode = True
+            self._null_rows += nulls
+            # lazy checkpoint: materializes when the next iteration's anti
+            # reads it (the sealed source's blocks are still live then)
+            self._null_segs.append(
+                sealed.where(_has_null_expr(self.cols)).localCheckpoint(
+                    eager=False
+                )
+            )
         return sealed, n
 
     def append(self, segment: DataFrame) -> None:
@@ -444,10 +470,20 @@ class _SegmentedSet:
         # segments are pairwise disjoint (each was anti-joined against all
         # before it), so compaction is a re-shuffle + sort, no distinct
         u = u.repartition(self._n_shuffle(), *self.part_cols)
-        sealed, _ = self.seal_and_count(u)  # materializes before sources retire
+        # track_nulls=False: compaction re-seals EXISTING rows — the null
+        # side store is rebuilt from the compacted frame below, not
+        # double-accumulated
+        sealed, _ = self.seal_and_count(u, track_nulls=False)
         self._retired.extend(self.segments)
         self.segments = [sealed]
         self._last_is_delta = False
+        if self._null_segs:
+            self._retired.extend(self._null_segs)
+            self._null_segs = [
+                sealed.where(_has_null_expr(self.cols)).localCheckpoint(
+                    eager=False
+                )
+            ]
         # alt layouts: retire the per-iteration copies and re-derive one
         # segment per layout from the compacted primary — its source is the
         # just-materialized frame, so the retired copies are never re-read
@@ -471,7 +507,18 @@ class _SegmentedSet:
         nn, nul = cand.where(~np), cand.where(np)
         for s in self.segments:
             nn = nn.join(s, on=self.cols, how="left_anti")
-            nul = _anti_null_safe(nul, s, self.cols)
+        # the null slice needs checking ONLY against S's null-bearing rows
+        # (eqNullSafe equality with a null column can't match a null-free
+        # row), which the side store holds: one join against a tiny frame —
+        # broadcast under the row gate — instead of one exchange per
+        # segment per iteration
+        if self._null_segs:
+            store = self._null_segs[0]
+            for s in self._null_segs[1:]:
+                store = store.unionByName(s)
+            if self._null_rows <= self.cfg.null_broadcast_max_rows:
+                store = F.broadcast(store)
+            nul = _anti_null_safe(nul, store, self.cols)
         # re-key the (tiny) null slice on the store's partitioning before the
         # union so each slice of the sealed segment keeps rows co-located on
         # part_cols (the slices are disjoint under null-safe equality, so
@@ -507,10 +554,13 @@ class _SegmentedSet:
         segments, so every retired frame — and every alternate-layout
         copy — can be freed."""
         alt = [s for lst in self._alt.values() for s in lst]
-        self._unpersist_all(self._free_queue + self._retired + alt)
+        self._unpersist_all(
+            self._free_queue + self._retired + alt + self._null_segs
+        )
         self._free_queue = []
         self._retired = []
         self._alt = {}
+        self._null_segs = []
 
 
 _NUM_RANK = {

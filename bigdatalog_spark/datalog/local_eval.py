@@ -101,6 +101,23 @@ def _term_pd(term, env: dict, df):
 
 
 # ------------------------------------------------------------------ atoms
+def _drop_null_keys(df, keys):
+    """Rows whose join keys are all non-null — WITHOUT copying the frame
+    on the (universal) null-free path. numpy int/uint/bool dtypes cannot
+    hold nulls at all, so only float/object/nullable key columns are even
+    scanned, and the row-filter copy happens only when a null is actually
+    present (an unconditional dropna(subset=...) copied the accumulated
+    frame every merge of every iteration — measured ~2× on the pandas-tier
+    fixpoint queries)."""
+    cand = [k for k in keys if df[k].dtype.kind not in "iub"]
+    if not cand:
+        return df
+    mask = df[cand].notna().all(axis=1)
+    if mask.all():
+        return df
+    return df[mask]
+
+
 def _load_atom_pd(atom: Atom, pdf, k: int):
     """pandas mirror of RuleCompiler._load_atom: positional rename to fresh
     t{k}_{j} columns, constant filters, intra-atom repeated-var equality."""
@@ -222,8 +239,8 @@ def _eval_rule_pd(
                     # when a null-bearing tuple's column becomes a join key
                     lk = [env[v] for v in shared]
                     rk = [aenv[v] for v in shared]
-                    acc = acc.dropna(subset=lk).merge(
-                        adf.dropna(subset=rk),
+                    acc = _drop_null_keys(acc, lk).merge(
+                        _drop_null_keys(adf, rk),
                         left_on=lk,
                         right_on=rk,
                         how="inner",

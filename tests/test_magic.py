@@ -434,3 +434,32 @@ def test_driver_row_rev_bound_takes_chain_tier(spark, monkeypatch):
         v //= 2
         want.append(v)
     assert rows == sorted(want)
+
+
+def test_chain_fallback_mutual_clique(spark, monkeypatch):
+    """Chain fallback over a MUTUAL clique (p/q alternate down edges).
+    The magic transformation serves mutual chains itself (stratified
+    magic — linear reachability — even when the guarded clique runs
+    distributed), so the fallback is reached only when the transform
+    declines: force that decline to pin the tier's mutual-clique
+    soundness (the restriction must keep BOTH predicates' exit seeds
+    demand-correct)."""
+    calls = _chain_spy(monkeypatch)
+    monkeypatch.setattr(
+        C.BigDatalogContext,
+        "_magic_bound_general",
+        lambda self, goal, clique, bound: None,
+    )
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "p(X,Y) <- arc(X,Y)."
+        "p(X,Y) <- arc(X,Z), q(Z,Y)."
+        "q(X,Y) <- arc(X,Z), p(Z,Y)."
+    )
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (7, 8)]
+    ctx.register_data("arc", [f"{s},{d}" for s, d in edges])
+    got = sorted(r[1] for r in ctx.query("p(0,Y).").collect())
+    # p(0,Y): odd path-lengths from 0 -> 1, 3, 5
+    assert got == [1, 3, 5]
+    assert calls == [True]

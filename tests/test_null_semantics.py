@@ -210,3 +210,23 @@ def test_widen_decimal_exact_beyond_double(spark):
     # under the old double widening both rows collapse to one tuple
     assert len(rows) == 2
     assert rows[0][1] == big and rows[1][1] == big + Decimal("0.0001")
+
+
+def test_null_store_beyond_broadcast_gate(spark):
+    """Adversarial shape: EVERY tuple is null-bearing, so the null side
+    store is the whole set. With the broadcast gate forced to 0 the
+    null-safe anti must take the shuffled form and set semantics must
+    hold — the degradation path for inputs where 'null rows are rare'
+    is false."""
+    cfg = FixpointConfig(null_broadcast_max_rows=0)
+    ctx = BigDatalogContext(
+        spark, EngineConfig(fixpoint=cfg, **DISTRIBUTED)
+    )
+    ctx.load_program(PROG)
+    ctx.register("arc", spark.createDataFrame([(0, 5)], ["s", "d"]))
+    q = _nullable_q(spark)
+    # make every q row null-bearing: null out the w of the non-null rows
+    q = q.selectExpr("y", "CAST(NULL AS LONG) AS w")
+    ctx.register("q", q)
+    rows = [tuple(r) for r in ctx.query("p(A,B).").collect()]
+    assert rows == [(0, None)]

@@ -1859,11 +1859,25 @@ class BigDatalogContext:
                         F.col(exit_df.columns[pos]) == F.lit(value)
                     )
                 for pos, demand in (exit_restrict or {}).get(pred, []):
-                    dem = self._maybe_broadcast(
-                        demand.select(
-                            F.col(demand.columns[0]).alias("__demand")
-                        )
+                    # goal-specific frame: do NOT route through
+                    # _maybe_broadcast — its persist cache is keyed by
+                    # id(jdf) and only cleared on reset(), so repeated
+                    # bound-goal queries on a long-lived context would
+                    # leak one persisted frame each. A plain size-gated
+                    # broadcast hint gives the same join plan leak-free
+                    # (the frame is either a driver-local BFS result —
+                    # LocalRelation, stats exact — or an already
+                    # materialized fixpoint result).
+                    dem = demand.select(
+                        F.col(demand.columns[0]).alias("__demand")
                     )
+                    if self.config.broadcast_static_side and (
+                        self._estimated_bytes(
+                            dem, self.config.broadcast_max_bytes
+                        )
+                        is not None
+                    ):
+                        dem = F.broadcast(dem)
                     exit_df = exit_df.join(
                         dem,
                         exit_df[exit_df.columns[pos]] == dem["__demand"],

@@ -500,9 +500,13 @@ class _SegmentedSet:
         # forever. Split so the (overwhelmingly dominant) null-free slice
         # keeps the in-place merge-scan; only the null slice pays the
         # eqNullSafe exchange.
-        assert list(cand.columns) == self.cols, (
-            f"anti() candidate columns {cand.columns} != store {self.cols}"
-        )
+        # hard invariant, not `assert` (stripped under python -O): a
+        # misaligned candidate would silently corrupt null-safe set
+        # semantics instead of failing fast
+        if list(cand.columns) != self.cols:
+            raise DatalogSemanticError(
+                f"anti() candidate columns {cand.columns} != store {self.cols}"
+            )
         np = _has_null_expr(cand.columns)
         nn, nul = cand.where(~np), cand.where(np)
         for s in self.segments:

@@ -108,8 +108,17 @@ def _drop_null_keys(df, keys):
     scanned, and the row-filter copy happens only when a null is actually
     present (an unconditional dropna(subset=...) copied the accumulated
     frame every merge of every iteration — measured ~2× on the pandas-tier
-    fixpoint queries)."""
-    cand = [k for k in keys if df[k].dtype.kind not in "iub"]
+    fixpoint queries). Pandas NULLABLE extension dtypes (Int64Dtype,
+    BooleanDtype, …) report kind 'i'/'u'/'b' while holding pd.NA, so they
+    must stay candidates — only plain numpy int/uint/bool are null-free."""
+    import pandas as pd
+
+    cand = [
+        k
+        for k in keys
+        if df[k].dtype.kind not in "iub"
+        or isinstance(df[k].dtype, pd.api.extensions.ExtensionDtype)
+    ]
     if not cand:
         return df
     mask = df[cand].notna().all(axis=1)

@@ -230,3 +230,20 @@ def test_null_store_beyond_broadcast_gate(spark):
     ctx.register("q", q)
     rows = [tuple(r) for r in ctx.query("p(A,B).").collect()]
     assert rows == [(0, None)]
+
+
+def test_drop_null_keys_nullable_extension_dtype():
+    """Pandas nullable extension dtypes (Int64Dtype) report kind 'i' while
+    holding pd.NA — _drop_null_keys must still scan them, or a null join
+    key NA-matches in merge and the pandas tier diverges from Spark
+    (ADVICE r08)."""
+    import pandas as pd
+
+    from bigdatalog_spark.datalog.local_eval import _drop_null_keys
+
+    df = pd.DataFrame({"k": pd.array([1, None, 3], dtype="Int64"), "v": [9, 8, 7]})
+    out = _drop_null_keys(df, ["k"])
+    assert len(out) == 2 and out["k"].notna().all()
+    # plain numpy ints stay on the zero-copy path
+    plain = pd.DataFrame({"k": [1, 2, 3]})
+    assert _drop_null_keys(plain, ["k"]) is plain

@@ -160,6 +160,12 @@ class EngineConfig:
     # small demand/threshold seeds ~0.5-1.5s better). Mixed cliques are
     # exempt — their aggregate tables stay small by construction.
     driver_seed_max_rows: int = 8192
+    # _demand_chain_fallback's driver-BFS fetch gate (rows). The effective
+    # gate is additionally capped at broadcast_max_bytes / row-width, so
+    # wide (string) vertex types keep the bounded fetch bounded in BYTES,
+    # not just rows. 0 forces the distributed reach loop outright;
+    # driver_local=False disables the driver BFS as well.
+    chain_fetch_max_rows: int = 1 << 22
     fixpoint: FixpointConfig = field(default_factory=FixpointConfig)
 
 
@@ -424,10 +430,40 @@ class BigDatalogContext:
         # a vectorized pandas BFS costs one job total; the distributed
         # loop remains the path for beyond-gate edge sets.
         demand = None
-        gate = 1 << 22  # ~64 MB of long pairs, same order as the graph gates
-        pdf = edges.limit(gate + 1).toPandas()
         persisted = None
-        if len(pdf) <= gate:
+        # BYTE-aware gate: the row knob is capped by the broadcast byte
+        # budget over the actual row width, so wide vertex types (strings)
+        # cannot make the bounded fetch unbounded in bytes (ADVICE r08).
+        row_bytes = 8 + sum(
+            self._TYPE_BYTES.get(f.dataType.simpleString(), 24)
+            for f in edges.schema.fields
+        )
+        gate = min(
+            self.config.chain_fetch_max_rows,
+            self.config.broadcast_max_bytes // row_bytes,
+        )
+        pdf = None
+        if self.config.driver_local and gate > 0:
+            # Catalyst-stats fast path: when the optimizer KNOWS the edge
+            # set is far over the gate, skip the fused fetch instead of
+            # shipping ~gate rows to the driver and discarding them.
+            # FINITE stats only — RDD-backed in-memory relations report
+            # defaultSizeInBytes (Long.MaxValue = "unknown", not "huge"),
+            # and join/union stats over-estimate, hence the 16x margin and
+            # the fused gate-and-collect as the undecided default (edges
+            # are unpersisted; a count probe would recompute them).
+            try:
+                stats = int(
+                    edges._jdf.queryExecution()
+                    .optimizedPlan()
+                    .stats()
+                    .sizeInBytes()
+                )
+            except Exception:
+                stats = -1
+            if not (0 <= stats < (1 << 62) and stats >= 16 * gate * row_bytes):
+                pdf = edges.limit(gate + 1).toPandas()
+        if pdf is not None and len(pdf) <= gate:
             seen = {const}
             frontier = {const}
             s_col, d_col = pdf["__s"], pdf["__d"]
@@ -443,6 +479,9 @@ class BigDatalogContext:
                     [T.StructField("c0", edges.schema["__s"].dataType, True)]
                 ),
             )
+            # exact row count: lets the exit_restrict broadcast decision
+            # skip even the stats call
+            demand._bdlog_known_rows = len(seen)
         else:
             del pdf
             n_shuffle = int(

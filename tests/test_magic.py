@@ -463,3 +463,112 @@ def test_chain_fallback_mutual_clique(spark, monkeypatch):
     # p(0,Y): odd path-lengths from 0 -> 1, 3, 5
     assert got == [1, 3, 5]
     assert calls == [True]
+
+
+def _nl_tc_closure(edges):
+    t = set(edges)
+    while True:
+        new = {(a, d) for (a, b) in t for (c, d) in t if b == c} - t
+        if not new:
+            break
+        t |= new
+    return t
+
+
+def test_chain_fallback_distributed_reach_parity(spark, monkeypatch):
+    """chain_fetch_max_rows=0 forces the DISTRIBUTED reach loop — the
+    beyond-gate branch that had never executed before r09 — which must
+    answer identically to the default driver-BFS path and the python
+    closure (the test_null_store_beyond_broadcast_gate pattern)."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    calls = _chain_spy(monkeypatch)
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6)]
+    prog = (
+        "database({e(S:integer, D:integer)})."
+        "t(A,B) <- e(A,B)."
+        "t(A,B) <- t(A,C), t(C,B)."
+    )
+    want = sorted(b for (a, b) in _nl_tc_closure(edges) if a == 0)
+    for cfg in (
+        EngineConfig(**_TINY_GROWTH),
+        EngineConfig(chain_fetch_max_rows=0, **_TINY_GROWTH),
+    ):
+        ctx = BigDatalogContext(spark, cfg)
+        ctx.load_program(prog)
+        ctx.register_data("e", [f"{s},{d}" for s, d in edges])
+        got = sorted(r[1] for r in ctx.query("t(0,B).").collect())
+        assert got == want
+    assert calls == [True, True]
+
+
+def test_chain_fallback_honors_driver_local_off(spark, monkeypatch):
+    """EngineConfig.driver_local=False must skip the driver fetch entirely
+    (zero __s/__d toPandas calls — ADVICE r08) and serve the goal through
+    the distributed reach loop."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    calls = _chain_spy(monkeypatch)
+    df_cls = type(spark.range(1))
+    orig = df_cls.toPandas
+    fetches = []
+
+    def spy_fetch(self):
+        if list(self.columns) == ["__s", "__d"]:
+            fetches.append(len(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(df_cls, "toPandas", spy_fetch)
+    edges = [(0, 1), (1, 2), (2, 3), (7, 8)]
+    ctx = BigDatalogContext(
+        spark, EngineConfig(driver_local=False, **_TINY_GROWTH)
+    )
+    ctx.load_program(
+        "database({e(S:integer, D:integer)})."
+        "t(A,B) <- e(A,B)."
+        "t(A,B) <- t(A,C), t(C,B)."
+    )
+    ctx.register_data("e", [f"{s},{d}" for s, d in edges])
+    got = sorted(r[1] for r in ctx.query("t(0,B).").collect())
+    assert got == sorted(b for (a, b) in _nl_tc_closure(edges) if a == 0)
+    assert calls == [True]
+    assert fetches == []
+
+
+def test_chain_fallback_stats_fastpath_skips_fetch(spark, monkeypatch, tmp_path):
+    """A parquet-backed edge set whose FINITE Catalyst stats sit >=16x over
+    the (tiny, forced) gate skips the driver fetch outright — zero __s/__d
+    toPandas — and still answers via the distributed reach loop. In-memory
+    relations (Long.MaxValue stats = unknown) keep the fused fetch."""
+    from bigdatalog_spark.datalog.context import EngineConfig
+
+    calls = _chain_spy(monkeypatch)
+    path = str(tmp_path / "edges.parquet")
+    n = 512
+    spark.createDataFrame(
+        [(i, i + 1) for i in range(n)] + [(n + 5, n + 6)], ["s", "d"]
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    df_cls = type(spark.range(1))
+    orig = df_cls.toPandas
+    fetches = []
+
+    def spy_fetch(self):
+        if list(self.columns) == ["__s", "__d"]:
+            fetches.append(len(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(df_cls, "toPandas", spy_fetch)
+    ctx = BigDatalogContext(
+        spark, EngineConfig(chain_fetch_max_rows=4, **_TINY_GROWTH)
+    )
+    ctx.load_program(
+        "database({e(S:integer, D:integer)})."
+        "t(A,B) <- e(A,B)."
+        "t(A,B) <- t(A,C), t(C,B)."
+    )
+    ctx.register("e", spark.read.parquet(path))
+    got = sorted(r[1] for r in ctx.query(f"t({n - 3},B).").collect())
+    assert got == [n - 2, n - 1, n]
+    assert calls == [True]
+    assert fetches == []

@@ -539,8 +539,10 @@ class BigDatalogContext:
         if not bound or goal.pred in self._cache:
             return None
         clique = self._analyzed.clique_of.get(goal.pred)
-        if clique is None or clique.monotonic or clique.mixed:
+        if clique is None:
             return None
+        if clique.monotonic or clique.mixed:
+            return self._bound_aggregate_df(goal, clique, bound)
         if len(clique.preds) == 1:
             stable = self._stable_positions(clique, goal.pred)
             if all(i in stable for i, _ in bound):
@@ -558,6 +560,49 @@ class BigDatalogContext:
         # try the distributed chain-restricted tier before paying the
         # full unbound closure
         return self._demand_chain_fallback(goal, clique, bound)
+
+    def _bound_aggregate_df(
+        self, goal: Goal, clique: Clique, bound
+    ) -> DataFrame | None:
+        """Demand pushdown for bound goals on MONOTONIC / MIXED aggregate
+        cliques — the engine-side analogue of DeALS adorned rewriting for
+        aggregate query forms (BigDatalogContext.scala:124-138; SURVEY.md
+        §3 step 3), which previously had NO demand path at all: a goal like
+        ``apsp(c,Y,D)`` paid the full all-pairs monotonic fixpoint and
+        filtered afterwards — catastrophic at scale on an all-pairs
+        program.
+
+        Sound exactly when every bound position is (a) a GROUP-KEY
+        position — not the aggregated value — and (b) STABLE
+        (_stable_positions: copied verbatim from every recursive occurrence
+        to the head in every recursive rule). By induction over derivation
+        trees, every clique tuple used in a derivation of a head tuple with
+        stable position i = c itself carries i = c (exit tuples by the seed
+        filter; recursive tuples copy the value verbatim), so restricting
+        the exit contribution stream to i = c preserves EVERY contribution
+        to every i = c group and drops only other groups' — which cannot
+        change the i = c aggregates, since mmin/mmax/mcount/msum group by
+        the key columns. ``apsp(c,Y,D)`` thus runs a single-source fixpoint
+        (dl_sssp's shape) instead of the all-pairs closure. Returns None
+        when the conditions fail — full fixpoint + goal filter serves the
+        query instead (correct, unpruned)."""
+        if len(clique.preds) != 1:
+            return None
+        pred = clique.preds[0]
+        if clique.mixed:
+            info = clique.agg_info.get(pred)
+            agg_pos = {info[0]} if info is not None else set()
+        else:
+            shape = self._agg_shape(pred, self.program.rules_for(pred))
+            agg_pos = {i for i, f in shape if f is not None}
+        stable = self._stable_positions(clique, pred)
+        if any(i in agg_pos or i not in stable for i, _ in bound):
+            return None
+        if clique.mixed:
+            return self._compute_mixed_clique(
+                clique, seed_filter={pred: bound}
+            )[pred]
+        return self._compute_monotonic_clique(clique, seed_filter=bound)
 
     def _magic_bound_df(self, goal: Goal, clique: Clique, bound) -> DataFrame | None:
         """Magic-sets / demand transformation for bound goals whose bound
@@ -1564,7 +1609,8 @@ class BigDatalogContext:
         return result
 
     def _try_local_monotonic(
-        self, clique: Clique, exit_df: DataFrame, step, key_cols, value_col, func
+        self, clique: Clique, exit_df: DataFrame, step, key_cols, value_col,
+        func, bound=None,
     ):
         shape = self._local_clique_shape(clique)
         if shape is None:
@@ -1603,7 +1649,8 @@ class BigDatalogContext:
         # monotonic contribution stream keeps duplicates (no distinct in
         # this path's Spark pipeline either)
         seed_pd = self._driver_exit_pdf(
-            clique.exit_rules[pred], seed, pre_aggregate=True, distinct=False
+            clique.exit_rules[pred], seed, bound=bound,
+            pre_aggregate=True, distinct=False,
         )
         if seed_pd is None:
             seed_pd = seed.limit(max_rows + 1).toPandas()
@@ -1644,12 +1691,18 @@ class BigDatalogContext:
         else:
             self._compute_seminaive_clique(clique)
 
-    def _compute_mixed_clique(self, clique: Clique) -> None:
+    def _compute_mixed_clique(
+        self, clique: Clique, seed_filter: dict | None = None
+    ) -> dict:
         """Mixed set + monotonic-aggregate clique (incl. mcount/msum) via
         fixpoint_mixed — the generalization the reference declares but never
         implements (AggregateSetRDD.scala:146-148 "TODO implement
         MCOUNT/MSUM"; the commented-out Attend program,
-        AggregatesInRecursionQuerySuite.scala:97-142)."""
+        AggregatesInRecursionQuerySuite.scala:97-142).
+
+        seed_filter (pred -> [(position, value)]): restrict that pred's
+        exit contribution stream for a bound goal on a STABLE group-key
+        position (_bound_aggregate_df) — goal-specific, NOT cached."""
         clique_set = set(clique.preds)
         statics: dict[str, DataFrame] = {}
 
@@ -1684,7 +1737,12 @@ class BigDatalogContext:
                 body = rc.compile_body(rule, lambda p, occ: static_df(p))
                 dfs.append(project(rc, rule, body))
             if dfs:
-                exit_dfs[pred] = union_all(dfs)
+                exit_df = union_all(dfs)
+                for pos, value in (seed_filter or {}).get(pred, []):
+                    exit_df = exit_df.filter(
+                        F.col(exit_df.columns[pos]) == F.lit(value)
+                    )
+                exit_dfs[pred] = exit_df
             else:
                 arity = self.program.rules_for(pred)[0].head.arity
                 schema = T.StructType(
@@ -1720,14 +1778,19 @@ class BigDatalogContext:
             return cands
 
         if self.config.decomposable_local:
-            local = self._try_local_mixed(clique, exit_dfs, step, agg_specs)
+            local = self._try_local_mixed(
+                clique, exit_dfs, step, agg_specs, seed_filter=seed_filter
+            )
             if local is not None:
-                self._cache.update(local)
-                return
+                if seed_filter is None:
+                    self._cache.update(local)
+                return local
 
         results = fixpoint_mixed(exit_dfs, step, agg_specs, self.config.fixpoint)
-        for pred, df in results.items():
-            self._cache[pred] = df
+        if seed_filter is None:
+            for pred, df in results.items():
+                self._cache[pred] = df
+        return results
 
     def _mixed_out_schema(self, seed_schema, spec) -> T.StructType:
         """Schema of a mixed-clique result table: the (widened) contribution
@@ -1750,7 +1813,10 @@ class BigDatalogContext:
             fields.append(T.StructField(f.name, t, True))
         return T.StructType(fields)
 
-    def _try_local_mixed(self, clique: Clique, exit_dfs: dict, step, agg_specs):
+    def _try_local_mixed(
+        self, clique: Clique, exit_dfs: dict, step, agg_specs,
+        seed_filter: dict | None = None,
+    ):
         """Single-task local evaluation of a small-seed mixed clique (no
         slicing — additive thresholds need global counts; see
         seed_broadcast_mixed). None when the shape/size gates fail.
@@ -1780,6 +1846,7 @@ class BigDatalogContext:
             # support sets, so dedup here is semantics-preserving)
             pdf = self._driver_exit_pdf(
                 clique.exit_rules[pred], seed,
+                bound=(seed_filter or {}).get(pred),
                 pre_aggregate=pred in agg_specs,
             )
             if pdf is None:
@@ -2082,8 +2149,18 @@ class BigDatalogContext:
                 self._cache[pred] = df
         return results
 
-    def _compute_monotonic_clique(self, clique: Clique) -> None:
-        """AggregateRecursion for mmin/mmax (AggregateRecursion.scala:26-178)."""
+    def _compute_monotonic_clique(
+        self, clique: Clique, seed_filter: list | None = None
+    ) -> DataFrame:
+        """AggregateRecursion for mmin/mmax (AggregateRecursion.scala:26-178).
+
+        seed_filter ([(position, value)]): restrict the exit-rule
+        contribution stream for a bound goal on a STABLE group-key position
+        (_bound_aggregate_df) — goal-specific, NOT cached. Every tier
+        downstream (local pivot / seed-broadcast / distributed
+        fixpoint_monotonic) sees only the restricted seed, so e.g.
+        ``apsp(c,Y,D)`` runs a single-source fixpoint instead of the
+        all-pairs closure + filter."""
         pred = clique.preds[0]
         rules = self.program.rules_for(pred)
         shape = self._agg_shape(pred, rules)
@@ -2114,6 +2191,8 @@ class BigDatalogContext:
                 f"monotonic clique {pred!r} has no exit rules"
             )
         exit_df = union_all(exit_pre)
+        for pos, value in seed_filter or []:
+            exit_df = exit_df.filter(F.col(names[pos]) == F.lit(value))
 
         shuffle_hook = self._make_static_shuffle(static_df, {pred})
 
@@ -2135,14 +2214,20 @@ class BigDatalogContext:
 
         if self.config.decomposable_local:
             local = self._try_local_monotonic(
-                clique, exit_df, step, key_cols, value_col, func
+                clique, exit_df, step, key_cols, value_col, func,
+                bound=seed_filter,
             )
             if local is not None:
-                self._cache[pred] = local.select(*names)
-                return
+                out = local.select(*names)
+                if seed_filter is None:
+                    self._cache[pred] = out
+                return out
 
         result = fixpoint_monotonic(
             exit_df, step, key_cols, value_col, func, self.config.fixpoint
         )
         # present in declared argument order
-        self._cache[pred] = result.select(*names)
+        out = result.select(*names)
+        if seed_filter is None:
+            self._cache[pred] = out
+        return out

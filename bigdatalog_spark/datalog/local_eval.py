@@ -396,8 +396,47 @@ def _aggregate_pd(spec, cols_order, contrib):
         out = contrib.groupby(k, dropna=False).size().reset_index(name=v)
     else:
         g = contrib.groupby(k, as_index=False, dropna=False)
-        out = {"mmin": g[v].min, "mmax": g[v].max, "msum": g[v].sum}[spec.func]()
+        if spec.func == "msum":
+            # min_count=1: an all-NULL group sums to NULL like Spark's SUM,
+            # not pandas' default 0
+            out = g[v].sum(min_count=1)
+        else:
+            out = {"mmin": g[v].min, "mmax": g[v].max}[spec.func]()
     return out[cols_order]
+
+
+def _merge_monotonic_pd(table, cand, key_cols, value_col, func, cols):
+    """pandas mirror of fixpoint._merge_monotonic's NULL contract (its
+    eqNullSafe delta filter): a NEW group reports once even when its value
+    is NULL; a stored NULL is improved by any real value (mmin/mmax skip
+    NULLs, so the combined aggregate is the real value); NULL vs NULL is
+    NOT a change. The old `oldv.isna() | (new < old)` test could not tell
+    "new group" from "stored NULL", so a cycle whose only labels are NULL
+    ping-ponged 'improvements' forever — an in-task infinite loop that
+    crashed the python workers. Returns (new_table, improved)."""
+    import pandas as pd
+
+    m = cand.merge(
+        table, on=key_cols, how="left", suffixes=("", "__old"), indicator=True
+    )
+    oldv = m[value_col + "__old"]
+    newv = m[value_col]
+    chg = (newv < oldv) if func == "mmin" else (newv > oldv)
+    if hasattr(chg, "fillna"):  # nullable extension dtypes compare to pd.NA
+        chg = chg.fillna(False)
+    better = (
+        (m["_merge"] == "left_only")
+        | (oldv.isna() & newv.notna())
+        | chg.astype(bool)
+    )
+    improved = m.loc[better, cols].reset_index(drop=True)
+    if not len(improved):
+        return table, improved
+    anti = table.merge(
+        improved[key_cols], on=key_cols, how="left", indicator=True
+    )
+    kept = anti.loc[anti["_merge"] == "left_only", cols]
+    return pd.concat([kept, improved], ignore_index=True), improved
 
 
 def _run_mixed_pd(
@@ -469,7 +508,13 @@ def _run_mixed_pd(
                 k, v = spec.key_cols, spec.value_col
                 inc = _aggregate_pd(spec, cols[p], fresh)
                 mm = all_[p].merge(inc, on=k, how="outer", suffixes=("", "__inc"))
+                # NULL-contribution contract: a missing side is the additive
+                # identity, but old-NULL + inc-NULL must stay NULL (Spark's
+                # SUM skips nulls; all-null = NULL, never 0)
+                both_na = mm[v].isna() & mm[v + "__inc"].isna()
                 mm[v] = mm[v].fillna(0) + mm[v + "__inc"].fillna(0)
+                if both_na.any():
+                    mm.loc[both_na, v] = None
                 all_[p] = mm[cols[p]]
                 new_delta[p] = (
                     all_[p].merge(inc[k], on=k, how="inner")[cols[p]]
@@ -478,18 +523,9 @@ def _run_mixed_pd(
             else:
                 k, v = spec.key_cols, spec.value_col
                 cand = _aggregate_pd(spec, cols[p], new)
-                m = cand.merge(all_[p], on=k, how="left", suffixes=("", "__old"))
-                oldv = m[v + "__old"]
-                better = oldv.isna() | (
-                    (m[v] < oldv) if spec.func == "mmin" else (m[v] > oldv)
+                all_[p], improved = _merge_monotonic_pd(
+                    all_[p], cand, k, v, spec.func, cols[p]
                 )
-                improved = m.loc[better, cols[p]].reset_index(drop=True)
-                if len(improved):
-                    anti = all_[p].merge(
-                        improved[k], on=k, how="left", indicator=True
-                    )
-                    kept = anti.loc[anti["_merge"] == "left_only", cols[p]]
-                    all_[p] = pd.concat([kept, improved], ignore_index=True)
                 new_delta[p] = improved
         if not any(len(d) for d in new_delta.values()):
             break
@@ -538,20 +574,11 @@ def _run_monotonic_pd(
         if not len(new):
             break
         cand = aggregate(_cast_like_pd(new, dtypes))
-        merged = cand.merge(table, on=key_cols, how="left", suffixes=("", "__old"))
-        oldv = merged[value_col + "__old"]
-        if func == "mmin":
-            better = oldv.isna() | (merged[value_col] < oldv)
-        else:
-            better = oldv.isna() | (merged[value_col] > oldv)
-        improved = merged.loc[better, cols].reset_index(drop=True)
+        table, improved = _merge_monotonic_pd(
+            table, cand, key_cols, value_col, func, cols
+        )
         if not len(improved):
             break
-        anti = table.merge(
-            improved[key_cols], on=key_cols, how="left", indicator=True
-        )
-        kept = anti.loc[anti["_merge"] == "left_only", cols]
-        table = pd.concat([kept, improved], ignore_index=True)
         _check_growth(len(table), budget)
         delta = improved
     return table

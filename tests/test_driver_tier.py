@@ -324,3 +324,133 @@ def test_null_join_key_parity(spark, edges, labels):
         changed = bool(new)
         p |= new
     assert set(got) == p
+
+
+# ---------------------------------------------------------------- r09:
+# null-bearing MONOTONIC fixpoints: three-way tier parity + termination.
+# Contract (PLANS.md "Null semantics for monotonic/mixed fixpoints"):
+# a NULL group key is a regular group (Spark groupBy); mmin/mmax skip NULL
+# contributions, so a stored NULL is improved by any real value; a group
+# whose only contributions are NULL carries NULL and reports ONCE —
+# NULL vs NULL is not a change (fixpoint._merge_monotonic eqNullSafe;
+# local_eval._merge_monotonic_pd mirrors it).
+
+_NULL_MONO_PROG = (
+    "database({lab(X:integer, V:integer), e(S:integer, D:integer)})."
+    "m(X, mmin<V>) <- lab(X, V)."
+    "m(Y, mmin<V>) <- m(X, V), e(X, Y)."
+)
+
+
+def _null_mono_rows(spark, cfg, lab_rows, e_rows):
+    ctx = BigDatalogContext(spark, cfg)
+    ctx.load_program(_NULL_MONO_PROG)
+    ctx.register("lab", spark.createDataFrame(lab_rows, "x int, v int"))
+    ctx.register("e", spark.createDataFrame(e_rows, "s int, d int"))
+    return sorted((tuple(r) for r in ctx.query("m(X, V).").collect()), key=str)
+
+
+_TIER_CONFIGS = [
+    EngineConfig(),
+    EngineConfig(decomposable_local=False),
+    EngineConfig(driver_local=False),
+]
+
+
+def test_null_monotonic_three_way_tier_parity(spark):
+    """NULL labels + a NULL group key through every tier: the pandas loops
+    must agree with the distributed eqNullSafe contract."""
+    lab = [(0, 7), (0, None), (1, None), (None, 5), (2, 9)]
+    e = [(0, 1), (1, 2), (2, 1)]
+    got = [_null_mono_rows(spark, c, lab, e) for c in _TIER_CONFIGS]
+    assert got[0] == got[1] == got[2]
+    assert got[0] == [(0, 7), (1, 7), (2, 7), (None, 5)]
+
+
+def test_null_only_cycle_monotonic_terminates(spark):
+    """The r09 hang shape: a cycle whose ONLY labels are NULL. The old
+    `oldv.isna()` improvement test re-reported NULL->NULL forever (in-task
+    infinite loop, crashed python workers); the null-safe merge reports
+    each NULL-valued group once and converges on every tier."""
+    import signal
+
+    def alarm(s, f):  # pragma: no cover - fires only on regression
+        raise TimeoutError("null-only monotonic cycle did not converge")
+
+    old = signal.signal(signal.SIGALRM, alarm)
+    signal.alarm(180)
+    try:
+        lab = [(1, None)]
+        e = [(1, 2), (2, 1)]
+        got = [_null_mono_rows(spark, c, lab, e) for c in _TIER_CONFIGS]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, old)
+    assert got[0] == got[1] == got[2] == [(1, None), (2, None)]
+
+
+def test_null_msum_all_null_group_parity(spark):
+    """msum over a group whose contributions are all NULL: Spark SUM yields
+    NULL; pandas sum must use min_count=1 to match (not 0)."""
+    prog = (
+        "database({src(X:integer, V:integer), hop(S:integer, D:integer)})."
+        "t(X, msum<V>) <- src(X, V)."
+        "t(Y, msum<V>) <- t(X, V), hop(X, Y)."
+    )
+    rows = {}
+    for name, cfg in [("local", EngineConfig()),
+                      ("dist", EngineConfig(decomposable_local=False))]:
+        c = BigDatalogContext(spark, cfg)
+        c.load_program(prog)
+        c.register("src", spark.createDataFrame([(0, None)], "x int, v int"))
+        c.register("hop", spark.createDataFrame([(0, 1)], "s int, d int"))
+        rows[name] = sorted(
+            (tuple(r) for r in c.query("t(X, V).").collect()), key=str
+        )
+    assert rows["local"] == rows["dist"]
+
+
+NM_LABELS = st.lists(
+    st.tuples(st.integers(0, 4), st.one_of(st.none(), st.integers(0, 9))),
+    min_size=1, max_size=8,
+)
+NM_EDGES = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 4)).filter(
+        lambda e: e[0] != e[1]
+    ),
+    min_size=0, max_size=10, unique=True,
+)
+
+
+@NPROP
+@given(lab=NM_LABELS, e=NM_EDGES)
+def test_null_monotonic_local_matches_distributed(spark, lab, e):
+    """Property: random null-bearing label graphs (cycles allowed) — local
+    pandas tier == distributed eqNullSafe tier, and both match the python
+    label-propagation model."""
+    local = _null_mono_rows(spark, EngineConfig(), lab, e)
+    dist = _null_mono_rows(
+        spark, EngineConfig(decomposable_local=False), lab, e
+    )
+    assert local == dist
+    # python model: min label (None = missing) propagated along edges;
+    # a vertex reachable only from NULL-labeled vertices carries None
+    INF = 1 << 30
+    best = {}
+    for x, v in lab:
+        cur = best.get(x, INF)
+        best[x] = min(cur, INF if v is None else v)
+    changed = True
+    while changed:
+        changed = False
+        for s, d in e:
+            if s in best:
+                nv = best[s]
+                if best.get(d, INF + 1) > nv or (d not in best):
+                    if best.get(d) != nv and best.get(d, INF + 1) > nv:
+                        best[d] = nv
+                        changed = True
+    want = sorted(
+        ((k, None if v == INF else v) for k, v in best.items()), key=str
+    )
+    assert local == want

@@ -1087,6 +1087,32 @@ def dl_apsp(spark, sf_dir):
     )
 
 
+def dl_apsp_bound(spark, sf_dir):
+    """Bound-source shortest paths as a bound QUERY FORM on the monotonic
+    apsp clique — apsp(3,Y,D) with no seed rule in the program (unlike
+    dl_sssp, which writes the source into the exit rule). Served by the
+    r09 stable-group-key demand pushdown (context._bound_aggregate_df):
+    the engine filters the exit contribution stream to X=3 and runs a
+    single-source fixpoint over the FULL tree — dl_apsp by contrast must
+    cap its pair space at dst<=511 because it pays the all-pairs closure.
+    Reference: DeALS adorned rewriting serves all bound query forms before
+    evaluation-type selection (BigDatalogContext.scala:124-138)."""
+    edges = _tree_edges(spark, sf_dir).withColumn(
+        "w", F.lit(1) + F.col("dst") % 3
+    )
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long, W:long)})."
+        "apsp(X, Y, mmin<D>) <- arc(X, Y, D)."
+        "apsp(X, Y, mmin<D>) <- apsp(X, Z, D1), arc(Z, Y, W), D = D1 + W.",
+        {"arc": edges},
+        "apsp(3, Y, D).",
+    )
+    return df.select(
+        F.col("Y").alias("dst"), F.col("D").alias("distance")
+    )
+
+
 def dl_same_generation(spark, sf_dir):
     """Same-generation (non-linear variable flow) on the tree top levels."""
     pc = _tree_edges(spark, sf_dir).where(F.col("dst") <= 255)
@@ -2847,88 +2873,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
-    # dict entries per round. The r08 window (per VERDICT r07 "Next round"
-    # #1-2) is exactly: (a) the 17 rows whose newest driver check is r05 —
-    # the md5-row-local sampling family, shard manifest, sketch/cohort and
-    # window-analytics rows (code untouched since r03, but three rounds
-    # stale is the bar); (b) dl_tc_null_labels, NEW this round — the
-    # null-bearing-tuple fixpoint row that makes the DuckDB oracle (not
-    # just pytest) the enforcer of the r07 null-safe set semantics; and
-    # (c) the ENTIRE dl_* engine family (29 rows whose newest driver rows
-    # predate the r07 null-safety/driver-tier/merge-fusion commits to
-    # datalog/fixpoint.py + context.py, then the 3 r07-fresh engine rows
-    # dl_tc_distributed / dl_tc_nl_bound / dl_mutual_bound so every
-    # engine-family row is fresher than the last engine-touching commit).
-    # 17 + 2 + 28 + 3 = 50 (dl_tc_nl_bound_rev, the round-8 chain-tier
-    # row, takes dl_inmemory_csv's slot — see the note at that row).
-    # Everything r06/r07-fresh follows the window.
+    # dict entries per round. The r09 window (per VERDICT r08 "Next round"
+    # #1/#3) is exactly: (a) the 22 rows whose newest driver check was r06
+    # — TPC-H q1/q3/q5/q7/q10/q12/q14/q19, the streaming family, graph
+    # q_cc_fast/q_pagerank (operators/graph.py changed in r08 AFTER their
+    # last check), wav/winnow/fuzzy/json, dl_inmemory_csv; (b) q_kcore —
+    # r07-fresh but its code also changed in r08; (c) dl_apsp_bound, NEW —
+    # the bound-query-form demand pushdown on a monotonic clique
+    # (context._bound_aggregate_df), oracle-enforced from day one; and
+    # (d) 26 of the r07-fresh rows, oldest families first, so no query's
+    # newest row is older than r07 when r09 closes. The remaining r07-fresh
+    # rows follow immediately after the window (they lead the r10
+    # rotation), then the entire r08-checked window.
     return {
-        # --- (a) r05-stale rows: window analytics / sketches ---
-        "q_running_avg": q_running_avg,
-        "q_asof_forward": q_asof_forward,
-        "q_grouping_sets": q_grouping_sets,
-        "q_interval_join": q_interval_join,
-        "q_range_acctbal_band": q_range_acctbal_band,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_cube_revenue": q_cube_revenue,
-        "q_cohort_retention": q_cohort_retention,
-        "q_countd_approx": q_countd_approx,
-        "q_value_percentiles_approx": q_value_percentiles_approx,
-        # --- (a) r05-stale rows: deterministic sampling / io ---
-        "q_hash_split": q_hash_split,
-        "q_mixture_sample": q_mixture_sample,
-        "q_mixture_upsample": q_mixture_upsample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_weighted_sample": q_weighted_sample,
-        "q_corpus_shuffle": q_corpus_shuffle,
-        "q_shard_manifest": q_shard_manifest,
-        # --- (b) NEW: null-bearing tuples through the distributed fixpoint,
-        #     and the round-8 chain-restricted demand tier (bound SECOND
-        #     position — no adornment exists, so the new tier serves it) ---
-        "dl_tc_null_labels": dl_tc_null_labels,
-        "dl_tc_nl_bound_rev": dl_tc_nl_bound_rev,
-        # --- (c) dl_* engine family: relational surface.
-        #     dl_inmemory_csv yields its slot to the new rows: it is the one
-        #     dl_* row exercising NO code any r07/r08 engine commit touched
-        #     (non-recursive literal VALUES load via sources/csv.py,
-        #     untouched since r03; swept green at sf0.01+sf0.1 this round) —
-        #     it sits first after the window for the r09 rotation ---
-        "dl_filter_project": dl_filter_project,
-        "dl_join_3way": dl_join_3way,
-        "dl_negation": dl_negation,
-        "dl_union_distinct": dl_union_distinct,
-        "dl_agg_multi": dl_agg_multi,
-        "dl_countd": dl_countd,
-        "dl_sort_limit": dl_sort_limit,
-        "dl_arith": dl_arith,
-        "dl_date_filter": dl_date_filter,
-        # --- (c) dl_* engine family: recursion ---
-        "dl_tc": dl_tc,
-        "dl_tc_rl": dl_tc_rl,
-        "dl_agg_over_tc": dl_agg_over_tc,
-        "dl_tc_bound": dl_tc_bound,
-        "dl_tc_nonlinear": dl_tc_nonlinear,
-        "dl_mutual_even_odd": dl_mutual_even_odd,
-        "dl_reach": dl_reach,
-        "dl_unreachable": dl_unreachable,
-        "dl_mlm_total_sales": dl_mlm_total_sales,
-        "dl_mlm_net_profit": dl_mlm_net_profit,
-        "dl_sssp": dl_sssp,
-        "dl_attend_mcount": dl_attend_mcount,
-        "dl_viral_msum": dl_viral_msum,
-        "dl_cc": dl_cc,
-        "dl_apsp": dl_apsp,
-        "dl_same_generation": dl_same_generation,
-        "dl_sg_bound": dl_sg_bound,
-        "dl_triangle_count": dl_triangle_count,
-        "dl_pymk": dl_pymk,
-        # --- (c) dl_* engine family: r07-fresh forced/demand paths ---
-        "dl_tc_distributed": dl_tc_distributed,
-        "dl_tc_nl_bound": dl_tc_nl_bound,
-        "dl_mutual_bound": dl_mutual_bound,
-        # ---------------- end of the 50-row r08 window ----------------
+        # --- (a) r06-newest rows: engine csv + graph (code touched r08) ---
         "dl_inmemory_csv": dl_inmemory_csv,
-        # r07-fresh rows (checked last round)
+        "q_cc_fast": q_cc_fast,
+        "q_pagerank": q_pagerank,
+        # --- (a) r06-newest rows: TPC-H ---
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_order_revenue": q3_order_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_lines": q12_priority_lines,
+        "q14_promo_share": q14_promo_share,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        # --- (a) r06-newest rows: streaming + events ---
+        "q_hourly_events": q_hourly_events,
+        "q_sessionize": q_sessionize,
+        "q_sliding_windows": q_sliding_windows,
+        "q_topk_users_window": q_topk_users_window,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_sessionize_append": q_stream_sessionize_append,
+        # --- (a) r06-newest rows: multimodal/text/misc ---
+        "q_wav_features": q_wav_features,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_fuzzy_names": q_fuzzy_names,
+        "q_json_props": q_json_props,
+        # --- (b) r07-fresh but graph.py changed r08 ---
+        "q_kcore": q_kcore,
+        # --- (c) NEW: bound query form on a monotonic clique ---
+        "dl_apsp_bound": dl_apsp_bound,
+        # --- (d) r07-fresh fill: TPC-H + joins/analytics ---
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q18_large_volume_customers": q18_large_volume_customers,
         "q13_order_count_distribution": q13_order_count_distribution,
@@ -2938,13 +2926,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_funnel": q_funnel,
         "q_rollup_revenue": q_rollup_revenue,
         "q_value_percentiles": q_value_percentiles,
-        "q_kcore": q_kcore,
         "q_stream_sessionize": q_stream_sessionize,
         "q6_forecast_revenue": q6_forecast_revenue,
         "q8_market_share": q8_market_share,
         "q9_product_profit": q9_product_profit,
         "q15_top_supplier": q15_top_supplier,
         "q21_waiting_supplier": q21_waiting_supplier,
+        # --- (d) r07-fresh fill: text analysis + dedup ---
         "q_text_profile": q_text_profile,
         "q_subword_tokens": q_subword_tokens,
         "q_tfidf_topk": q_tfidf_topk,
@@ -2956,6 +2944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
         "q_dedup_minhash": q_dedup_minhash,
+        # ---------------- end of the 50-row r09 window ----------------
+        # r07-fresh remainder (leads the r10 rotation)
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
         "q_dedup_cluster": q_dedup_cluster,
@@ -2976,28 +2966,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q11_important_parts": q11_important_parts,
         "q16_supplier_part_counts": q16_supplier_part_counts,
         "q20_dominant_supplier": q20_dominant_supplier,
-        # r06-fresh rows
-        "q_stream_dedup": q_stream_dedup,
-        "q_wav_features": q_wav_features,
-        "q_fuzzy_names": q_fuzzy_names,
-        "q_json_props": q_json_props,
-        "q7_nation_volume": q7_nation_volume,
-        "q12_priority_lines": q12_priority_lines,
-        "q19_disjunctive_filter": q19_disjunctive_filter,
-        "q_stream_sessionize_append": q_stream_sessionize_append,
-        "q_stream_enrich": q_stream_enrich,
-        "q_cc_fast": q_cc_fast,
-        "q_pagerank": q_pagerank,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_hourly_events": q_hourly_events,
-        "q_sessionize": q_sessionize,
-        "q_sliding_windows": q_sliding_windows,
-        "q_topk_users_window": q_topk_users_window,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_order_revenue": q3_order_revenue,
-        "q5_region_revenue": q5_region_revenue,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q14_promo_share": q14_promo_share,
+        # r08-checked rows (the previous window)
+        "q_running_avg": q_running_avg,
+        "q_asof_forward": q_asof_forward,
+        "q_grouping_sets": q_grouping_sets,
+        "q_interval_join": q_interval_join,
+        "q_range_acctbal_band": q_range_acctbal_band,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_cube_revenue": q_cube_revenue,
+        "q_cohort_retention": q_cohort_retention,
+        "q_countd_approx": q_countd_approx,
+        "q_value_percentiles_approx": q_value_percentiles_approx,
+        "q_hash_split": q_hash_split,
+        "q_mixture_sample": q_mixture_sample,
+        "q_mixture_upsample": q_mixture_upsample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
+        "q_corpus_shuffle": q_corpus_shuffle,
+        "q_shard_manifest": q_shard_manifest,
+        "dl_tc_null_labels": dl_tc_null_labels,
+        "dl_tc_nl_bound_rev": dl_tc_nl_bound_rev,
+        "dl_filter_project": dl_filter_project,
+        "dl_join_3way": dl_join_3way,
+        "dl_negation": dl_negation,
+        "dl_union_distinct": dl_union_distinct,
+        "dl_agg_multi": dl_agg_multi,
+        "dl_countd": dl_countd,
+        "dl_sort_limit": dl_sort_limit,
+        "dl_arith": dl_arith,
+        "dl_date_filter": dl_date_filter,
+        "dl_tc": dl_tc,
+        "dl_tc_rl": dl_tc_rl,
+        "dl_agg_over_tc": dl_agg_over_tc,
+        "dl_tc_bound": dl_tc_bound,
+        "dl_tc_nonlinear": dl_tc_nonlinear,
+        "dl_mutual_even_odd": dl_mutual_even_odd,
+        "dl_reach": dl_reach,
+        "dl_unreachable": dl_unreachable,
+        "dl_mlm_total_sales": dl_mlm_total_sales,
+        "dl_mlm_net_profit": dl_mlm_net_profit,
+        "dl_sssp": dl_sssp,
+        "dl_attend_mcount": dl_attend_mcount,
+        "dl_viral_msum": dl_viral_msum,
+        "dl_cc": dl_cc,
+        "dl_apsp": dl_apsp,
+        "dl_same_generation": dl_same_generation,
+        "dl_sg_bound": dl_sg_bound,
+        "dl_triangle_count": dl_triangle_count,
+        "dl_pymk": dl_pymk,
+        "dl_tc_distributed": dl_tc_distributed,
+        "dl_tc_nl_bound": dl_tc_nl_bound,
+        "dl_mutual_bound": dl_mutual_bound,
     }
 
 
@@ -3318,6 +3337,17 @@ def oracle_sql() -> dict[str, str]:
               FROM paths p JOIN edges e ON e.src = p.dst)
             SELECT src, dst, CAST(min(d) AS BIGINT) AS distance
             FROM paths GROUP BY src, dst
+        """,
+        "dl_apsp_bound": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})),
+            paths(dst, d) AS (
+              SELECT dst, CAST(w AS BIGINT) FROM edges WHERE src = 3
+              UNION
+              SELECT e.dst, p.d + e.w
+              FROM paths p JOIN edges e ON e.src = p.dst)
+            SELECT dst, CAST(min(d) AS BIGINT) AS distance
+            FROM paths GROUP BY dst
         """,
         "dl_same_generation": f"""
             WITH RECURSIVE pc AS (

@@ -1113,6 +1113,34 @@ def dl_apsp_bound(spark, sf_dir):
     )
 
 
+def dl_apsp_bound_rev(spark, sf_dir):
+    """Bound-DESTINATION shortest paths — apsp(X,mid,D), "every vertex's
+    distance TO mid" — the bound position is NOT stable (it walks through
+    the recursion), so no seed filter applies; served by the r09
+    chain-restricted MONOTONIC demand tier (_bound_monotonic_chain_df):
+    demand = reverse reachability of mid over the key-projected E* (on the
+    tree: mid's ancestor chain), then the ordinary mmin fixpoint with the
+    exit contribution stream semi-joined to it — log(n)-sized instead of
+    the full all-pairs closure. Reference: DeALS adorned rewriting covers
+    all bound query forms (BigDatalogContext.scala:124-138)."""
+    mx = _part_max(spark, sf_dir)
+    mid = mx // 2 + 1
+    edges = _tree_edges(spark, sf_dir, mx=mx).withColumn(
+        "w", F.lit(1) + F.col("dst") % 3
+    )
+    df = _datalog(
+        spark,
+        "database({arc(S:long, D:long, W:long)})."
+        "apsp(X, Y, mmin<D>) <- arc(X, Y, D)."
+        "apsp(X, Y, mmin<D>) <- apsp(X, Z, D1), arc(Z, Y, W), D = D1 + W.",
+        {"arc": edges},
+        f"apsp(X, {mid}, D).",
+    )
+    return df.select(
+        F.col("X").alias("src"), F.col("D").alias("distance")
+    )
+
+
 def dl_same_generation(spark, sf_dir):
     """Same-generation (non-linear variable flow) on the tree top levels."""
     pc = _tree_edges(spark, sf_dir).where(F.col("dst") <= 255)
@@ -2943,8 +2971,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_exact": q_dedup_exact,
         "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
-        "q_dedup_minhash": q_dedup_minhash,
+        # --- (c) NEW: bound-destination query form — the chain-restricted
+        #     MONOTONIC demand tier. Takes q_dedup_minhash's fill slot
+        #     (r07-fresh, stays within the no-older-than-r07 bar) ---
+        "dl_apsp_bound_rev": dl_apsp_bound_rev,
         # ---------------- end of the 50-row r09 window ----------------
+        "q_dedup_minhash": q_dedup_minhash,
         # r07-fresh remainder (leads the r10 rotation)
         "q_dedup_simhash": q_dedup_simhash,
         "q_dedup_embedding": q_dedup_embedding,
@@ -3348,6 +3380,20 @@ def oracle_sql() -> dict[str, str]:
               FROM paths p JOIN edges e ON e.src = p.dst)
             SELECT dst, CAST(min(d) AS BIGINT) AS distance
             FROM paths GROUP BY dst
+        """,
+        "dl_apsp_bound_rev": f"""
+            WITH RECURSIVE edges AS (
+              SELECT src, dst, 1 + dst % 3 AS w FROM ({_EDGES_SQL})),
+            mid AS (
+              SELECT (max(p_partkey) // 2 + 1) AS v FROM part),
+            rpaths(src, d) AS (
+              SELECT src, CAST(w AS BIGINT) FROM edges
+              WHERE dst = (SELECT v FROM mid)
+              UNION
+              SELECT e.src, p.d + e.w
+              FROM rpaths p JOIN edges e ON e.dst = p.src)
+            SELECT src, CAST(min(d) AS BIGINT) AS distance
+            FROM rpaths GROUP BY src
         """,
         "dl_same_generation": f"""
             WITH RECURSIVE pc AS (

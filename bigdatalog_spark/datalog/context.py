@@ -423,12 +423,33 @@ class BigDatalogContext:
             ]
         )
 
-        # DRIVER-LOCAL reach first: the demand set is often tiny (bound at
-        # a leaf: the ancestor chain), but a distributed PSN reach pays one
-        # full job round per graph-diameter hop — ~17 rounds ≈ 7 s at
-        # sf0.1 for a 17-row answer. Under the gate, one bounded fetch +
-        # a vectorized pandas BFS costs one job total; the distributed
-        # loop remains the path for beyond-gate edge sets.
+        demand, persisted = self._demand_reach(edges, const, vt)
+
+        restrict = {p: [(pos, demand)] for p in clique.preds}
+        try:
+            results = self._compute_seminaive_clique(
+                clique, exit_restrict=restrict
+            )
+            return results[goal.pred]
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
+
+    def _demand_reach(self, edges: DataFrame, const, vt: str):
+        """Vertices reachable from ``const`` over an oriented ``__s → __d``
+        edge frame — the demand set both chain tiers share
+        (_demand_chain_fallback for set cliques, _bound_monotonic_chain_df
+        for monotonic ones). Returns (demand_df, persisted_edges); the
+        caller unpersists ``persisted_edges`` when not None.
+
+        DRIVER-LOCAL reach first: the demand set is often tiny (bound at
+        a leaf: the ancestor chain), but a distributed PSN reach pays one
+        full job round per graph-diameter hop — ~17 rounds ≈ 7 s at
+        sf0.1 for a 17-row answer. Under the gate, one bounded fetch +
+        a vectorized pandas BFS costs one job total; the distributed
+        loop remains the path for beyond-gate edge sets."""
+        from .fixpoint import fixpoint_seminaive
+
         demand = None
         persisted = None
         # BYTE-aware gate: the row knob is capped by the broadcast byte
@@ -507,12 +528,169 @@ class BigDatalogContext:
             )
             demand = res["__reach"]
 
-        restrict = {p: [(pos, demand)] for p in clique.preds}
+        return demand, persisted
+
+    def _bound_monotonic_chain_df(
+        self, goal: Goal, clique: Clique, bound
+    ) -> DataFrame | None:
+        """Chain-restricted demand for bound goals on MONOTONIC cliques
+        whose bound key position is NOT stable — ``apsp(X,c,D)`` ("every
+        source's distance TO c") previously paid the full all-pairs
+        fixpoint + filter. _demand_chain_fallback lifted to aggregate
+        heads: project the head and every clique atom to their two KEY
+        positions (the aggregated value and any weight arguments are extra
+        conjuncts — they only remove derivations); require each recursive
+        rule's keys to form a chain walk key-A → key-B consuming every
+        clique atom, where static atoms of ANY arity may hop between any
+        two distinct variable positions (ignoring a static's constant /
+        extra-arg filters only ADDS E* edges — a reach superset stays
+        sound). E* = exit outputs' key pairs ∪ the static hops' projected
+        pairs, walk-oriented; R = vertices E*-reachable from the bound
+        constant (edges reversed when the goal binds the walk END, the
+        apsp-destination case).
+
+        Soundness, in two steps. (flow) By the chain tier's top-down
+        induction, every clique tuple in a derivation of goal(…,c,…)
+        carries bound-position key ∈ R. (exactness under aggregation —
+        the step the set tier doesn't need) monotonic recursion reads the
+        AGGREGATED table, so pruning contributions of out-of-R groups must
+        not disturb in-R groups' values: it doesn't, because every
+        derivation of ANY value of an R-keyed group stays inside R-keyed
+        groups (each intermediate key chains to the next hop, hence
+        reaches c), so each R-keyed group keeps its full derivable-value
+        set and mmin/mmax over it is EXACT. Worst case R = all vertices:
+        the unbound closure plus one linear reachability."""
+        if not clique.monotonic or len(clique.preds) != 1 or len(bound) != 1:
+            return None
+        pred = clique.preds[0]
+        rules = self.program.rules_for(pred)
         try:
-            results = self._compute_seminaive_clique(
-                clique, exit_restrict=restrict
+            shape = self._agg_shape(pred, rules)
+        except DatalogSemanticError:
+            return None
+        key_idx = [i for i, f in shape if f is None]
+        if len(key_idx) != 2:
+            return None
+        bpos, const = bound[0]
+        if bpos not in key_idx:
+            return None
+        pos = key_idx.index(bpos)  # 0 = walk start, 1 = walk end
+        clique_set = set(clique.preds)
+
+        def as_chain(rule):
+            """Key-projected chain walk; returns the list of static hop
+            payloads ``(atom, i, j)`` on the walk (walk-oriented column
+            positions), or None when the rule is not chain-shaped."""
+            h = rule.head.args
+            a_t, b_t = h[key_idx[0]], h[key_idx[1]]
+            if not (isinstance(a_t, Var) and isinstance(b_t, Var)):
+                return None
+            a, b = a_t.name, b_t.name
+            if a == b:
+                return None
+            atoms = []  # (is_clique, [(from_var, to_var, payload|None)])
+            cliq_total = 0
+            for lit in rule.body:
+                if not (isinstance(lit, Atom) and not lit.negated):
+                    continue  # comparisons / negated statics: conjuncts
+                if lit.pred in clique_set:
+                    cliq_total += 1
+                    ka, kb = lit.args[key_idx[0]], lit.args[key_idx[1]]
+                    if not (isinstance(ka, Var) and isinstance(kb, Var)):
+                        return None  # clique atom that can't sit on a chain
+                    hop = (ka.name, kb.name) if pos == 0 else (kb.name, ka.name)
+                    atoms.append((True, [(hop[0], hop[1], None)]))
+                else:
+                    var_pos = [
+                        (i, t.name)
+                        for i, t in enumerate(lit.args)
+                        if isinstance(t, Var)
+                    ]
+                    # both directions are distinct candidate hops, each
+                    # carrying its own walk-oriented (i, j) projection
+                    hops = [
+                        (u, v, (lit, i, j))
+                        for i, u in var_pos
+                        for j, v in var_pos
+                        if i != j and u != v
+                    ]
+                    atoms.append((False, hops))
+            if pos == 1:
+                a, b = b, a
+
+            def walk(cur, used, statics_on_chain, cliq_used):
+                if cur == b and cliq_used == cliq_total:
+                    return statics_on_chain
+                for idx, (is_cliq, hops) in enumerate(atoms):
+                    if idx in used:
+                        continue
+                    for u, v, payload in hops:
+                        if u != cur:
+                            continue
+                        nxt = walk(
+                            v,
+                            used | {idx},
+                            statics_on_chain
+                            + ([] if payload is None else [payload]),
+                            cliq_used + is_cliq,
+                        )
+                        if nxt is not None:
+                            return nxt
+                return None
+
+            return walk(a, frozenset(), [], 0)
+
+        static_hops: set = set()
+        for rule in clique.recursive_rules[pred]:
+            hops = as_chain(rule)
+            if hops is None:
+                return None
+            static_hops.update((lit.pred, i, j) for lit, i, j in hops)
+
+        from .fixpoint import _widen
+
+        ek1, ek2 = (
+            (key_idx[0], key_idx[1]) if pos == 0 else (key_idx[1], key_idx[0])
+        )
+        edge_frames = []
+        for rule in clique.exit_rules[pred]:
+            rc = RuleCompiler(self.spark)
+            body = rc.compile_body(rule, lambda p, occ: self._pred_df(p))
+            out = rc.pre_aggregate_projection(rule, body)
+            edge_frames.append(
+                out.select(out.columns[ek1], out.columns[ek2])
             )
-            return results[goal.pred]
+        for sp, i, j in sorted(static_hops):
+            df = self._pred_df(sp)
+            if max(i, j) >= len(df.columns):
+                return None
+            edge_frames.append(df.select(df.columns[i], df.columns[j]))
+        if not edge_frames:
+            return None
+        try:
+            src_t = dst_t = None
+            for ef in edge_frames:
+                s, d = (f.dataType.simpleString() for f in ef.schema.fields)
+                src_t = s if src_t is None else _widen(src_t, s)
+                dst_t = d if dst_t is None else _widen(dst_t, d)
+            vt = _widen(src_t, dst_t)
+        except DatalogSemanticError:
+            return None
+        edges = union_all(
+            [
+                ef.select(
+                    F.col(ef.columns[0]).cast(vt).alias("__s"),
+                    F.col(ef.columns[1]).cast(vt).alias("__d"),
+                )
+                for ef in edge_frames
+            ]
+        )
+
+        demand, persisted = self._demand_reach(edges, const, vt)
+        try:
+            return self._compute_monotonic_clique(
+                clique, exit_restrict=[(bpos, demand)]
+            )
         finally:
             if persisted is not None:
                 persisted.unpersist()
@@ -597,6 +775,10 @@ class BigDatalogContext:
             agg_pos = {i for i, f in shape if f is not None}
         stable = self._stable_positions(clique, pred)
         if any(i in agg_pos or i not in stable for i, _ in bound):
+            # non-stable bound key on a monotonic clique: try the
+            # chain-restricted demand tier before paying the full closure
+            if clique.monotonic:
+                return self._bound_monotonic_chain_df(goal, clique, bound)
             return None
         if clique.mixed:
             return self._compute_mixed_clique(
@@ -1610,7 +1792,7 @@ class BigDatalogContext:
 
     def _try_local_monotonic(
         self, clique: Clique, exit_df: DataFrame, step, key_cols, value_col,
-        func, bound=None,
+        func, bound=None, no_driver_exit=False,
     ):
         shape = self._local_clique_shape(clique)
         if shape is None:
@@ -1648,9 +1830,13 @@ class BigDatalogContext:
         # pandas exit evaluation first (see _driver_exit_pdf): the
         # monotonic contribution stream keeps duplicates (no distinct in
         # this path's Spark pipeline either)
-        seed_pd = self._driver_exit_pdf(
-            clique.exit_rules[pred], seed, bound=bound,
-            pre_aggregate=True, distinct=False,
+        seed_pd = (
+            None
+            if no_driver_exit
+            else self._driver_exit_pdf(
+                clique.exit_rules[pred], seed, bound=bound,
+                pre_aggregate=True, distinct=False,
+            )
         )
         if seed_pd is None:
             seed_pd = seed.limit(max_rows + 1).toPandas()
@@ -2150,7 +2336,10 @@ class BigDatalogContext:
         return results
 
     def _compute_monotonic_clique(
-        self, clique: Clique, seed_filter: list | None = None
+        self,
+        clique: Clique,
+        seed_filter: list | None = None,
+        exit_restrict: list | None = None,
     ) -> DataFrame:
         """AggregateRecursion for mmin/mmax (AggregateRecursion.scala:26-178).
 
@@ -2160,7 +2349,14 @@ class BigDatalogContext:
         downstream (local pivot / seed-broadcast / distributed
         fixpoint_monotonic) sees only the restricted seed, so e.g.
         ``apsp(c,Y,D)`` runs a single-source fixpoint instead of the
-        all-pairs closure + filter."""
+        all-pairs closure + filter.
+
+        exit_restrict ([(position, demand_df)]): semi-join the contribution
+        stream against a single-column demand frame — the chain-restricted
+        monotonic demand tier (_bound_monotonic_chain_df). Also
+        goal-specific and uncached; restricted exits skip the pandas
+        driver-exit shortcut (it re-evaluates the rules, bypassing the
+        semi-join)."""
         pred = clique.preds[0]
         rules = self.program.rules_for(pred)
         shape = self._agg_shape(pred, rules)
@@ -2193,6 +2389,20 @@ class BigDatalogContext:
         exit_df = union_all(exit_pre)
         for pos, value in seed_filter or []:
             exit_df = exit_df.filter(F.col(names[pos]) == F.lit(value))
+        no_driver_exit = False
+        for pos, demand in exit_restrict or []:
+            # size-gated broadcast hint without the persist cache — see the
+            # seminaive exit_restrict note (goal-specific frame, leak-free)
+            dem = demand.select(F.col(demand.columns[0]).alias("__demand"))
+            if self.config.broadcast_static_side and (
+                self._estimated_bytes(dem, self.config.broadcast_max_bytes)
+                is not None
+            ):
+                dem = F.broadcast(dem)
+            exit_df = exit_df.join(
+                dem, exit_df[names[pos]] == dem["__demand"], "left_semi"
+            )
+            no_driver_exit = True
 
         shuffle_hook = self._make_static_shuffle(static_df, {pred})
 
@@ -2212,14 +2422,15 @@ class BigDatalogContext:
                     variants.append(rc.pre_aggregate_projection(rule, body))
             return union_all(variants) if variants else None
 
+        goal_specific = seed_filter is not None or exit_restrict is not None
         if self.config.decomposable_local:
             local = self._try_local_monotonic(
                 clique, exit_df, step, key_cols, value_col, func,
-                bound=seed_filter,
+                bound=seed_filter, no_driver_exit=no_driver_exit,
             )
             if local is not None:
                 out = local.select(*names)
-                if seed_filter is None:
+                if not goal_specific:
                     self._cache[pred] = out
                 return out
 
@@ -2228,6 +2439,6 @@ class BigDatalogContext:
         )
         # present in declared argument order
         out = result.select(*names)
-        if seed_filter is None:
+        if not goal_specific:
             self._cache[pred] = out
         return out

@@ -101,10 +101,13 @@ def test_bound_monotonic_three_way_tier_parity(spark, monkeypatch, config):
     assert calls == [True]
 
 
-def test_bound_monotonic_nonstable_position_declines(spark, monkeypatch):
-    """apsp(X,3,D): position 1 changes through the recursion — the pushdown
-    must DECLINE (restricting exits to Y=3 would lose multi-hop paths) and
-    the full fixpoint + filter must still answer correctly."""
+def test_bound_monotonic_nonstable_position_served_by_chain_tier(
+    spark, monkeypatch
+):
+    """apsp(X,3,D): position 1 changes through the recursion, so a plain
+    seed FILTER would lose multi-hop paths — but the r09b chain tier
+    (reverse-reach restriction) serves it, and the answer matches the full
+    fixpoint's slice."""
     calls = _agg_spy(monkeypatch)
     ctx = _apsp_ctx(spark, EDGES)
     got = sorted((r[0], r[2]) for r in ctx.query("apsp(X, 3, D).").collect())
@@ -114,7 +117,7 @@ def test_bound_monotonic_nonstable_position_declines(spark, monkeypatch):
         if 3 in dict(_sssp(EDGES, s))
     )
     assert got == want
-    assert calls == [False]
+    assert calls == [True]
 
 
 def test_bound_monotonic_agg_position_declines(spark, monkeypatch):
@@ -239,3 +242,182 @@ def test_bound_apsp_matches_dijkstra(spark, edges, src):
         (r[1], r[2]) for r in ctx.query(f"apsp({src}, Y, D).").collect()
     )
     assert got == _sssp(edges, src)
+
+
+# ----------------------------------------------------- r09b: chain tier for
+# NON-stable bound key positions on monotonic cliques
+# (context._bound_monotonic_chain_df): apsp(X,c,D) = "every source's
+# distance TO c" runs a reverse-reach-restricted fixpoint, not all-pairs.
+
+def _chain_mono_spy(monkeypatch):
+    calls = []
+    orig = C.BigDatalogContext._bound_monotonic_chain_df
+
+    def spy(self, goal, clique, bound):
+        out = orig(self, goal, clique, bound)
+        calls.append(out is not None)
+        return out
+
+    monkeypatch.setattr(
+        C.BigDatalogContext, "_bound_monotonic_chain_df", spy
+    )
+    return calls
+
+
+def _dij_to(edges, target):
+    """min distance X -> target over paths of length >= 1, per source."""
+    return sorted(
+        (s, dict(_sssp(edges, s))[target])
+        for s in {e[0] for e in edges} | {e[1] for e in edges}
+        if target in dict(_sssp(edges, s))
+    )
+
+
+CHAIN_EDGES = [
+    (0, 1, 2), (1, 2, 3), (0, 2, 9), (2, 3, 1), (4, 0, 1), (3, 1, 4),
+    (5, 6, 2),  # disconnected from 3: must be pruned by the reach
+]
+
+
+@pytest.mark.parametrize(
+    "config",
+    [
+        EngineConfig(),
+        EngineConfig(decomposable_local=False),
+        EngineConfig(chain_fetch_max_rows=0),  # distributed reach branch
+    ],
+    ids=["local", "distributed", "reach-gate0"],
+)
+def test_bound_dest_monotonic_chain_engages_and_matches(
+    spark, monkeypatch, config
+):
+    """apsp(X,3,D) across tiers: the chain tier must serve it and match
+    driver-side dijkstra-to-target."""
+    calls = _chain_mono_spy(monkeypatch)
+    ctx = _apsp_ctx(spark, CHAIN_EDGES, config)
+    got = sorted((r[0], r[2]) for r in ctx.query("apsp(X, 3, D).").collect())
+    assert got == _dij_to(CHAIN_EDGES, 3)
+    assert calls == [True]
+
+
+def test_bound_dest_demand_is_reverse_reach(spark, monkeypatch):
+    """The PIN: the restricted fixpoint receives exactly the reverse-reach
+    demand set of the bound vertex (3 and everything that reaches it; the
+    disconnected 5-6 component excluded)."""
+    seen = {}
+    orig = C.BigDatalogContext._compute_monotonic_clique
+
+    def spy(self, clique, seed_filter=None, exit_restrict=None):
+        if exit_restrict is not None:
+            seen["restrict"] = exit_restrict
+        return orig(
+            self, clique, seed_filter=seed_filter, exit_restrict=exit_restrict
+        )
+
+    monkeypatch.setattr(C.BigDatalogContext, "_compute_monotonic_clique", spy)
+    ctx = _apsp_ctx(spark, CHAIN_EDGES)
+    ctx.query("apsp(X, 3, D).").collect()
+    (pos, demand), = seen["restrict"]
+    assert pos == 1
+    got = sorted(r[0] for r in demand.collect())
+    # vertices that reach 3 (plus 3 itself via the cycle 3->1->2->3)
+    assert got == [0, 1, 2, 3, 4]
+
+
+def test_bound_start_nonstable_monotonic_chain(spark, monkeypatch):
+    """Left-linear accumulation (head key-A hops via the static): bound at
+    the WALK START — forward-reach restriction."""
+    prog = (
+        "database({arc(S:integer, D:integer, W:integer)})."
+        "up(X, Y, mmin<D>) <- arc(X, Y, D)."
+        "up(X, Y, mmin<D>) <- arc(X, Z, W), up(Z, Y, D1), D = W + D1."
+    )
+    calls = _chain_mono_spy(monkeypatch)
+    full = BigDatalogContext(spark)
+    full.load_program(prog)
+    full.register_data(
+        "arc", [f"{s},{d},{w}" for s, d, w in CHAIN_EDGES]
+    )
+    want = sorted(
+        (r[1], r[2]) for r in full.query("up(X, Y, D).").collect()
+        if r[0] == 4
+    )
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(prog)
+    ctx.register_data("arc", [f"{s},{d},{w}" for s, d, w in CHAIN_EDGES])
+    got = sorted((r[1], r[2]) for r in ctx.query("up(4, Y, D).").collect())
+    assert got == want and got
+    # pos 0 IS stable for this left-linear shape? No: head X comes from
+    # arc, not from the clique occurrence -> non-stable -> chain tier.
+    assert calls == [True]
+
+
+def test_bound_monotonic_off_chain_clique_atom_declines(spark, monkeypatch):
+    """A clique atom hanging OFF the key chain makes the restriction
+    unsound — the tier must decline and the full fixpoint still answer."""
+    prog = (
+        "database({arc(S:integer, D:integer, W:integer)})."
+        "t(X, Y, mmin<D>) <- arc(X, Y, D)."
+        "t(X, Y, mmin<D>) <- t(X, Z, D1), t(Z, Y, D2), t(0, Z, D3),"
+        " D = D1 + D2."
+    )
+    calls = _chain_mono_spy(monkeypatch)
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(prog)
+    ctx.register_data("arc", ["0,1,1", "1,2,1", "2,3,1"])
+    got = sorted((r[0], r[2]) for r in ctx.query("t(X, 3, D).").collect())
+    assert got  # full + filter still answers
+    assert calls == [False]
+
+
+@CPROP
+@given(edges=W_EDGES, dst=st.integers(0, 5))
+def test_bound_dest_apsp_matches_dijkstra(spark, edges, dst):
+    """Property: bound-DEST apsp over random weighted digraphs equals
+    driver-side shortest-to-target (>=1 edge)."""
+    ctx = _apsp_ctx(spark, edges)
+    got = sorted(
+        (r[0], r[2]) for r in ctx.query(f"apsp(X, {dst}, D).").collect()
+    )
+    want = sorted(
+        (s, dict(_sssp(edges, s))[dst])
+        for s in {e[0] for e in edges} | {e[1] for e in edges}
+        if dst in dict(_sssp(edges, s))
+    )
+    assert got == want
+
+
+def test_driver_row_apsp_bound_rev_takes_chain_tier(spark, monkeypatch):
+    """The dl_apsp_bound_rev DRIVER row (bound destination on monotonic
+    apsp) must be served by the chain-restricted monotonic tier — there is
+    no stable-position seed path for it."""
+    import __spark_entry__ as entry
+
+    calls = _chain_mono_spy(monkeypatch)
+    df = entry.queries()["dl_apsp_bound_rev"](spark, "/root/testdata/sf0.001")
+    rows = {r[0]: r[1] for r in df.collect()}
+    assert calls == [True]
+    from __spark_entry__ import _part_max
+
+    mx = _part_max(spark, "/root/testdata/sf0.001")
+    mid = mx // 2 + 1
+    # ancestors of mid in the binary tree, with w = 1 + child % 3
+    want, v, d = {}, mid, 0
+    while v > 1:
+        d += 1 + v % 3
+        v //= 2
+        want[v] = d
+    assert rows == want
+
+
+def test_driver_row_apsp_bound_takes_stable_seed_path(spark, monkeypatch):
+    """The dl_apsp_bound DRIVER row (bound source, stable key) must be
+    served by the seed-filter path, NOT the chain tier."""
+    import __spark_entry__ as entry
+
+    agg_calls = _agg_spy(monkeypatch)
+    chain_calls = _chain_mono_spy(monkeypatch)
+    df = entry.queries()["dl_apsp_bound"](spark, "/root/testdata/sf0.001")
+    assert df.count() > 0
+    assert agg_calls == [True]
+    assert chain_calls == []

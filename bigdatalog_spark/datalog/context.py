@@ -559,16 +559,35 @@ class BigDatalogContext:
         groups (each intermediate key chains to the next hop, hence
         reaches c), so each R-keyed group keeps its full derivable-value
         set and mmin/mmax over it is EXACT. Worst case R = all vertices:
-        the unbound closure plus one linear reachability."""
-        if not clique.monotonic or len(clique.preds) != 1 or len(bound) != 1:
+        the unbound closure plus one linear reachability.
+
+        MIXED (mcount/msum) single-pred cliques are served too: the same
+        preservation argument covers their distinct SUPPORT sets (every
+        support tuple of an R-keyed group derives inside R-keyed groups),
+        so final counts/sums of R-keyed groups are exact — and threshold
+        conjuncts (``N >= k``) read the running aggregate of an R-keyed
+        group (flow invariant), whose monotone trajectory reaches the same
+        fixpoint, so everything that eventually fires still fires."""
+        if (
+            not (clique.monotonic or clique.mixed)
+            or len(clique.preds) != 1
+            or len(bound) != 1
+        ):
             return None
         pred = clique.preds[0]
         rules = self.program.rules_for(pred)
-        try:
-            shape = self._agg_shape(pred, rules)
-        except DatalogSemanticError:
-            return None
-        key_idx = [i for i, f in shape if f is None]
+        if clique.mixed:
+            info = clique.agg_info.get(pred)
+            if info is None:
+                return None
+            arity = rules[0].head.arity
+            key_idx = [i for i in range(arity) if i != info[0]]
+        else:
+            try:
+                shape = self._agg_shape(pred, rules)
+            except DatalogSemanticError:
+                return None
+            key_idx = [i for i, f in shape if f is None]
         if len(key_idx) != 2:
             return None
         bpos, const = bound[0]
@@ -688,6 +707,10 @@ class BigDatalogContext:
 
         demand, persisted = self._demand_reach(edges, const, vt)
         try:
+            if clique.mixed:
+                return self._compute_mixed_clique(
+                    clique, exit_restrict={pred: [(bpos, demand)]}
+                )[pred]
             return self._compute_monotonic_clique(
                 clique, exit_restrict=[(bpos, demand)]
             )
@@ -775,11 +798,9 @@ class BigDatalogContext:
             agg_pos = {i for i, f in shape if f is not None}
         stable = self._stable_positions(clique, pred)
         if any(i in agg_pos or i not in stable for i, _ in bound):
-            # non-stable bound key on a monotonic clique: try the
-            # chain-restricted demand tier before paying the full closure
-            if clique.monotonic:
-                return self._bound_monotonic_chain_df(goal, clique, bound)
-            return None
+            # non-stable bound key: try the chain-restricted demand tier
+            # (monotonic AND mixed) before paying the full closure
+            return self._bound_monotonic_chain_df(goal, clique, bound)
         if clique.mixed:
             return self._compute_mixed_clique(
                 clique, seed_filter={pred: bound}
@@ -1878,7 +1899,10 @@ class BigDatalogContext:
             self._compute_seminaive_clique(clique)
 
     def _compute_mixed_clique(
-        self, clique: Clique, seed_filter: dict | None = None
+        self,
+        clique: Clique,
+        seed_filter: dict | None = None,
+        exit_restrict: dict | None = None,
     ) -> dict:
         """Mixed set + monotonic-aggregate clique (incl. mcount/msum) via
         fixpoint_mixed — the generalization the reference declares but never
@@ -1888,7 +1912,14 @@ class BigDatalogContext:
 
         seed_filter (pred -> [(position, value)]): restrict that pred's
         exit contribution stream for a bound goal on a STABLE group-key
-        position (_bound_aggregate_df) — goal-specific, NOT cached."""
+        position (_bound_aggregate_df) — goal-specific, NOT cached.
+
+        exit_restrict (pred -> [(position, demand_df)]): semi-join the
+        contribution stream against a demand frame — the chain-restricted
+        tier (_bound_monotonic_chain_df, which serves mixed cliques too).
+        Goal-specific, uncached; restricted exits skip the pandas
+        driver-exit shortcut (it re-evaluates the rules, bypassing the
+        semi-join)."""
         clique_set = set(clique.preds)
         statics: dict[str, DataFrame] = {}
 
@@ -1928,6 +1959,26 @@ class BigDatalogContext:
                     exit_df = exit_df.filter(
                         F.col(exit_df.columns[pos]) == F.lit(value)
                     )
+                for pos, demand in (exit_restrict or {}).get(pred, []):
+                    # leak-free size-gated broadcast semi-join (see the
+                    # seminaive exit_restrict note)
+                    dem = demand.select(
+                        F.col(demand.columns[0]).alias("__demand")
+                    )
+                    if self.config.broadcast_static_side and (
+                        self._estimated_bytes(
+                            dem, self.config.broadcast_max_bytes
+                        )
+                        is not None
+                    ):
+                        dem = F.broadcast(dem)
+                    exit_df = exit_df.join(
+                        dem,
+                        exit_df[exit_df.columns[pos]] == dem["__demand"],
+                        "left_semi",
+                    )
+                if exit_restrict:
+                    exit_df._bdlog_no_driver_exit = True
                 exit_dfs[pred] = exit_df
             else:
                 arity = self.program.rules_for(pred)[0].head.arity
@@ -1963,17 +2014,18 @@ class BigDatalogContext:
                 cands[pred] = union_all(variants) if variants else None
             return cands
 
+        goal_specific = seed_filter is not None or exit_restrict is not None
         if self.config.decomposable_local:
             local = self._try_local_mixed(
                 clique, exit_dfs, step, agg_specs, seed_filter=seed_filter
             )
             if local is not None:
-                if seed_filter is None:
+                if not goal_specific:
                     self._cache.update(local)
                 return local
 
         results = fixpoint_mixed(exit_dfs, step, agg_specs, self.config.fixpoint)
-        if seed_filter is None:
+        if not goal_specific:
             for pred, df in results.items():
                 self._cache[pred] = df
         return results
@@ -2030,10 +2082,14 @@ class BigDatalogContext:
             # preds project pre-aggregate contributions, and the distinct
             # mirrors this path's Spark pipeline (the loop keeps distinct
             # support sets, so dedup here is semantics-preserving)
-            pdf = self._driver_exit_pdf(
-                clique.exit_rules[pred], seed,
-                bound=(seed_filter or {}).get(pred),
-                pre_aggregate=pred in agg_specs,
+            pdf = (
+                None
+                if getattr(exit_dfs[pred], "_bdlog_no_driver_exit", False)
+                else self._driver_exit_pdf(
+                    clique.exit_rules[pred], seed,
+                    bound=(seed_filter or {}).get(pred),
+                    pre_aggregate=pred in agg_specs,
+                )
             )
             if pdf is None:
                 # bounded fetch gates AND collects in one job (see the

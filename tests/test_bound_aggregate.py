@@ -421,3 +421,57 @@ def test_driver_row_apsp_bound_takes_stable_seed_path(spark, monkeypatch):
     assert df.count() > 0
     assert agg_calls == [True]
     assert chain_calls == []
+
+
+MIXED_CHAIN_PROG = (
+    "database({arc(S:integer, D:integer, T:integer)})."
+    "m(X, Y, mcount<Z>) <- arc(X, Y, Z)."
+    "m(X, Y2, mcount<Z>) <- m(X, Y, N), arc(Y, Y2, Z), N >= 1."
+)
+MIXED_ARCS = ["0,1,7", "0,1,8", "1,2,9", "2,3,7", "5,6,7"]
+
+
+@pytest.mark.parametrize(
+    "config",
+    [EngineConfig(), EngineConfig(decomposable_local=False)],
+    ids=["local", "distributed"],
+)
+def test_bound_dest_mixed_chain_engages_and_matches(
+    spark, monkeypatch, config
+):
+    """MIXED (mcount) clique, bound DESTINATION: the chain tier must serve
+    it (support sets of R-keyed groups preserved exactly — thresholds
+    still fire) and match the full closure's slice."""
+    full = BigDatalogContext(spark)
+    full.load_program(MIXED_CHAIN_PROG)
+    full.register_data("arc", MIXED_ARCS)
+    want = sorted(
+        (r[0], r[2])
+        for r in full.query("m(X, Y, N).").collect()
+        if r[1] == 3
+    )
+    calls = _chain_mono_spy(monkeypatch)
+    ctx = BigDatalogContext(spark, config)
+    ctx.load_program(MIXED_CHAIN_PROG)
+    ctx.register_data("arc", MIXED_ARCS)
+    got = sorted((r[0], r[2]) for r in ctx.query("m(X, 3, N).").collect())
+    assert got == want and got
+    assert calls == [True]
+
+
+def test_bound_mixed_one_key_declines(spark, monkeypatch):
+    """A 1-key mixed clique has no A→B chain — the tier must decline and
+    full + filter still answer (incl. the msum value)."""
+    prog = (
+        "database({src(X:integer, V:integer), hop(S:integer, D:integer)})."
+        "t(X, msum<V>) <- src(X, V)."
+        "t(Y, msum<V>) <- t(X, V), hop(X, Y)."
+    )
+    calls = _chain_mono_spy(monkeypatch)
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(prog)
+    ctx.register("src", spark.createDataFrame([(0, 3), (1, 4)], "x int, v int"))
+    ctx.register("hop", spark.createDataFrame([(0, 1), (1, 2)], "s int, d int"))
+    got = sorted(tuple(r) for r in ctx.query("t(2, V).").collect())
+    assert got == [(2, 11)]  # 3+4 propagated along 0->1->2 (+4 at 1)
+    assert calls == [False]

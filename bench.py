@@ -86,6 +86,14 @@ def main() -> None:
         .groupBy("n_regionkey")
         .count()
     )
+    # ... and one Arrow mapInPandas pass: python-worker spawn (~0.3 s)
+    # otherwise lands on the first Arrow-using query in the rotation
+    # (r9 first pass: q_cc_fast 0.5 -> 0.8 s, purely positional).
+    _materialize(
+        spark.range(64).mapInPandas(
+            lambda it: it, schema="id long"
+        )
+    )
     _release_blocks()
 
     timings: dict[str, float] = {}

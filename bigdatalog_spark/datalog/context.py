@@ -176,6 +176,13 @@ class BigDatalogContext:
         self.program = Program()
         self._relations: dict[str, DataFrame] = {}
         self._cache: dict[str, DataFrame] = {}
+        # (pred, ((pos, const), ...)) -> goal-specific demand-restricted
+        # result. Bound-goal fixpoints are deliberately NOT in _cache (they
+        # are slices, not the predicate); this memo gives repeated
+        # identical bound queries on a long-lived context the same
+        # reuse-not-recompute behavior unbound queries get. Same lifetime
+        # as _cache (cleared on load_program/reset).
+        self._bound_memo: dict[tuple, DataFrame] = {}
         self._persisted_statics: dict[int, DataFrame] = {}
         # (static plan id, join-key positions) -> repartitioned + sorted +
         # persisted copy, built once per query and re-probed every fixpoint
@@ -199,6 +206,7 @@ class BigDatalogContext:
         self.program.rules.extend(prog.rules)
         self._analyzed = None
         self._cache.clear()
+        self._bound_memo.clear()
         self._statics_pd.clear()
         return self
 
@@ -251,6 +259,7 @@ class BigDatalogContext:
         self.program = Program()
         self._relations.clear()
         self._cache.clear()
+        self._bound_memo.clear()
         for store in (self._persisted_statics, self._shuffled_statics):
             for df in store.values():
                 try:
@@ -739,6 +748,15 @@ class BigDatalogContext:
         ]
         if not bound or goal.pred in self._cache:
             return None
+        key = (goal.pred, tuple(bound))
+        if key in self._bound_memo:
+            return self._bound_memo[key]
+        df = self._bound_recursive_uncached(goal, bound)
+        if df is not None:
+            self._bound_memo[key] = df
+        return df
+
+    def _bound_recursive_uncached(self, goal: Goal, bound) -> DataFrame | None:
         clique = self._analyzed.clique_of.get(goal.pred)
         if clique is None:
             return None

@@ -475,3 +475,21 @@ def test_bound_mixed_one_key_declines(spark, monkeypatch):
     got = sorted(tuple(r) for r in ctx.query("t(2, V).").collect())
     assert got == [(2, 11)]  # 3+4 propagated along 0->1->2 (+4 at 1)
     assert calls == [False]
+
+
+def test_repeated_bound_goal_memoized(spark, monkeypatch):
+    """A repeated identical bound query on a long-lived context must reuse
+    the goal-specific result (one demand fixpoint, not two); a DIFFERENT
+    bound constant computes fresh."""
+    calls = _agg_spy(monkeypatch)
+    ctx = _apsp_ctx(spark, EDGES)
+    a1 = sorted(tuple(r) for r in ctx.query("apsp(0, Y, D).").collect())
+    a2 = sorted(tuple(r) for r in ctx.query("apsp(0, Y, D).").collect())
+    b1 = sorted(tuple(r) for r in ctx.query("apsp(4, Y, D).").collect())
+    assert a1 == a2
+    assert calls == [True, True]  # second apsp(0,..) hit the memo
+    assert b1 != a1
+    # load_program invalidates the memo
+    ctx.load_program("extra(X) <- arc(X, _, _).")
+    ctx.query("apsp(0, Y, D).").collect()
+    assert calls == [True, True, True]

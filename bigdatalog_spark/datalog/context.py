@@ -753,6 +753,11 @@ class BigDatalogContext:
             return self._bound_memo[key]
         df = self._bound_recursive_uncached(goal, bound)
         if df is not None:
+            # FIFO-capped: each entry pins a materialized (checkpointed)
+            # frame's blocks; an adversarial stream of distinct bound
+            # constants must not accumulate them unboundedly
+            if len(self._bound_memo) >= 64:
+                self._bound_memo.pop(next(iter(self._bound_memo)))
             self._bound_memo[key] = df
         return df
 
@@ -815,15 +820,20 @@ class BigDatalogContext:
             shape = self._agg_shape(pred, self.program.rules_for(pred))
             agg_pos = {i for i, f in shape if f is not None}
         stable = self._stable_positions(clique, pred)
-        if any(i in agg_pos or i not in stable for i, _ in bound):
-            # non-stable bound key: try the chain-restricted demand tier
+        pushable = [b for b in bound if b[0] in stable and b[0] not in agg_pos]
+        if not pushable:
+            # no stable bound key: try the chain-restricted demand tier
             # (monotonic AND mixed) before paying the full closure
             return self._bound_monotonic_chain_df(goal, clique, bound)
+        # push the stable subset into the seed; _apply_goal post-filters
+        # every bound position anyway, so a partially-bound goal like
+        # apsp(3,5,D) runs the single-source fixpoint + a dest filter
+        # instead of falling all the way back to the all-pairs closure
         if clique.mixed:
             return self._compute_mixed_clique(
-                clique, seed_filter={pred: bound}
+                clique, seed_filter={pred: pushable}
             )[pred]
-        return self._compute_monotonic_clique(clique, seed_filter=bound)
+        return self._compute_monotonic_clique(clique, seed_filter=pushable)
 
     def _magic_bound_df(self, goal: Goal, clique: Clique, bound) -> DataFrame | None:
         """Magic-sets / demand transformation for bound goals whose bound

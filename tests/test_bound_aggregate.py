@@ -493,3 +493,27 @@ def test_repeated_bound_goal_memoized(spark, monkeypatch):
     ctx.load_program("extra(X) <- arc(X, _, _).")
     ctx.query("apsp(0, Y, D).").collect()
     assert calls == [True, True, True]
+
+
+def test_partially_bound_goal_pushes_stable_subset(spark, monkeypatch):
+    """apsp(3,5,D): source stable, dest not — the stable subset is pushed
+    into the seed (single-source fixpoint) and _apply_goal post-filters
+    the dest; never the all-pairs closure, never the chain tier."""
+    calls = _agg_spy(monkeypatch)
+    chain_calls = _chain_mono_spy(monkeypatch)
+    seen = {}
+    orig = C.BigDatalogContext._compute_monotonic_clique
+
+    def spy(self, clique, seed_filter=None, exit_restrict=None):
+        seen["seed_filter"] = seed_filter
+        return orig(
+            self, clique, seed_filter=seed_filter, exit_restrict=exit_restrict
+        )
+
+    monkeypatch.setattr(C.BigDatalogContext, "_compute_monotonic_clique", spy)
+    ctx = _apsp_ctx(spark, EDGES)
+    got = sorted(tuple(r) for r in ctx.query("apsp(0, 3, D).").collect())
+    assert got == [(0, 3, 6)]
+    assert calls == [True]
+    assert chain_calls == []
+    assert seen["seed_filter"] == [(0, 0)]  # only the stable position

@@ -206,9 +206,23 @@ class BigDatalogContext:
         self.program.rules.extend(prog.rules)
         self._analyzed = None
         self._cache.clear()
-        self._bound_memo.clear()
+        self._clear_bound_memo()
         self._statics_pd.clear()
         return self
+
+    def _clear_bound_memo(self) -> None:
+        """Drop every memoized bound-goal frame AND release its
+        checkpoint blocks. The memo is the owner of those materialized
+        frames — dropping only the dict reference (the pre-r10 behavior)
+        left block reclamation to driver GC + ContextCleaner timing, the
+        same deferred-release shape the r3 broadcast leak had. A frame a
+        caller still holds stops being re-executable after release
+        (localCheckpoint blocks are not recomputable); that matches the
+        documented memo contract: results are valid while memoized."""
+        from .fixpoint import release_checkpoint_blocks
+
+        release_checkpoint_blocks(self._bound_memo.values())
+        self._bound_memo.clear()
 
     def load_file(self, path: str) -> "BigDatalogContext":
         """Load a .deal program file (BigDatalogContext.loadDatalogFile,
@@ -217,7 +231,14 @@ class BigDatalogContext:
             return self.load_program(fh.read())
 
     def register(self, name: str, df: DataFrame) -> None:
-        """Attach an existing DataFrame as a base relation."""
+        """Attach an existing DataFrame as a base relation.
+
+        Re-registering invalidates the result caches: memoized unbound
+        results (``_cache``) and bound-goal slices (``_bound_memo``) were
+        computed against the PREVIOUS frame and would silently serve
+        stale rows (ADVICE r09 — before the r9 memo, bound goals re-read
+        ``_relations`` at compute time, so the memo alone would have been
+        a behavior regression for re-register-without-load_program)."""
         if name in self.program.schemas:
             decl = self.program.schemas[name]
             if len(df.columns) != len(decl.columns):
@@ -226,6 +247,8 @@ class BigDatalogContext:
                     f"{len(decl.columns)} for {name!r}"
                 )
         self._relations[name] = df
+        self._cache.clear()
+        self._clear_bound_memo()
 
     def register_data(self, name: str, lines, num_partitions: int | None = None) -> None:
         """Load inline CSV lines per the declared schema
@@ -259,7 +282,7 @@ class BigDatalogContext:
         self.program = Program()
         self._relations.clear()
         self._cache.clear()
-        self._bound_memo.clear()
+        self._clear_bound_memo()
         for store in (self._persisted_statics, self._shuffled_statics):
             for df in store.values():
                 try:
@@ -755,9 +778,16 @@ class BigDatalogContext:
         if df is not None:
             # FIFO-capped: each entry pins a materialized (checkpointed)
             # frame's blocks; an adversarial stream of distinct bound
-            # constants must not accumulate them unboundedly
+            # constants must not accumulate them unboundedly. Release the
+            # evicted frame's blocks deterministically — dropping only the
+            # dict reference defers reclamation to GC + ContextCleaner
+            # timing, so the cap bounded the dict but not storage
+            # (ADVICE r09; the r3 broadcast-destroy lesson applied here).
             if len(self._bound_memo) >= 64:
-                self._bound_memo.pop(next(iter(self._bound_memo)))
+                from .fixpoint import release_checkpoint_blocks
+
+                evicted = self._bound_memo.pop(next(iter(self._bound_memo)))
+                release_checkpoint_blocks([evicted])
             self._bound_memo[key] = df
         return df
 
@@ -1993,6 +2023,12 @@ class BigDatalogContext:
                     dem = demand.select(
                         F.col(demand.columns[0]).alias("__demand")
                     )
+                    # the driver-BFS demand frame carries its exact row
+                    # count — re-tag the selected frame or the broadcast
+                    # decision below pays a stats/count probe (ADVICE r09)
+                    dem._bdlog_known_rows = getattr(
+                        demand, "_bdlog_known_rows", None
+                    )
                     if self.config.broadcast_static_side and (
                         self._estimated_bytes(
                             dem, self.config.broadcast_max_bytes
@@ -2005,7 +2041,10 @@ class BigDatalogContext:
                         exit_df[exit_df.columns[pos]] == dem["__demand"],
                         "left_semi",
                     )
-                if exit_restrict:
+                # gate on THIS pred having a restriction: an unrestricted
+                # pred in the same clique keeps its pandas driver-exit
+                # shortcut (ADVICE r09; callers are single-pred today)
+                if (exit_restrict or {}).get(pred):
                     exit_df._bdlog_no_driver_exit = True
                 exit_dfs[pred] = exit_df
             else:
@@ -2247,6 +2286,10 @@ class BigDatalogContext:
                     dem = demand.select(
                         F.col(demand.columns[0]).alias("__demand")
                     )
+                    # exact-count tag survives the select (ADVICE r09)
+                    dem._bdlog_known_rows = getattr(
+                        demand, "_bdlog_known_rows", None
+                    )
                     if self.config.broadcast_static_side and (
                         self._estimated_bytes(
                             dem, self.config.broadcast_max_bytes
@@ -2259,7 +2302,9 @@ class BigDatalogContext:
                         exit_df[exit_df.columns[pos]] == dem["__demand"],
                         "left_semi",
                     )
-                if exit_restrict:
+                # per-pred gate: unrestricted preds keep the driver-exit
+                # shortcut (ADVICE r09)
+                if (exit_restrict or {}).get(pred):
                     exit_df._bdlog_no_driver_exit = True
                 exit_dfs[pred] = exit_df
             else:
@@ -2478,6 +2523,8 @@ class BigDatalogContext:
             # size-gated broadcast hint without the persist cache — see the
             # seminaive exit_restrict note (goal-specific frame, leak-free)
             dem = demand.select(F.col(demand.columns[0]).alias("__demand"))
+            # exact-count tag survives the select (ADVICE r09)
+            dem._bdlog_known_rows = getattr(demand, "_bdlog_known_rows", None)
             if self.config.broadcast_static_side and (
                 self._estimated_bytes(dem, self.config.broadcast_max_bytes)
                 is not None

@@ -787,7 +787,12 @@ class BigDatalogContext:
                 from .fixpoint import release_checkpoint_blocks
 
                 evicted = self._bound_memo.pop(next(iter(self._bound_memo)))
-                release_checkpoint_blocks([evicted])
+                # magic-path results are ALSO served from _cache under
+                # their guarded name — releasing those here would free
+                # blocks the cache still hands out; only frames the memo
+                # solely owns are released
+                if not any(evicted is v for v in self._cache.values()):
+                    release_checkpoint_blocks([evicted])
             self._bound_memo[key] = df
         return df
 

@@ -262,7 +262,22 @@ def release_checkpoint_blocks(frames) -> None:
     ContextCleaner catches up), and it fails soft across Spark versions."""
     for df in frames:
         try:
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+            plan = df._jdf.queryExecution().analyzed()
+            # walk to the LogicalRDD leaves: loop-internal frames ARE the
+            # checkpointed node, but memoized results wrap them (monotonic:
+            # Project over LogicalRDD; segmented set: Union of segment
+            # LogicalRDDs) and releasing only the root would silently
+            # no-op on exactly the frames the bound-memo eviction frees.
+            # Checkpoint truncation means the leaves are the result's own
+            # blocks, never a shared static's. LocalRelation leaves
+            # (driver-tier results) have no rdd() — the inner except
+            # keeps those a no-op.
+            leaves = plan.collectLeaves()
+            for i in range(leaves.size()):
+                try:
+                    leaves.apply(i).rdd().unpersist(False)
+                except Exception:
+                    pass
         except Exception:
             pass  # best-effort: a failed release only costs memory
 

@@ -517,3 +517,139 @@ def test_partially_bound_goal_pushes_stable_subset(spark, monkeypatch):
     assert calls == [True]
     assert chain_calls == []
     assert seen["seed_filter"] == [(0, 0)]  # only the stable position
+
+
+# ------------------------------------------------- r10: decline-surface pins
+# (the two documented narrowings vs DeALS adorned rewriting,
+# BigDatalogContext.scala:124-138 — see PLANS.md "Bound-aggregate decline
+# surface") + deterministic block release on bound-memo eviction.
+
+
+def _parity_dists(edges, src):
+    """Doubled-graph dijkstra: min cost src->v over paths of length >= 1,
+    per path-length parity (1 = odd, 0 = even)."""
+    import heapq
+
+    dist = {}
+    h = []
+    for a, b, w in edges:
+        if a == src and w < dist.get((b, 1), 1 << 60):
+            dist[(b, 1)] = w
+            heapq.heappush(h, (w, b, 1))
+    while h:
+        d, u, p = heapq.heappop(h)
+        if d > dist.get((u, p), 1 << 60):
+            continue
+        for a, b, w in edges:
+            if a == u and d + w < dist.get((b, 1 - p), 1 << 60):
+                dist[(b, 1 - p)] = d + w
+                heapq.heappush(h, (d + w, b, 1 - p))
+    return dist
+
+
+MUTUAL_AGG_PROG = (
+    "database({arc(S:integer, D:integer, W:integer)})."
+    "pa(X, Y, mmin<D>) <- arc(X, Y, D)."
+    "pa(X, Y, mmin<D>) <- pb(X, Z, D1), arc(Z, Y, W), D = D1 + W."
+    "pb(X, Y, mmin<D>) <- pa(X, Z, D1), arc(Z, Y, W), D = D1 + W."
+)
+
+
+def test_bound_multi_pred_aggregate_clique_declines(spark, monkeypatch):
+    """Narrowing #1 pin (context._bound_aggregate_df: len(clique.preds)
+    != 1): a bound goal on a MUTUAL aggregate clique (pa/pb = odd/even
+    path-parity shortest distances) declines every demand tier and is
+    answered by the full mixed fixpoint + goal filter — correct, unpruned.
+    Values checked against a driver-side doubled-graph dijkstra."""
+    calls = _agg_spy(monkeypatch)
+    chain_calls = _chain_mono_spy(monkeypatch)
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(MUTUAL_AGG_PROG)
+    ctx.register_data("arc", [f"{s},{d},{w}" for s, d, w in EDGES])
+    got = sorted(tuple(r) for r in ctx.query("pa(0, Y, D).").collect())
+    want = sorted(
+        (0, v, d) for (v, p), d in _parity_dists(EDGES, 0).items() if p == 1
+    )
+    assert got == want and got
+    assert calls == [False]  # multi-pred: the aggregate tier declined
+    assert chain_calls == []  # ...before ever reaching the chain tier
+
+
+THREE_KEY_PROG = (
+    "database({arc(S:integer, D:integer, L:integer, W:integer)})."
+    "t3(X, Y, L, mmin<D>) <- arc(X, Y, L, D)."
+    "t3(X, Y, L, mmin<D>) <- t3(X, Z, L, D1), arc(Z, Y, _, W), D = D1 + W."
+)
+THREE_KEY_ARCS = ["0,1,10,2", "1,2,20,3", "0,2,30,9", "2,3,40,1"]
+
+
+def test_bound_three_key_monotonic_chain_declines(spark, monkeypatch):
+    """Narrowing #2 pin (context._bound_monotonic_chain_df:
+    len(key_idx) != 2): t3(X,Y,L,mmin<D>) = min cost X->Y over paths whose
+    FIRST edge has label L is a 3-group-key monotonic head; binding the
+    non-stable Y reaches the chain tier, which declines (no 2-key chain),
+    and the full fixpoint + filter answers exactly."""
+    calls = _agg_spy(monkeypatch)
+    chain_calls = _chain_mono_spy(monkeypatch)
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(THREE_KEY_PROG)
+    ctx.register_data("arc", THREE_KEY_ARCS)
+    got = sorted(tuple(r) for r in ctx.query("t3(X, 2, L, D).").collect())
+    # first-edge-labeled shortest paths into 2: 0-(10)->1->2 = 5,
+    # 0-(30)->2 = 9, 1-(20)->2 = 3
+    assert got == [(0, 2, 10, 5), (0, 2, 30, 9), (1, 2, 20, 3)]
+    assert calls == [False]
+    assert chain_calls == [False]  # reached, declined on the 3-key head
+
+
+def test_bound_memo_eviction_releases_blocks(spark):
+    """The FIFO memo cap must bound STORAGE, not just the dict: evicting
+    an entry releases its checkpoint blocks deterministically (leaf-walk —
+    memoized frames wrap their checkpointed RDDs in Project/Union nodes),
+    even while the caller still holds the returned DataFrame."""
+    ctx = _apsp_ctx(spark, EDGES, EngineConfig(decomposable_local=False))
+    held = ctx.query("apsp(0, Y, D).")
+    held.count()
+    memo_df = next(iter(ctx._bound_memo.values()))
+    plan = memo_df._jdf.queryExecution().analyzed()
+    leaves = plan.collectLeaves()
+    rdd_ids = set()
+    for i in range(leaves.size()):
+        try:
+            rdd_ids.add(leaves.apply(i).rdd().id())
+        except Exception:
+            pass
+    assert rdd_ids, "distributed bound result should be checkpoint-backed"
+    jsc = spark.sparkContext._jsc
+    assert rdd_ids & set(jsc.getPersistentRDDs().keys())
+    # fill the memo to the 64-entry cap with sentinels, then trigger one
+    # real insert -> the apsp frame (FIFO head) is evicted and released
+    for i in range(63):
+        ctx._bound_memo[("__sentinel", i)] = object()
+    ctx.query("apsp(4, Y, D).").count()
+    assert ("apsp", ((0, 0),)) not in ctx._bound_memo
+    assert not (rdd_ids & set(jsc.getPersistentRDDs().keys()))
+
+
+def test_bound_memo_storage_bounded_over_many_goals(spark):
+    """VERDICT r09 #5 'done' pin: a stream of 80 distinct bound goals on
+    one long-lived context (all result frames HELD, so GC cannot reclaim
+    anything) keeps the persisted-RDD count flat once the 64-entry memo
+    cap is reached — storage is bounded by the cap, not by goal count."""
+    ctx = BigDatalogContext(spark)
+    ctx.load_program(
+        "database({arc(S:integer, D:integer)})."
+        "btc(A,B) <- arc(A,B)."
+        "btc(A,B) <- btc(A,C), arc(C,B)."
+    )
+    ctx.register_data("arc", [f"{i},{100 + i}" for i in range(80)])
+    jsc = spark.sparkContext._jsc
+    held, at_cap = [], None
+    for i in range(80):
+        held.append(ctx.query(f"btc({i},B)."))
+        held[-1].count()
+        if i == 63:
+            at_cap = len(jsc.getPersistentRDDs())
+    after = len(jsc.getPersistentRDDs())
+    assert len(ctx._bound_memo) == 64
+    assert after - at_cap <= 1, (at_cap, after)

@@ -96,8 +96,14 @@ def main() -> None:
     )
     _release_blocks()
 
+    # FIXED alphabetical order, decoupled from the __spark_entry__ dict
+    # order (which rotates per-round for the driver's first-50 correctness
+    # window). Residual per-position JIT/warmup cost must not migrate
+    # between queries when the rotation changes — it manufactured a
+    # phantom ~2x "mover" every round the order moved (r7: q17; r8:
+    # q_running_avg; r9: q_cc_fast).
     timings: dict[str, float] = {}
-    for name, fn in entry.queries().items():
+    for name, fn in sorted(entry.queries().items()):
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
@@ -106,13 +112,35 @@ def main() -> None:
             _release_blocks()
         timings[name] = round(statistics.median(samples), 3)
 
-    print(json.dumps({
+    detail = {
         "metric": "total_wall_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "runs": runs,
         "sf": _sf_from_dir(sf_dir),
+    }
+    # Per-query detail goes to a results FILE; stdout gets ONE SHORT
+    # summary line. At 121 queries the full "queries" dict exceeds the
+    # round driver's stdout-tail capture, which truncated the final line
+    # and left BENCH_r09.json unparseable ("parsed": null).
+    results_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_results"
+    )
+    os.makedirs(results_dir, exist_ok=True)
+    detail_path = os.path.join(
+        results_dir, f"bench_sf{detail['sf']}_{int(time.time())}.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(json.dumps({
+        "metric": "total_wall_sec",
+        "value": detail["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "runs": runs,
+        "sf": detail["sf"],
+        "detail": "bench_results/" + os.path.basename(detail_path),
     }))
 
 

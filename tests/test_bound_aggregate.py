@@ -653,3 +653,22 @@ def test_bound_memo_storage_bounded_over_many_goals(spark):
     after = len(jsc.getPersistentRDDs())
     assert len(ctx._bound_memo) == 64
     assert after - at_cap <= 1, (at_cap, after)
+
+
+def test_demand_known_rows_tag_reaches_broadcast_decision(spark, monkeypatch):
+    """ADVICE r09 pin: the driver-BFS demand frame's exact-count tag must
+    survive the __demand select, so the exit_restrict broadcast decision
+    takes the known-rows fast path instead of paying a stats/count probe."""
+    seen = []
+    orig = C.BigDatalogContext._estimated_bytes
+
+    def spy(self, df, limit):
+        if df.columns == ["__demand"]:
+            seen.append(getattr(df, "_bdlog_known_rows", None))
+        return orig(self, df, limit)
+
+    monkeypatch.setattr(C.BigDatalogContext, "_estimated_bytes", spy)
+    ctx = _apsp_ctx(spark, CHAIN_EDGES)
+    ctx.query("apsp(X, 3, D).").collect()
+    # the demand set is {0,1,2,3,4} (reverse reach of 3) -> tag = 5
+    assert seen and seen[0] == 5

@@ -133,7 +133,7 @@ class EngineConfig:
     # the distributed loop's scan throughput wins. Larger seeds go
     # distributed automatically — the probe is bounded (limit k+1).
     # FANOUT GUARD: the gate above bounds SEED rows only, not the closure —
-    # a ≤64Ki seed over a high-fanout static graph can still derive a
+    # a gate-sized seed over a high-fanout static graph can still derive a
     # closure far larger than the seed, and that closure lives in task
     # memory. The in-task loops therefore track their accumulated rows and
     # BAIL OUT past max(growth_factor · seed_rows, growth_floor); the
@@ -141,7 +141,12 @@ class EngineConfig:
     # eagerly) and reruns the clique on the spill-capable distributed
     # fixpoint. The floor keeps legitimate small-seed/large-closure
     # programs (1-row reach seed, |V|-row closure) off the bailout path.
-    local_seed_max_rows: int = 65536
+    # Default raised 64Ki -> 128Ki in r10: the reference's tree11 CC
+    # (71,390-row contribution seed) declined by a 9% margin and paid the
+    # distributed loop at 3x the local tier's cost (15.4 s vs 5.1 s
+    # measured); 128Ki sits at the measured ~10^5 local/distributed
+    # crossover. The fetch is additionally byte-capped (_seed_gate).
+    local_seed_max_rows: int = 1 << 17
     local_growth_factor: int = 64
     local_growth_floor: int = 1 << 22
     # DRIVER TIER: a local fixpoint whose task count would be exactly one
@@ -1608,6 +1613,24 @@ class BigDatalogContext:
         "float": 4, "double": 8, "date": 4,
     }
 
+    def _seed_gate(self, *schemas) -> int:
+        """Effective row gate for local-tier seed fetches: the configured
+        row knob capped by the broadcast byte budget over the widest
+        fetched row (the chain-gate pattern, ADVICE r08) — wide string
+        columns cannot make the bounded seed fetch unbounded in bytes."""
+        width = max(
+            8
+            + sum(
+                self._TYPE_BYTES.get(f.dataType.simpleString(), 24)
+                for f in s.fields
+            )
+            for s in schemas
+        )
+        return min(
+            self.config.local_seed_max_rows,
+            self.config.broadcast_max_bytes // width,
+        )
+
     def _estimated_bytes(self, df: DataFrame, limit: int) -> int | None:
         """Catalyst size estimate when it fits the budget; otherwise a
         BOUNDED row probe: limit(k+1).count() where k is the row budget, so
@@ -1771,7 +1794,7 @@ class BigDatalogContext:
             return None if mat is None else {pred: mat}
 
         # seed-broadcast mode: bounded-probe the total seed size first
-        max_rows = self.config.local_seed_max_rows
+        max_rows = self._seed_gate(*(df.schema for df in exit_dfs.values()))
         probes = step(exit_dfs, exit_dfs)
         seeds: dict[str, tuple] = {}
         total = 0
@@ -1910,7 +1933,7 @@ class BigDatalogContext:
         # seed-broadcast: the seed is the PRE-AGGREGATE contribution stream.
         # One bounded fetch gates AND collects (a full pdf trips the gate,
         # so a surviving pdf is the complete seed — no separate count job)
-        max_rows = self.config.local_seed_max_rows
+        max_rows = self._seed_gate(seed.schema)
         # pandas exit evaluation first (see _driver_exit_pdf): the
         # monotonic contribution stream keeps duplicates (no distinct in
         # this path's Spark pipeline either)
@@ -2137,7 +2160,7 @@ class BigDatalogContext:
         statics = self._local_statics(self._clique_static_preds(clique))
         if statics is None:
             return None
-        max_rows = self.config.local_seed_max_rows
+        max_rows = self._seed_gate(*(df.schema for df in exit_dfs.values()))
         probes = step(exit_dfs, exit_dfs)
         seeds_pd: dict = {}
         schemas: dict = {}

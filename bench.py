@@ -120,10 +120,14 @@ def main() -> None:
         "runs": runs,
         "sf": _sf_from_dir(sf_dir),
     }
-    # Per-query detail goes to a results FILE; stdout gets ONE SHORT
-    # summary line. At 121 queries the full "queries" dict exceeds the
-    # round driver's stdout-tail capture, which truncated the final line
-    # and left BENCH_r09.json unparseable ("parsed": null).
+    # Stdout carries BOTH bench lines: first the full contract line
+    # (with the per-query "queries" dict), then ONE SHORT summary as the
+    # FINAL line. At 121 queries the full dict alone exceeds the round
+    # driver's stdout-tail capture, which truncated the last line and
+    # left BENCH_r09.json unparseable ("parsed": null) — a parser that
+    # reads the last stdout line now gets a complete JSON object, and
+    # the full contract line + detail file keep every per-query number.
+    print(json.dumps(detail))
     results_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "bench_results"
     )

@@ -85,6 +85,21 @@ class FixpointConfig:
     # this row count, shuffled null-safe anti beyond it (adversarial
     # all-null inputs degrade instead of OOMing the driver/executors)
     null_broadcast_max_rows: int = 1 << 20
+    # Size the segmented loop's exchange width to the DATA instead of the
+    # session's shuffle-partition count (guide §2.2: fewer, larger
+    # partitions). AQE is OFF inside the loop (see _aqe_off) so nothing
+    # else coalesces it, and every per-iteration stage otherwise schedules
+    # session-width tasks each writing a shuffle/checkpoint file — pure
+    # fixed cost when deltas are far below one task's working size, both
+    # in local mode and on a cluster running a small demand-restricted
+    # slice. Width = clamp(ceil(seed_bytes / loop_partition_seed_bytes),
+    # small_partitions, session shuffle partitions): production seeds hit
+    # the session cap, so cluster behavior at scale is unchanged. The
+    # 8 MB seed-byte target leaves ~8-32x growth headroom inside the
+    # usual 64-256 MB/task band for closures that outgrow their seed;
+    # seeds with unknown stats (RDD-backed registers) keep the cap.
+    adaptive_loop_partitions: bool = True
+    loop_partition_seed_bytes: int = 8 << 20
 
 
 class _GenerationCache:
@@ -337,14 +352,21 @@ class _aqe_off:
         "spark.sql.requireAllClusterKeysForCoPartition": "false",
     }
 
-    def __init__(self, spark):
+    def __init__(self, spark, shuffle_partitions: int | None = None):
         self.spark = spark
+        self._confs = dict(self._CONFS)
+        if shuffle_partitions is not None:
+            # loop-scoped data-sized exchange width (see FixpointConfig
+            # .adaptive_loop_partitions); restored with the AQE flags
+            self._confs["spark.sql.shuffle.partitions"] = str(
+                shuffle_partitions
+            )
 
     def __enter__(self):
         self.saved = {
-            k: self.spark.conf.get(k) for k in self._CONFS
+            k: self.spark.conf.get(k) for k in self._confs
         }
-        for k, v in self._CONFS.items():
+        for k, v in self._confs.items():
             self.spark.conf.set(k, v)
         return self
 
@@ -352,6 +374,44 @@ class _aqe_off:
         for k, v in self.saved.items():
             self.spark.conf.set(k, v)
         return False
+
+
+def _loop_partitions(spark, exit_dfs: dict, cfg: FixpointConfig) -> int | None:
+    """Exchange width for one segmented fixpoint, sized from the seeds'
+    Catalyst byte estimates (driver-side plan stats only — no job).
+
+    Returns None (= keep the session width) when adaptation is off, when
+    any seed's stats are unknown/garbage (RDD-backed relations report
+    Long.MaxValue), or when the computed width reaches the session cap
+    anyway. Production-scale seeds land on the cap, so this only narrows
+    loops whose data is far below one task's working size — where
+    session-width stages are pure per-iteration fixed cost (task launch +
+    one shuffle/checkpoint file per task per stage)."""
+    if not cfg.adaptive_loop_partitions:
+        return None
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    total = 0
+    for df in exit_dfs.values():
+        if getattr(df, "_bdlog_empty_exit", False):
+            continue
+        known = getattr(df, "_bdlog_known_rows", None)
+        try:
+            b = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            return None
+        if b < 0 or b > (1 << 50):
+            if known is None:
+                return None
+            # driver-built demand frames: exact row count, no plan stats
+            b = known * 64
+        total += b
+    n = max(
+        cfg.small_partitions,
+        -(-total // max(1, cfg.loop_partition_seed_bytes)),
+    )
+    return int(n) if n < cap else None
 
 
 class _SegmentedSet:
@@ -845,7 +905,8 @@ def _fixpoint_seminaive_segmented(
     spark = next(iter(exit_dfs.values())).sparkSession
     if probe is None:
         probe = step(exit_dfs, exit_dfs)
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_loop = _loop_partitions(spark, exit_dfs, cfg)
+    n_shuffle = n_loop or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # widen BEFORE the pivot probe: an un-widened seed (e.g. the
     # IntegerType placeholder of an exit-less mutual predicate) makes the
     # candidate chain cast the pivot column, and a cast breaks Catalyst's
@@ -863,7 +924,7 @@ def _fixpoint_seminaive_segmented(
     # physical plan before the loop; preds whose chain breaks (multi-
     # variant unions, exchanged joins) keep the all-columns store.
     piv: dict[str, list] = {}
-    with _aqe_off(spark):
+    with _aqe_off(spark, n_loop):
         pcs = {
             p: pc
             for p, pc in (pivot_cols or {}).items()
@@ -900,7 +961,7 @@ def _fixpoint_seminaive_segmented(
     sets: dict[str, _SegmentedSet] = {}
     delta_dfs: dict[str, DataFrame] = {}
     live = set()
-    with _aqe_off(spark):
+    with _aqe_off(spark, n_loop):
         for pred, df in exit_dfs.items():
             pc = piv.get(pred)
             sset = _SegmentedSet(df, cfg, part_cols=pc)

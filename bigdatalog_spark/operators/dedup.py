@@ -338,7 +338,13 @@ def simhash_pairs(
     the DuckDB oracle computes when hash_fn='portable_md5')."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    s = simhash(df, text_col, id_col, hash_fn=hash_fn)
+    # materialize the fingerprint table once (num_docs × 16-byte rows —
+    # the small end of the pipeline): the block self-join reads it from
+    # BOTH sides, and the broadcast build side is a different exchange
+    # than the probe side, so Catalyst gets no ReusedExchange and the
+    # whole tokenize+hash+64-bit-vote aggregation would run twice (same
+    # persist discipline as ngram_jaccard_pairs / minhash_lsh_pairs)
+    s = simhash(df, text_col, id_col, hash_fn=hash_fn).persist()
     blocks = []
     for b in range(nblocks):
         shift = b * width

@@ -53,6 +53,7 @@ from .local_eval import (
     driver_seminaive,
     local_monotonic_fixpoint,
     local_seminaive_fixpoint,
+    schema_pd_dtypes,
     seed_broadcast_mixed,
     seed_broadcast_monotonic,
     seed_broadcast_seminaive,
@@ -2226,9 +2227,9 @@ class BigDatalogContext:
 
         def build(pred: str) -> DataFrame:
             out_schema = self._mixed_out_schema(schemas[pred], agg_specs.get(pred))
-            out_dtypes = dict(
-                self.spark.createDataFrame([], out_schema).toPandas().dtypes
-            )
+            # job-free memoized probe: the RDD-backed empty-frame toPandas
+            # this replaces scheduled defaultParallelism empty tasks
+            out_dtypes = schema_pd_dtypes(self.spark, out_schema)
             return seed_broadcast_mixed(
                 self.spark,
                 seeds_pd,

@@ -585,6 +585,27 @@ def _run_monotonic_pd(
 
 
 # ------------------------------------------------------------ driver API
+# pandas dtypes per Spark schema (memoized on schema JSON — a pure
+# function of the schema). The probe goes through toPandas itself so the
+# mapping can never drift from what a real collect produces, but on a
+# limit(0) frame: OptimizeLimitZero folds it to a LocalRelation, so the
+# probe is job-free — the RDD-backed createDataFrame([], schema)
+# .toPandas() it replaces scheduled defaultParallelism EMPTY tasks per
+# call (measured 0.34 s per probe at local[32]).
+_SCHEMA_DTYPES_MEMO: dict[str, dict] = {}
+
+
+def schema_pd_dtypes(spark: SparkSession, schema) -> dict:
+    key = schema.json()
+    hit = _SCHEMA_DTYPES_MEMO.get(key)
+    if hit is None:
+        hit = dict(
+            spark.createDataFrame([], schema).limit(0).toPandas().dtypes
+        )
+        _SCHEMA_DTYPES_MEMO[key] = hit
+    return dict(hit)
+
+
 def _static_pd(df, pd_cache=None):
     """toPandas a static relation, memoized per DataFrame object when the
     caller supplies a cache (the context's program-lifetime dict, cleared
@@ -771,9 +792,7 @@ def driver_mixed(
     out = {}
     for p in seeds_pd:
         out_schema = out_schemas[p]
-        out_dtypes = dict(
-            spark.createDataFrame([], out_schema).toPandas().dtypes
-        )
+        out_dtypes = schema_pd_dtypes(spark, out_schema)
         pdf = _cast_like_pd(result[p], out_dtypes)
         out[p] = _driver_result_df(spark, pdf, out_schema, pd_cache)
     return out

@@ -142,6 +142,12 @@ def ngram_jaccard_pairs(
     # pipeline runs twice
     sh = word_shingle_hashes(df, text_col, id_col, n)
     if max_doc_freq is not None:
+        # materialize the raw shingle stream first: the doc-frequency
+        # aggregate partial-aggregates BELOW its exchange while the join's
+        # probe side exchanges raw (id, shingle) rows, so Catalyst sees two
+        # different exchanges and the interpreted-HOF shingling pipeline —
+        # the expensive end — would run once per branch
+        sh = sh.persist()
         # doc-frequency per shingle is a map-side-combinable count on the
         # same key the self-join shuffles on; the filter drops skewed keys
         # BEFORE they fan out. Sizes are computed from the filtered set so

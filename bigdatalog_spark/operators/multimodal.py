@@ -109,8 +109,28 @@ def extract_features(
     import pandas as pd
 
     sized = media.withColumn("__bytes", F.coalesce(F.length("payload"), F.lit(0)))
-    total = sized.agg(F.sum("__bytes")).first()[0] or 0
+    # partition-count sizing is a heuristic, so prefer the driver-side
+    # Catalyst byte estimate (no job) over an exact sum that re-reads
+    # every payload byte just to pick a task count (measured: the sizing
+    # scan alone was ~25% of q_wav_features); the exact aggregate stays
+    # as the fallback for plans with unusable stats (RDD-backed inputs
+    # report Long.MaxValue)
+    total = None
+    try:
+        b = int(media._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        if 0 < b < (1 << 50):
+            total = b
+    except Exception:
+        pass
+    if total is None:
+        total = sized.agg(F.sum("__bytes")).first()[0] or 0
     nparts = max(1, int(total // target_partition_bytes) + 1)
+    # decode is CPU-bound per byte: never run below the cluster's core
+    # count when the byte budget would give fewer tasks (at scale the
+    # byte-derived count exceeds it, so this floor is local-only — the
+    # same reasoning as session.ensure_min_parallelism). The repartition
+    # hashes media_id either way, so the result set is unchanged.
+    nparts = max(nparts, media.sparkSession.sparkContext.defaultParallelism)
     # salt by media_id for uniform byte distribution
     repartitioned = sized.repartition(nparts, "media_id")
 

@@ -197,8 +197,13 @@ def dedup_chunks(
         ).alias("text_clean"),
         F.count(F.lit(1)).cast("long").alias("__n_kept"),
     )
-    totals = base.select(
-        id_col, F.size("__chunks").cast("long").alias("n_chunks")
+    # chunk COUNT only — computed directly from the raw text (split +
+    # size + ceil, the same nchunks expression the assembly uses), not
+    # from the assembled __chunks array: size(__chunks) == nchunks by
+    # construction, and deriving it from base would run the interpreted
+    # chunk-assembly HOF a third time just to count its output
+    totals = df.select(
+        F.col(id_col), nchunks.cast("long").alias("n_chunks")
     )
     return (
         totals.join(reassembled, on=id_col, how="left")

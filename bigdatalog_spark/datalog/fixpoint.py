@@ -480,11 +480,19 @@ class _SegmentedSet:
         if nulls and track_nulls:
             self.null_mode = True
             self._null_rows += nulls
-            # lazy checkpoint: materializes when the next iteration's anti
-            # reads it (the sealed source's blocks are still live then)
+            # persist(), NOT localCheckpoint: `sealed` is already a
+            # checkpoint-backed LogicalRDD, so this filter plans in one
+            # node and persist() registers it lazily — the old
+            # localCheckpoint paid a full plan-to-RDD pass (~75 ms
+            # driver-side) per null-bearing iteration (measured: ~1 s of
+            # dl_tc_null_labels). The store still materializes to its own
+            # O(null rows) blocks at the next anti()'s broadcast build, so
+            # S is never re-filtered per iteration at scale. Freed by
+            # explicit unpersist in _compact/release_all_retired (a
+            # leaf-walk would free the LIVE parent segment's blocks).
             self._null_segs.append(
-                sealed.where(_has_null_expr(self.cols)).localCheckpoint(
-                    eager=False
+                sealed.where(_has_null_expr(self.cols)).persist(
+                    self.cfg.storage_level
                 )
             )
         return sealed, n
@@ -553,10 +561,18 @@ class _SegmentedSet:
         self.segments = [sealed]
         self._last_is_delta = False
         if self._null_segs:
-            self._retired.extend(self._null_segs)
+            # persisted views over retiring segments: free their cache
+            # entries directly (leaf-walking them would free the retired
+            # segments' blocks early — those stay readable one more
+            # iteration via the free queue)
+            for ns in self._null_segs:
+                try:
+                    ns.unpersist()
+                except Exception:
+                    pass
             self._null_segs = [
-                sealed.where(_has_null_expr(self.cols)).localCheckpoint(
-                    eager=False
+                sealed.where(_has_null_expr(self.cols)).persist(
+                    self.cfg.storage_level
                 )
             ]
         # alt layouts: retire the per-iteration copies and re-derive one
@@ -633,9 +649,16 @@ class _SegmentedSet:
         segments, so every retired frame — and every alternate-layout
         copy — can be freed."""
         alt = [s for lst in self._alt.values() for s in lst]
-        self._unpersist_all(
-            self._free_queue + self._retired + alt + self._null_segs
-        )
+        # _null_segs are persisted FILTERS over the LIVE primary segments:
+        # unpersist their cache entries directly — leaf-walking them would
+        # free the very checkpoint blocks the returned fixpoint result
+        # reads.
+        for ns in self._null_segs:
+            try:
+                ns.unpersist()
+            except Exception:
+                pass
+        self._unpersist_all(self._free_queue + self._retired + alt)
         self._free_queue = []
         self._retired = []
         self._alt = {}

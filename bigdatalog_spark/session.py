@@ -46,6 +46,16 @@ def build_session(
         # driver testdata writes events.ts as TIMESTAMP(NANOS); read as long
         # and convert in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # PySpark 4's DataFrame debugging decorates EVERY Column/DataFrame
+        # op with a Python-traceback capture plus THREE extra py4j round
+        # trips (conf read + PySparkCurrentOrigin set/clear) purely to
+        # enrich error messages with the Python call site. A driver loop
+        # that builds plans per iteration (the Datalog fixpoints: ~800
+        # wrapped ops per query) pays ~2 s/query for it; measured medians
+        # with it off: dl_tc_null_labels 9.6 -> 6.6 s, dl_mlm_net_profit
+        # 2.7 -> 2.4 s, flat elsewhere. Errors still carry the full JVM
+        # context — only the Python-side call-site annotation is dropped.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     if rocksdb_state_store:
         builder = builder.config(

@@ -18,6 +18,7 @@ weights w = 1 + dst % 3; "forest" drops edges whose dst % 97 == 0.
 from __future__ import annotations
 
 import contextlib
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -86,7 +87,49 @@ def _stream_events(spark: SparkSession, sf_dir: str, schema):
     )
 
 
+def _parquet_col_max(sf_dir: str, table: str, col: str):
+    """max(col) from the parquet ROW-GROUP STATISTICS of the input files —
+    a driver-side footer read, no Spark job. The value is exactly the
+    aggregate the files' writer recorded for the query's own input; every
+    caller keeps a Spark-aggregate fallback for stats-free files. Worth
+    having because _tree_edges (the derived graph behind ~30 dl_* rows)
+    needs max(p_partkey) per query, which otherwise costs a scan job
+    before the fixpoint even starts."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    files = (
+        sorted(_glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src) else [src]
+    )
+    mx = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(
+            i for i in range(md.num_columns)
+            if md.schema.column(i).name == col
+        )
+        for rg in range(md.num_row_groups):
+            grp = md.row_group(rg)
+            if grp.num_rows == 0:
+                continue
+            st = grp.column(idx).statistics
+            if st is None or not st.has_min_max:
+                raise ValueError(f"{table}.{col}: row-group stats missing")
+            if mx is None or st.max > mx:
+                mx = st.max
+    return mx
+
+
 def _part_max(spark: SparkSession, sf_dir: str) -> int:
+    try:
+        mx = _parquet_col_max(sf_dir, "part", "p_partkey")
+        if mx is not None:
+            return mx
+    except Exception:
+        pass
     return load_table(spark, sf_dir, "part").agg(F.max("p_partkey")).first()[0]
 
 
@@ -580,26 +623,85 @@ def q_stream_sessionize_append(spark, sf_dir):
         for i, f in enumerate(files):
             os.symlink(f, os.path.join(in_dir, f"data_{i:05d}.parquet"))
 
-        max_ts = events.agg(F.max("ts")).first()[0]
+        # Sentinel staging is DRIVER metadata work, not a query: max(ts)
+        # comes from the parquet row-group statistics of the staged files
+        # (a pure footer read — the files are already the query's input)
+        # and the one-row sentinel file is written with pyarrow using the
+        # first data file's physical schema, so it matches the stream's
+        # layout byte-for-byte. This removes three Spark jobs per run
+        # (full-scan max aggregate, limit(1) collect, single-row write +
+        # commit protocol). Any surprise (missing stats, exotic ts type)
+        # falls back to the original Spark path.
+        sentinel_path = os.path.join(in_dir, "zz_sentinel.parquet")
+        max_ts = None
+        staged = False
+        try:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            first_schema = pq.ParquetFile(files[0]).schema_arrow
+            if not pa.types.is_timestamp(first_schema.field("ts").type):
+                raise ValueError("non-timestamp ts layout")
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                ts_idx = next(
+                    i for i in range(md.num_columns)
+                    if md.schema.column(i).name == "ts"
+                )
+                for rg in range(md.num_row_groups):
+                    grp = md.row_group(rg)
+                    if grp.num_rows == 0:
+                        continue
+                    st = grp.column(ts_idx).statistics
+                    if st is None or not st.has_min_max:
+                        raise ValueError("ts stats missing")
+                    if max_ts is None or st.max > max_ts:
+                        max_ts = st.max
+            if max_ts is not None:
+                sentinel_ts = max_ts + datetime.timedelta(days=365)
+                cols = {}
+                for name in first_schema.names:
+                    t = first_schema.field(name).type
+                    if name == "ts":
+                        cols[name] = pa.array([sentinel_ts], type=t)
+                    elif name == "user_id":
+                        cols[name] = pa.array([-1], type=t)
+                    elif pa.types.is_integer(t):
+                        cols[name] = pa.array([0], type=t)
+                    elif pa.types.is_floating(t):
+                        cols[name] = pa.array([0.0], type=t)
+                    elif pa.types.is_string(t) or pa.types.is_large_string(t):
+                        cols[name] = pa.array(["sentinel"], type=t)
+                    else:
+                        raise ValueError(f"unhandled sentinel type {t}")
+                pq.write_table(
+                    pa.table(cols).cast(first_schema), sentinel_path
+                )
+            staged = True
+        except Exception:
+            max_ts = None
+            staged = False
+        if not staged:
+            max_ts = events.agg(F.max("ts")).first()[0]
         if max_ts is None:  # empty corpus: no sessions, no stream to drain
             return spark.createDataFrame(
                 [], "user_id bigint, n_sessions bigint, n_events bigint"
             )
-        sentinel_ts = max_ts + datetime.timedelta(days=365)
-        sentinel = events.limit(1).select(
-            F.col("event_id"),
-            F.lit(sentinel_ts).cast(schema["ts"].dataType).alias("ts"),
-            F.lit(-1).cast(schema["user_id"].dataType).alias("user_id"),
-            F.col("event_type"),
-            F.col("value"),
-            F.col("props"),
-        ).select(*[f.name for f in schema.fields])
-        sentinel.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(d, "sentinel")
-        )
-        (part,) = _glob.glob(os.path.join(d, "sentinel", "*.parquet"))
-        sentinel_path = os.path.join(in_dir, "zz_sentinel.parquet")
-        shutil.copy(part, sentinel_path)
+        if not staged:
+            sentinel_ts = max_ts + datetime.timedelta(days=365)
+            sentinel = events.limit(1).select(
+                F.col("event_id"),
+                F.lit(sentinel_ts).cast(schema["ts"].dataType).alias("ts"),
+                F.lit(-1).cast(schema["user_id"].dataType).alias("user_id"),
+                F.col("event_type"),
+                F.col("value"),
+                F.col("props"),
+            ).select(*[f.name for f in schema.fields])
+            sentinel.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(d, "sentinel")
+            )
+            (part,) = _glob.glob(os.path.join(d, "sentinel", "*.parquet"))
+            shutil.copy(part, sentinel_path)
         # FileStreamSource orders unseen files by mtime: future-date the
         # sentinel explicitly so it sorts strictly after the data files
         # even on coarse-granularity filesystems or a just-generated sf
@@ -1179,8 +1281,7 @@ def dl_triangle_count(spark, sf_dir):
     """Triangle counting with inequality filters + count<_>
     (TriangleQuerySuite program) on tree ∪ sibling ∪ up edges."""
     tree = _tree_edges(spark, sf_dir)
-    mx_df = load_table(spark, sf_dir, "part").agg(F.max("p_partkey"))
-    mx = mx_df.first()[0]
+    mx = _part_max(spark, sf_dir)
     base = load_table(spark, sf_dir, "part").where(
         (F.col("p_partkey") >= 1) & (F.col("p_partkey") * 2 + 1 <= mx)
     ).select(F.col("p_partkey").alias("k"))

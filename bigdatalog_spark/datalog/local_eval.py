@@ -717,6 +717,15 @@ def _driver_result_df(spark: SparkSession, pdf, schema, pd_cache=None):
     never grow the memo unboundedly; evicting one only costs a re-collect
     if that exact frame is consumed as a static again later."""
     df = spark.createDataFrame(pdf, schema=schema)
+    # createDataFrame(pandas) always splits into defaultParallelism Arrow
+    # slices, so a 63-row result becomes 32 two-row partitions and EVERY
+    # downstream stage schedules 32 tasks of pure fixed cost (measured:
+    # the MLM strata pay 3-4 such 32-task stages per query). Coalesce
+    # (narrow, no shuffle) to ~64Ki rows per slice; large results keep
+    # their parallelism (coalesce never raises the partition count).
+    n_slices = max(1, -(-len(pdf) // 65536))
+    if n_slices < spark.sparkContext.defaultParallelism:
+        df = df.coalesce(n_slices)
     df._bdlog_known_rows = len(pdf)
     if pd_cache is not None:
         eph = [k for k, v in pd_cache.items() if len(v) > 2]
@@ -798,6 +807,28 @@ def driver_mixed(
     return out
 
 
+def _seed_sized_partitions(spark: SparkSession, seed: DataFrame) -> int:
+    """Pivot-partition count for one in-task fixpoint, sized from the
+    seed's Catalyst byte estimate (driver-side stats, no job) — the same
+    scale-adaptive discipline as fixpoint._loop_partitions. 32 KiB of
+    seed per task keeps mid-size seeds wide (dl_tc's ~20K-row seed still
+    fans out ~10 ways) while a 63-row seed (the MLM sponsor tree) runs in
+    ONE task instead of 32 tasks of pure fixed cost. Production-scale
+    seeds hit the session cap and are unchanged; unknown stats (RDD-backed
+    frames without a known-rows tag) keep the cap too."""
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        b = int(seed._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return cap
+    if b < 0 or b > (1 << 50):
+        known = getattr(seed, "_bdlog_known_rows", None)
+        if known is None:
+            return cap
+        b = known * 64
+    return max(1, min(cap, -(-b // (32 * 1024))))
+
+
 def local_seminaive_fixpoint(
     spark: SparkSession,
     seed: DataFrame,
@@ -813,7 +844,7 @@ def local_seminaive_fixpoint(
     """One-job decomposable fixpoint: repartition seed on the pivot, run the
     whole PSN loop inside each partition."""
     bc = _collect_statics(spark, statics, track, pd_cache)
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n = num_partitions or _seed_sized_partitions(spark, seed)
     part = seed.repartition(n, *pivot_cols)
     rules = list(rules)
     cset = frozenset(clique_preds)
@@ -867,7 +898,15 @@ def seed_broadcast_seminaive(
     seeds_pd = {p: pdf for p, (pdf, _) in seeds.items()}
     out_schema = seeds[out_pred][1]
     total = sum(len(pdf) for pdf in seeds_pd.values())
-    n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # slice count sized to the (driver-resident, gated-small) seed count:
+    # ~64 seed closures per task amortize the per-task launch + pandas
+    # fixpoint overhead; tiny seed sets stop paying session-width fan-out
+    # (63 seeds ran 32 two-seed tasks of fixed cost). Callers that need a
+    # specific width (non-linear cliques: num_slices=1) are untouched.
+    n = num_slices or max(
+        1,
+        min(int(spark.conf.get("spark.sql.shuffle.partitions")), -(-total // 64)),
+    )
     n = max(1, min(n, total))
     if bc is None:
         bc = broadcast_seed_statics(spark, seeds_pd, statics, track)

@@ -15,6 +15,19 @@ from ..datalog.fixpoint import FixpointConfig, fixpoint_monotonic, fixpoint_semi
 from .joins import hint_static
 
 
+def _lift_local(spark, out, schema):
+    """Parallelize a driver-computed kernel result with size-matched
+    slices: createDataFrame(pandas) always splits into defaultParallelism
+    Arrow chunks, so a ~2K-row label table becomes 32 tiny partitions and
+    every consumer stage pays 32 tasks of fixed cost. Narrow coalesce to
+    ~64Ki rows/slice; big results keep their width."""
+    df = spark.createDataFrame(out, schema=schema)
+    n = max(1, -(-len(out) // 65536))
+    if n < spark.sparkContext.defaultParallelism:
+        df = df.coalesce(n)
+    return df
+
+
 def _edges(df: DataFrame, src: str, dst: str) -> DataFrame:
     return df.select(F.col(src).alias("c0"), F.col(dst).alias("c1"))
 
@@ -172,7 +185,7 @@ def _cc_local(spark, id_type, ed) -> DataFrame:
     out = pd.DataFrame({"vertex": uniques, "component": uniques[roots]}).astype(
         {"vertex": ed["c0"].dtype, "component": ed["c0"].dtype}
     )
-    return spark.createDataFrame(out, schema=schema)
+    return _lift_local(spark, out, schema)
 
 
 def connected_components_fast(
@@ -360,7 +373,7 @@ def _k_core_local(spark, id_type, ed, k: int) -> DataFrame:
     out = pd.DataFrame(
         {"vertex": uniques[keep], "degree": deg[keep].astype("int64")}
     ).astype({"vertex": ed["u"].dtype})
-    return spark.createDataFrame(out, schema=schema)
+    return _lift_local(spark, out, schema)
 
 
 def k_core(
@@ -564,7 +577,7 @@ def _pagerank_local(
         np.add.at(s, di, contrib)
         ranks = teleport + d * s
     out = pd.DataFrame({"node": nodes, "rank": ranks})
-    return spark.createDataFrame(out, schema=schema)
+    return _lift_local(spark, out, schema)
 
 
 def pagerank(

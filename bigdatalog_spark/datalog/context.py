@@ -40,6 +40,8 @@ from .compiler import (
 from .fixpoint import (
     AggSpec,
     FixpointConfig,
+    _has_null_expr,
+    _plan_is_empty,
     _widen_seed,
     fixpoint_mixed,
     fixpoint_monotonic,
@@ -118,6 +120,18 @@ class EngineConfig:
     union_distinct: bool = True
     # static sides estimated above this are persisted, not broadcast
     broadcast_max_bytes: int = 512 << 20
+    # TINY statics (at or below this many bytes by Catalyst estimate,
+    # re-verified with a bounded collect) are collected ONCE into a
+    # JVM-side LocalRelation: a BroadcastExchange over a LocalTableScan
+    # builds on the driver with NO job and NO tasks, where the persisted
+    # form pays one broadcast-rebuild job per static per fixpoint
+    # iteration (broadcast exchanges are not reused across the separate
+    # actions a driver loop issues — measured 2-3 such jobs per iteration
+    # on dl_tc_null_labels). Rows never cross py4j: the collect and the
+    # LocalRelation construction stay in the JVM. At scale statics above
+    # the gate keep the persisted/broadcast or pre-shuffled paths. 0
+    # disables.
+    local_static_max_bytes: int = 8 << 20
     # decomposable (GPS) cliques run the whole fixpoint partition-locally in
     # one mapInPandas job when the statics pass the broadcast byte gate
     # (GeneralizedPivotSetInfo.scala:30-170 planning, local_eval.py execution)
@@ -190,6 +204,14 @@ class BigDatalogContext:
         # as _cache (cleared on load_program/reset).
         self._bound_memo: dict[tuple, DataFrame] = {}
         self._persisted_statics: dict[int, DataFrame] = {}
+        # id(jdf) -> memoized broadcast-size decision for _maybe_broadcast
+        # (raw Catalyst stats, falling back to ONE bounded probe; -1 = too
+        # big / unknown -> no hint)
+        self._static_bcast_bytes: dict[int, int] = {}
+        # id(jdf) -> LocalRelation copy of a tiny static (see
+        # EngineConfig.local_static_max_bytes); False = probed over the
+        # gate, don't re-probe
+        self._collected_statics: dict[int, DataFrame | bool] = {}
         # (static plan id, join-key positions) -> repartitioned + sorted +
         # persisted copy, built once per query and re-probed every fixpoint
         # iteration (reference ShuffleHashJoin.scala:35-88 build-side reuse)
@@ -303,6 +325,8 @@ class BigDatalogContext:
                 pass
         self._broadcasts.clear()
         self._statics_pd.clear()
+        self._static_bcast_bytes.clear()
+        self._collected_statics.clear()  # LocalRelations: driver/JVM memory
         self._analyzed = None
 
     # ------------------------------------------------------------- querying
@@ -1013,6 +1037,8 @@ class BigDatalogContext:
         sub._cache = self._cache
         sub._persisted_statics = self._persisted_statics
         sub._shuffled_statics = self._shuffled_statics
+        sub._static_bcast_bytes = self._static_bcast_bytes
+        sub._collected_statics = self._collected_statics
         sub._broadcasts = self._broadcasts
         sub._statics_pd = self._statics_pd
         sub._analyzed = analyze(sub.program)
@@ -1219,6 +1245,8 @@ class BigDatalogContext:
         sub._cache = self._cache
         sub._persisted_statics = self._persisted_statics
         sub._shuffled_statics = self._shuffled_statics
+        sub._static_bcast_bytes = self._static_bcast_bytes
+        sub._collected_statics = self._collected_statics
         sub._broadcasts = self._broadcasts
         sub._statics_pd = self._statics_pd
         sub._analyzed = analyze(sub.program)
@@ -1463,22 +1491,104 @@ class BigDatalogContext:
         reused across the separate actions a fixpoint loop issues, so an
         unpersisted static side would be re-scanned (parquet decode, derived
         joins and all) and re-broadcast every iteration. The persisted frame
-        makes the per-iteration rebroadcast a cache read."""
+        makes the per-iteration rebroadcast a cache read.
+
+        TINY statics go one step further (local_static_max_bytes): collected
+        once into a JVM-side LocalRelation, whose BroadcastExchange builds
+        driver-locally — the per-iteration rebroadcast then launches NO job
+        at all (a driver loop otherwise pays one broadcast-build job per
+        static per iteration)."""
         key = id(df._jdf)
         if key not in self._persisted_statics:
             self._persisted_statics[key] = df.persist()
         df = self._persisted_statics[key]
         if not self.config.broadcast_static_side:
             return df
-        try:
-            size = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-            )
-        except Exception:
-            size = -1
+        size = self._static_bcast_bytes.get(key)
+        if size is None:
+            try:
+                size = int(
+                    df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+                )
+            except Exception:
+                size = -1
+            if not (0 <= size <= self.config.broadcast_max_bytes):
+                # Pre-materialization garbage stats (RDD-backed registers
+                # report Long.MaxValue): bounded probe once, memoized. The
+                # hint must AGREE with _make_static_shuffle's probe-based
+                # decision — the loop scope turns auto-broadcast off, so an
+                # unhinted broadcastable static would degrade to an
+                # UN-pre-shuffled sort-merge join re-exchanging the
+                # candidate chain every iteration (and breaking the pivot
+                # store's zero-exchange property).
+                est = self._estimated_bytes(df, self.config.broadcast_max_bytes)
+                size = est if est is not None else -1
+            self._static_bcast_bytes[key] = size
         if 0 <= size <= self.config.broadcast_max_bytes:
+            gate = self.config.local_static_max_bytes
+            if gate > 0 and 0 <= size <= gate:
+                local = self._collect_local_static(key, df)
+                if local is not None:
+                    return F.broadcast(local)
             return F.broadcast(df)
         return df
+
+    def _collect_local_static(self, key: int, df: DataFrame):
+        """LocalRelation copy of a tiny static, collected once per context.
+
+        The collect is bounded (limit gate-rows + 1, so a lying Catalyst
+        under-estimate cannot pull an unbounded frame onto the driver) and
+        stays in the JVM end-to-end: collectAsList returns a Java list
+        reference, SparkSession.createDataFrame(List[Row], schema) builds
+        the LocalRelation from it — no rows cross py4j. Returns None (and
+        memoizes the refusal) when the frame is over the gate or anything
+        about the round trip fails."""
+        cached = self._collected_statics.get(key)
+        if cached is not None:
+            return cached or None
+        row_bytes = 8 + sum(
+            self._TYPE_BYTES.get(f.dataType.simpleString(), 24)
+            for f in df.schema.fields
+        )
+        max_rows = max(1, self.config.local_static_max_bytes // row_bytes)
+        try:
+            jrows = df.limit(max_rows + 1)._jdf.collectAsList()
+            if jrows.size() > max_rows:
+                self._collected_statics[key] = False
+                return None
+            local = DataFrame(
+                self.spark._jsparkSession.createDataFrame(
+                    jrows, df._jdf.schema()
+                ),
+                self.spark,
+            )
+            # NULL-FREE statics get a non-nullable schema: join planning
+            # infers isnotnull(key) on the build side, and a Filter over
+            # LocalTableScan forces the broadcast build through
+            # execute().collect() — a real job over a parallelized copy of
+            # the rows, once per iteration. Non-nullable attributes fold
+            # the inferred filter away, the build side stays a bare
+            # LocalTableScan, and executeCollect serves the broadcast from
+            # the driver with NO job. The null probe is job-free too:
+            # ConvertToLocalRelation evaluates the filter at optimize time.
+            if _plan_is_empty(local.where(_has_null_expr(local.columns))):
+                jschema = self.spark._jvm.org.apache.spark.sql.types.DataType.fromJson(
+                    T.StructType(
+                        [
+                            T.StructField(f.name, f.dataType, False)
+                            for f in df.schema.fields
+                        ]
+                    ).json()
+                )
+                local = DataFrame(
+                    self.spark._jsparkSession.createDataFrame(jrows, jschema),
+                    self.spark,
+                )
+        except Exception:
+            self._collected_statics[key] = False
+            return None
+        self._collected_statics[key] = local
+        return local
 
     def _make_static_shuffle(self, static_df, clique_preds):
         """RuleCompiler.static_shuffle hook for one fixpoint's step compiles.

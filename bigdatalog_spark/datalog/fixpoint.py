@@ -350,9 +350,21 @@ class _aqe_off:
     _CONFS = {
         "spark.sql.adaptive.enabled": "false",
         "spark.sql.requireAllClusterKeysForCoPartition": "false",
+        # LocalTableScan under a loop plan holds a handful of driver-side
+        # rows (collected statics, the null store); when a Filter/Project
+        # sits on top, executing it parallelizes those rows into
+        # defaultParallelism partitions — 32 EMPTY tasks per broadcast
+        # build per iteration (measured on dl_tc_distributed). One task is
+        # the right width for data that by construction fits the driver.
+        "spark.sql.leafNodeDefaultParallelism": "1",
     }
 
-    def __init__(self, spark, shuffle_partitions: int | None = None):
+    def __init__(
+        self,
+        spark,
+        shuffle_partitions: int | None = None,
+        auto_broadcast_off: bool = False,
+    ):
         self.spark = spark
         self._confs = dict(self._CONFS)
         if shuffle_partitions is not None:
@@ -361,10 +373,26 @@ class _aqe_off:
             self._confs["spark.sql.shuffle.partitions"] = str(
                 shuffle_partitions
             )
+        if auto_broadcast_off:
+            # Iteration scope only: the per-iteration anti-joins against
+            # stored segments are DESIGNED to merge-scan in place (both
+            # sides hash-partitioned + sorted — zero exchange, zero build
+            # job), but segment stats are small and accurate (checkpoint
+            # carries them), so the planner AUTO-broadcasts each segment
+            # instead — one broadcast-build job PER SEGMENT PER ITERATION
+            # (measured: 1-2 extra jobs/iteration on dl_tc_distributed,
+            # pure fixed cost; at scale the same flip would re-collect a
+            # growing S every iteration). Unhinted in-loop joins therefore
+            # lose auto-broadcast; the deliberate broadcasts (statics via
+            # _maybe_broadcast, the null side store) carry explicit hints,
+            # which a disabled threshold does not affect.
+            self._confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
 
     def __enter__(self):
+        # get(k, None): confs with no session value (leafNodeDefaultParallelism
+        # has no default) must be UNSET on exit, not set back to null
         self.saved = {
-            k: self.spark.conf.get(k) for k in self._confs
+            k: self.spark.conf.get(k, None) for k in self._confs
         }
         for k, v in self._confs.items():
             self.spark.conf.set(k, v)
@@ -372,7 +400,10 @@ class _aqe_off:
 
     def __exit__(self, *exc):
         for k, v in self.saved.items():
-            self.spark.conf.set(k, v)
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
         return False
 
 
@@ -614,14 +645,19 @@ class _SegmentedSet:
             if self._null_rows <= self.cfg.null_broadcast_max_rows:
                 store = F.broadcast(store)
             nul = _anti_null_safe(nul, store, self.cols)
-        # re-key the (tiny) null slice on the store's partitioning before the
-        # union so each slice of the sealed segment keeps rows co-located on
-        # part_cols (the slices are disjoint under null-safe equality, so
-        # per-slice co-location is the set invariant). unionByName, not
-        # positional union: _anti_null_safe re-selects in self.cols order but
-        # nn rides cand's order — by-name is robust to either.
-        nul = nul.repartition(self._n_shuffle(), *self.part_cols)
-        return nn.unionByName(nul)
+        # Re-key the UNION on the store's partitioning: a union reports no
+        # partitioning even when both parents are partitioned, so sealing
+        # it as-is would store an UNPARTITIONED segment and every later
+        # iteration's merge-scan anti would re-exchange that whole segment
+        # in place of reading it (O(|segment|) per iteration, masked at
+        # small scale by auto-broadcast — which the loop scope now turns
+        # off). One O(|Δ|) exchange at seal time is the cheaper side of
+        # that trade everywhere. unionByName, not positional union:
+        # _anti_null_safe re-selects in self.cols order but nn rides
+        # cand's order — by-name is robust to either.
+        return nn.unionByName(nul).repartition(
+            self._n_shuffle(), *self.part_cols
+        )
 
     def view(self) -> DataFrame:
         if not self.segments:
@@ -988,9 +1024,18 @@ def _fixpoint_seminaive_segmented(
         for pred, df in exit_dfs.items():
             pc = piv.get(pred)
             sset = _SegmentedSet(df, cfg, part_cols=pc)
-            seeded = (
-                df.repartition(n_shuffle, *pc).distinct() if pc else df.distinct()
-            )
+            # Explicit repartition for BOTH store layouts: stored segments
+            # must CARRY hashpartitioning(part_cols) or every later
+            # iteration's merge-scan anti re-exchanges the segment in
+            # place of reading it. distinct() usually establishes it, but
+            # a LocalRelation seed (literal exit rules) is folded by
+            # ConvertToLocalRelation — distinct evaluates at optimize time
+            # and the sealed segment reports no partitioning. The explicit
+            # repartition shares its exchange with the distinct (same
+            # keys, same width), so ordinary seeds pay nothing extra.
+            seeded = df.repartition(
+                n_shuffle, *(pc if pc else sset.cols)
+            ).distinct()
             seg, n = sset.seal_and_count(seeded)
             if n:
                 sset.append(seg)
@@ -998,6 +1043,12 @@ def _fixpoint_seminaive_segmented(
             sets[pred] = sset
             delta_dfs[pred] = seg if pc else _narrow_small(seg, n, cfg)
 
+    # iteration scope: additionally drop auto-broadcast so the anti-joins
+    # merge-scan stored segments in place (see _aqe_off). Seeding above
+    # keeps the session threshold — exit rules may contain unhinted joins
+    # of statics where auto-broadcast is the right call, and they execute
+    # exactly once.
+    with _aqe_off(spark, n_loop, auto_broadcast_off=True):
         iteration = 0
         while live:
             iteration += 1

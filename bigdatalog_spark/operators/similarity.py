@@ -69,6 +69,29 @@ def brute_force_topk(
     )
 
 
+def _matrix_literal(rows: list) -> Column:
+    """list-of-lists → ONE array<array<double>> SQL literal (single parse).
+
+    Validates finiteness up front: a NaN/Inf value would render as
+    ``nanD``/``infD``, an invalid SQL literal that fails at PARSE time with
+    an opaque error — raise a clear one instead (a degenerate corpus can
+    feed NaN averages back through kmeans_centroids)."""
+    import math
+
+    for r in rows:
+        for x in r:
+            if not math.isfinite(float(x)):
+                raise ValueError(
+                    f"matrix literal requires finite values, got {x!r}"
+                )
+    return F.expr(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in r) + ")"
+            for r in rows
+        ) + ")"
+    )
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     planes: list,
@@ -80,23 +103,27 @@ def hyperplane_lsh_buckets(
     The plane matrix is ONE array<array<double>> literal (single SQL
     parse) folded with an indexed transform — the per-plane per-dim
     lit() construction cost was O(planes x dim) py4j calls per call site
-    (see ivf_topk's identical change). Bit value 2^i is exact in double
-    for any sane signature width, so the int signature is unchanged."""
-    mat = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in p) + ")"
-            for p in planes
-        ) + ")"
-    )
+    (see ivf_topk's identical change). Bit i is ``pow(2.0, i)`` cast to
+    BIGINT — exact in double for every i <= 62 — where the earlier
+    ``.cast('int')`` silently overflowed at i >= 31 (shiftleft is not an
+    option: its shift amount must be a Python int, and i here is the
+    transform's index column). Signature values for <= 31 planes are
+    unchanged; only the column type widens, and the signature is an
+    internal join key, never a result column."""
+    if len(planes) > 62:
+        raise ValueError(
+            f"hyperplane_lsh_buckets supports at most 62 planes, got {len(planes)}"
+        )
+    mat = _matrix_literal(planes)
     return F.aggregate(
         F.transform(
             mat,
             lambda p, i: F.when(
                 dot_expr(F.col(vec_col), p) >= 0,
-                F.pow(F.lit(2.0), i).cast("int"),
-            ).otherwise(F.lit(0)),
+                F.pow(F.lit(2.0), i).cast("bigint"),
+            ).otherwise(F.lit(0).cast("bigint")),
         ),
-        F.lit(0),
+        F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
 
@@ -163,12 +190,7 @@ def ivf_topk(
     # k=4 x dim literal version cost ~1.1 s of driver gap per run at
     # sf0.1 before the 0.6 s scoring task even started). Same math, same
     # struct field names, verified value-identical.
-    cents = F.expr(
-        "array(" + ",".join(
-            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-            for c in centroids
-        ) + ")"
-    )
+    cents = _matrix_literal(centroids)
 
     def cell_scores(col: Column) -> Column:
         return F.transform(
@@ -251,12 +273,7 @@ def kmeans_centroids(
         # single matrix literal + indexed transform (see ivf_topk): this
         # expression is REBUILT every k-means iteration, so the
         # O(k x dim) per-iteration lit() construction cost compounded
-        cents = F.expr(
-            "array(" + ",".join(
-                "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")"
-                for c in centroids
-            ) + ")"
-        )
+        cents = _matrix_literal(centroids)
         return F.array_min(
             F.transform(
                 cents,

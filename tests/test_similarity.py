@@ -117,3 +117,42 @@ def test_kmeans_centroids_rejects_bad_k(spark):
         kmeans_centroids(df, 0)
     with pytest.raises(ValueError):
         kmeans_centroids(df, 5)
+
+
+def test_lsh_signature_wide_planes_match_python(spark):
+    """40 planes (> the old 31-bit int cap): bit i = sign(v·planeᵢ) as a
+    1L << i sum, matching the reference semantics exactly to 63 planes —
+    the pow(2.0,i).cast('int') form silently overflowed at i >= 31."""
+    from bigdatalog_spark.operators.similarity import hyperplane_lsh_buckets
+
+    rng = random.Random(7)
+    dim, nplanes = 8, 40
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(nplanes)]
+    rows = [(i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        r["vec_id"]: r["sig"]
+        for r in df.select(
+            "vec_id", hyperplane_lsh_buckets(df, planes).alias("sig")
+        ).collect()
+    }
+    for vid, vec in rows:
+        expect = sum(
+            1 << i
+            for i, p in enumerate(planes)
+            if sum(x * y for x, y in zip(vec, p)) >= 0
+        )
+        assert got[vid] == expect, f"vec {vid}: {got[vid]} != {expect}"
+    assert max(got.values()) > (1 << 31)  # genuinely exercises wide bits
+
+
+def test_lsh_rejects_too_many_planes_and_nonfinite(spark):
+    import pytest
+
+    from bigdatalog_spark.operators.similarity import hyperplane_lsh_buckets
+
+    df = spark.createDataFrame([(1, [0.0])], ["vec_id", "embedding"])
+    with pytest.raises(ValueError):
+        hyperplane_lsh_buckets(df, [[1.0]] * 63)
+    with pytest.raises(ValueError, match="finite"):
+        hyperplane_lsh_buckets(df, [[float("nan")]])

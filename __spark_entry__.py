@@ -3018,22 +3018,92 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE on ordering: the driver's correctness harness checks the FIRST 50
     # dict entries per round. (bench.py is DECOUPLED from this order — it
-    # times queries in fixed sorted-name order, r10.) The r10 window (per
-    # VERDICT r09 "Next round" #1) rotates onto the rows whose newest
-    # driver check predates the r09 engine changes:
-    #   (a) all 33 dl_* rows last checked r08 — datalog/fixpoint.py,
-    #       local_eval.py and context.py changed in r09 (null machinery,
-    #       demand tiers, memoization) and again in r10 (cache
-    #       invalidation on register, leaf-walk block release) AFTER those
-    #       checks;
-    #   (b) 17 of the 21 r07-stale rows, oldest families first: dedup x5,
-    #       ANN x3, multimodal x2, corpus x4, q_asof_purchase,
-    #       q_stream_interval_join, q2_min_cost_supplier.
-    # The remaining 4 r07-stale rows (adapted TPC-H q4/q11/q16/q20 —
-    # modules untouched since r07, family represented in the r09 window)
-    # sit at positions 51-54 and lead the r11 rotation, followed by the 17
-    # r08-checked non-dl rows, then the r09-checked window.
+    # times queries in fixed sorted-name order, r10.) The r11 window (per
+    # VERDICT r10 "Next round" #7) continues the rotation so no query's
+    # newest driver check ages past 3 rounds:
+    #   1. the 4 r07-stale adapted TPC-H rows (q4/q11/q16/q20) — their
+    #      newest check is now 4 rounds old, oldest on the board;
+    #   2. the 17 rows last checked r08 (window/sampling/joins tail);
+    #   3. the r09-checked rows in their r09 order — the first 29 land
+    #      inside the 50-row window, the remaining 21 follow at 51+;
+    #   4. the 50 rows of the r10 window (all 33 dl_* + 17 fills) at the
+    #      end — they hold the newest check on the board.
     return {
+        # --- 1. r07-stale adapted TPC-H (oldest checks on the board) ---
+        "q4_priority_late_orders": q4_priority_late_orders,
+        "q11_important_parts": q11_important_parts,
+        "q16_supplier_part_counts": q16_supplier_part_counts,
+        "q20_dominant_supplier": q20_dominant_supplier,
+        # --- 2. r08-checked rows ---
+        "q_running_avg": q_running_avg,
+        "q_asof_forward": q_asof_forward,
+        "q_grouping_sets": q_grouping_sets,
+        "q_interval_join": q_interval_join,
+        "q_range_acctbal_band": q_range_acctbal_band,
+        "q_pivot_event_types": q_pivot_event_types,
+        "q_cube_revenue": q_cube_revenue,
+        "q_cohort_retention": q_cohort_retention,
+        "q_countd_approx": q_countd_approx,
+        "q_value_percentiles_approx": q_value_percentiles_approx,
+        "q_hash_split": q_hash_split,
+        "q_mixture_sample": q_mixture_sample,
+        "q_mixture_upsample": q_mixture_upsample,
+        "q_stratified_sample": q_stratified_sample,
+        "q_weighted_sample": q_weighted_sample,
+        "q_corpus_shuffle": q_corpus_shuffle,
+        "q_shard_manifest": q_shard_manifest,
+        # --- 3. r09-checked rows (first 29 complete the 50-row window) ---
+        "dl_inmemory_csv": dl_inmemory_csv,
+        "q_cc_fast": q_cc_fast,
+        "q_pagerank": q_pagerank,
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_order_revenue": q3_order_revenue,
+        "q5_region_revenue": q5_region_revenue,
+        "q7_nation_volume": q7_nation_volume,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q12_priority_lines": q12_priority_lines,
+        "q14_promo_share": q14_promo_share,
+        "q19_disjunctive_filter": q19_disjunctive_filter,
+        "q_hourly_events": q_hourly_events,
+        "q_sessionize": q_sessionize,
+        "q_sliding_windows": q_sliding_windows,
+        "q_topk_users_window": q_topk_users_window,
+        "q_stream_dedup": q_stream_dedup,
+        "q_stream_enrich": q_stream_enrich,
+        "q_stream_sessionize_append": q_stream_sessionize_append,
+        "q_wav_features": q_wav_features,
+        "q_winnow_fingerprints": q_winnow_fingerprints,
+        "q_fuzzy_names": q_fuzzy_names,
+        "q_json_props": q_json_props,
+        "q_kcore": q_kcore,
+        "dl_apsp_bound": dl_apsp_bound,
+        "dl_apsp_bound_rev": dl_apsp_bound_rev,
+        "q_dedup_exact": q_dedup_exact,
+        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q18_large_volume_customers": q18_large_volume_customers,
+        "q13_order_count_distribution": q13_order_count_distribution,
+        "q22_global_sales_opportunity": q22_global_sales_opportunity,
+        "q_exists_semijoin": q_exists_semijoin,
+        "q_salted_join": q_salted_join,
+        "q_funnel": q_funnel,
+        "q_rollup_revenue": q_rollup_revenue,
+        "q_value_percentiles": q_value_percentiles,
+        "q_stream_sessionize": q_stream_sessionize,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q8_market_share": q8_market_share,
+        "q9_product_profit": q9_product_profit,
+        "q15_top_supplier": q15_top_supplier,
+        "q21_waiting_supplier": q21_waiting_supplier,
+        "q_text_profile": q_text_profile,
+        "q_subword_tokens": q_subword_tokens,
+        "q_tfidf_topk": q_tfidf_topk,
+        "q_lang_histogram": q_lang_histogram,
+        "q_quality_filter": q_quality_filter,
+        "q_token_topk": q_token_topk,
+        "q_repetition_stats": q_repetition_stats,
+        # --- 4. the r10 window (newest checks) ---
         # --- (a) dl_* engine family, newest check r08, code changed r09/r10 ---
         "dl_filter_project": dl_filter_project,
         "dl_join_3way": dl_join_3way,
@@ -3089,81 +3159,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_asof_purchase": q_asof_purchase,
         "q_stream_interval_join": q_stream_interval_join,
         "q2_min_cost_supplier": q2_min_cost_supplier,
-        # ---------------- end of the 50-row r10 window ----------------
-        # r07-stale remainder (leads the r11 rotation)
-        "q4_priority_late_orders": q4_priority_late_orders,
-        "q11_important_parts": q11_important_parts,
-        "q16_supplier_part_counts": q16_supplier_part_counts,
-        "q20_dominant_supplier": q20_dominant_supplier,
-        # r08-checked rows (next-oldest after the above)
-        "q_running_avg": q_running_avg,
-        "q_asof_forward": q_asof_forward,
-        "q_grouping_sets": q_grouping_sets,
-        "q_interval_join": q_interval_join,
-        "q_range_acctbal_band": q_range_acctbal_band,
-        "q_pivot_event_types": q_pivot_event_types,
-        "q_cube_revenue": q_cube_revenue,
-        "q_cohort_retention": q_cohort_retention,
-        "q_countd_approx": q_countd_approx,
-        "q_value_percentiles_approx": q_value_percentiles_approx,
-        "q_hash_split": q_hash_split,
-        "q_mixture_sample": q_mixture_sample,
-        "q_mixture_upsample": q_mixture_upsample,
-        "q_stratified_sample": q_stratified_sample,
-        "q_weighted_sample": q_weighted_sample,
-        "q_corpus_shuffle": q_corpus_shuffle,
-        "q_shard_manifest": q_shard_manifest,
-        # r09-checked rows (the previous window)
-        "dl_inmemory_csv": dl_inmemory_csv,
-        "q_cc_fast": q_cc_fast,
-        "q_pagerank": q_pagerank,
-        "q1_pricing_summary": q1_pricing_summary,
-        "q3_order_revenue": q3_order_revenue,
-        "q5_region_revenue": q5_region_revenue,
-        "q7_nation_volume": q7_nation_volume,
-        "q10_returned_revenue": q10_returned_revenue,
-        "q12_priority_lines": q12_priority_lines,
-        "q14_promo_share": q14_promo_share,
-        "q19_disjunctive_filter": q19_disjunctive_filter,
-        "q_hourly_events": q_hourly_events,
-        "q_sessionize": q_sessionize,
-        "q_sliding_windows": q_sliding_windows,
-        "q_topk_users_window": q_topk_users_window,
-        "q_stream_dedup": q_stream_dedup,
-        "q_stream_enrich": q_stream_enrich,
-        "q_stream_sessionize_append": q_stream_sessionize_append,
-        "q_wav_features": q_wav_features,
-        "q_winnow_fingerprints": q_winnow_fingerprints,
-        "q_fuzzy_names": q_fuzzy_names,
-        "q_json_props": q_json_props,
-        "q_kcore": q_kcore,
-        "dl_apsp_bound": dl_apsp_bound,
-        "dl_apsp_bound_rev": dl_apsp_bound_rev,
-        "q_dedup_exact": q_dedup_exact,
-        "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "q_dedup_jaccard_capped": q_dedup_jaccard_capped,
-        "q17_small_quantity_revenue": q17_small_quantity_revenue,
-        "q18_large_volume_customers": q18_large_volume_customers,
-        "q13_order_count_distribution": q13_order_count_distribution,
-        "q22_global_sales_opportunity": q22_global_sales_opportunity,
-        "q_exists_semijoin": q_exists_semijoin,
-        "q_salted_join": q_salted_join,
-        "q_funnel": q_funnel,
-        "q_rollup_revenue": q_rollup_revenue,
-        "q_value_percentiles": q_value_percentiles,
-        "q_stream_sessionize": q_stream_sessionize,
-        "q6_forecast_revenue": q6_forecast_revenue,
-        "q8_market_share": q8_market_share,
-        "q9_product_profit": q9_product_profit,
-        "q15_top_supplier": q15_top_supplier,
-        "q21_waiting_supplier": q21_waiting_supplier,
-        "q_text_profile": q_text_profile,
-        "q_subword_tokens": q_subword_tokens,
-        "q_tfidf_topk": q_tfidf_topk,
-        "q_lang_histogram": q_lang_histogram,
-        "q_quality_filter": q_quality_filter,
-        "q_token_topk": q_token_topk,
-        "q_repetition_stats": q_repetition_stats,
     }
 
 

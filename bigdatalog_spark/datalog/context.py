@@ -122,16 +122,21 @@ class EngineConfig:
     broadcast_max_bytes: int = 512 << 20
     # TINY statics (at or below this many bytes by Catalyst estimate,
     # re-verified with a bounded collect) are collected ONCE into a
-    # JVM-side LocalRelation: a BroadcastExchange over a LocalTableScan
-    # builds on the driver with NO job and NO tasks, where the persisted
-    # form pays one broadcast-rebuild job per static per fixpoint
-    # iteration (broadcast exchanges are not reused across the separate
-    # actions a driver loop issues — measured 2-3 such jobs per iteration
-    # on dl_tc_null_labels). Rows never cross py4j: the collect and the
-    # LocalRelation construction stay in the JVM. At scale statics above
-    # the gate keep the persisted/broadcast or pre-shuffled paths. 0
-    # disables.
-    local_static_max_bytes: int = 8 << 20
+    # JVM-side LocalRelation: the per-iteration broadcast rebuild then
+    # happens driver-side with no cache-read job (broadcast exchanges are
+    # not reused across the separate actions a fixpoint loop issues).
+    # Rows never cross py4j: the collect and the LocalRelation
+    # construction stay in the JVM. The gate is deliberately SMALL: the
+    # driver-side unsafe-row conversion + hash-relation build is serial
+    # and re-runs per iteration, measured at ~6 µs/row/iteration — a 20k-
+    # row static embedded this way cost dl_tc_null_labels ~2.3 s/run
+    # MORE than the 2-task cached-build job it replaced (interleaved
+    # within-session A/B, 6 runs each), while the job it saves is worth
+    # ~25 ms. 64 KiB ≈ 2-3k numeric rows keeps the win for literal
+    # tables, register_data fixtures and small derived dims, and leaves
+    # everything bigger on the persisted/broadcast or pre-shuffled
+    # paths. 0 disables.
+    local_static_max_bytes: int = 64 << 10
     # decomposable (GPS) cliques run the whole fixpoint partition-locally in
     # one mapInPandas job when the statics pass the broadcast byte gate
     # (GeneralizedPivotSetInfo.scala:30-170 planning, local_eval.py execution)

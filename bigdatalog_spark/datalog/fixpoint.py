@@ -198,6 +198,14 @@ def _count_and_nulls(df: DataFrame) -> tuple[int, int]:
     loop's materializing action, so null detection rides along for free.
     The null count (not just a flag) lets the segmented store bound its
     null side store's broadcast decision.
+
+    Counted through observe() + a noop write, not agg().first(): the
+    metrics ride the materializing job as accumulators, so the action is
+    ONE stage (the width of the frame) instead of partial-agg → exchange →
+    final-agg — a fixpoint pays this action every iteration, and the extra
+    single-task stage plus the first() collect were pure per-iteration
+    fixed cost. agg() kept as fallback for any observe limitation.
+
     NULL-bearing tuples are outside the DeAL data model (the reference's
     loader cannot produce them, SURVEY §1.2) but CAN arrive through
     register()'d frames whose nullable columns a rule head projects; the
@@ -205,11 +213,24 @@ def _count_and_nulls(df: DataFrame) -> tuple[int, int]:
     without detection a re-derived null tuple re-enters the delta every
     time — duplicate rows in S (set semantics broken) and, for pass-through
     columns on cyclic graphs, a live-locked fixpoint."""
-    row = df.agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.sum(_has_null_expr(df.columns).cast("int")).alias("__hn"),
-    ).first()
-    return int(row["__n"]), int(row["__hn"] or 0)
+    try:
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        observed = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(_has_null_expr(df.columns).cast("int")).alias("__hn"),
+        )
+        observed.write.format("noop").mode("overwrite").save()
+        m = obs.get
+        return int(m["__n"]), int(m["__hn"] or 0)
+    except Exception:
+        row = df.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(_has_null_expr(df.columns).cast("int")).alias("__hn"),
+        ).first()
+        return int(row["__n"]), int(row["__hn"] or 0)
 
 
 def _anti_null_safe(cand: DataFrame, s: DataFrame, cols) -> DataFrame:
@@ -359,12 +380,20 @@ class _aqe_off:
         "spark.sql.leafNodeDefaultParallelism": "1",
     }
 
-    def __init__(
-        self,
-        spark,
-        shuffle_partitions: int | None = None,
-        auto_broadcast_off: bool = False,
-    ):
+    # NOTE on auto-broadcast (r11 measured decision): with small, accurate
+    # segment stats the planner auto-broadcasts the per-iteration anti-join
+    # of stored segments (BHJ LeftAnti, one build job per segment per
+    # iteration) instead of the designed in-place merge-scan. Forcing
+    # autoBroadcastJoinThreshold=-1 in this scope removes those build jobs
+    # (dl_tc_distributed 40 -> 34 jobs/run) but is 15-45% SLOWER wall on
+    # 3/3 alternating-session A/B pairs at sf0.1 (dl_tc_null_labels medians
+    # 6.4/7.8/5.8 s -> 8.8/9.5/9.0 s): the tiny-broadcast hash anti beats
+    # the sort-merge machinery while segments fit a broadcast, and at scale
+    # segments outgrow the 10 MB threshold after the first iterations and
+    # the planner converges to the merge-scan on its own. Auto-broadcast
+    # therefore stays ON here; the segments still CARRY their partitioning
+    # (seed/union re-keying) so the big-segment SMJ regime is exchange-free.
+    def __init__(self, spark, shuffle_partitions: int | None = None):
         self.spark = spark
         self._confs = dict(self._CONFS)
         if shuffle_partitions is not None:
@@ -373,20 +402,6 @@ class _aqe_off:
             self._confs["spark.sql.shuffle.partitions"] = str(
                 shuffle_partitions
             )
-        if auto_broadcast_off:
-            # Iteration scope only: the per-iteration anti-joins against
-            # stored segments are DESIGNED to merge-scan in place (both
-            # sides hash-partitioned + sorted — zero exchange, zero build
-            # job), but segment stats are small and accurate (checkpoint
-            # carries them), so the planner AUTO-broadcasts each segment
-            # instead — one broadcast-build job PER SEGMENT PER ITERATION
-            # (measured: 1-2 extra jobs/iteration on dl_tc_distributed,
-            # pure fixed cost; at scale the same flip would re-collect a
-            # growing S every iteration). Unhinted in-loop joins therefore
-            # lose auto-broadcast; the deliberate broadcasts (statics via
-            # _maybe_broadcast, the null side store) carry explicit hints,
-            # which a disabled threshold does not affect.
-            self._confs["spark.sql.autoBroadcastJoinThreshold"] = "-1"
 
     def __enter__(self):
         # get(k, None): confs with no session value (leafNodeDefaultParallelism
@@ -584,10 +599,26 @@ class _SegmentedSet:
         # segments are pairwise disjoint (each was anti-joined against all
         # before it), so compaction is a re-shuffle + sort, no distinct
         u = u.repartition(self._n_shuffle(), *self.part_cols)
-        # track_nulls=False: compaction re-seals EXISTING rows — the null
-        # side store is rebuilt from the compacted frame below, not
-        # double-accumulated
-        sealed, _ = self.seal_and_count(u, track_nulls=False)
+        if not self._alt:
+            # LAZY seal: no count job — the loop never branches on the
+            # compacted segment's cardinality, and the next iteration's
+            # convergence count materializes it (its checkpoint-marked RDD
+            # is an ancestor of the next delta's plan; a compaction only
+            # happens after an append, so the loop always runs at least
+            # one more iteration). The retired parents' blocks stay
+            # readable through that materialization: release is deferred
+            # one full iteration by the two-stage free queue. With ALT
+            # layouts the eager path below stays — an alt copy re-derived
+            # from a lazy primary could materialize only after its
+            # retired sources were freed if a step stops reading that
+            # layout, so _alt_seal's "source is always materialized"
+            # invariant is kept eagerly there.
+            sealed = self._seal(u)
+        else:
+            # track_nulls=False: compaction re-seals EXISTING rows — the
+            # null side store is rebuilt from the compacted frame below,
+            # not double-accumulated
+            sealed, _ = self.seal_and_count(u, track_nulls=False)
         self._retired.extend(self.segments)
         self.segments = [sealed]
         self._last_is_delta = False
@@ -1043,12 +1074,7 @@ def _fixpoint_seminaive_segmented(
             sets[pred] = sset
             delta_dfs[pred] = seg if pc else _narrow_small(seg, n, cfg)
 
-    # iteration scope: additionally drop auto-broadcast so the anti-joins
-    # merge-scan stored segments in place (see _aqe_off). Seeding above
-    # keeps the session threshold — exit rules may contain unhinted joins
-    # of statics where auto-broadcast is the right call, and they execute
-    # exactly once.
-    with _aqe_off(spark, n_loop, auto_broadcast_off=True):
+    with _aqe_off(spark, n_loop):
         iteration = 0
         while live:
             iteration += 1
